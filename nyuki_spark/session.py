@@ -1,0 +1,73 @@
+"""SparkSession factory with the engine's verified configuration.
+
+Every config below is load-bearing (validated against the driver fixtures —
+see FIXTURES.md):
+
+- ``spark.sql.session.timeZone=UTC`` — fixture timestamps are written UTC;
+  the DuckDB oracle reads them UTC; any other zone shifts DATE_TRUNC/EXTRACT.
+- ``spark.sql.legacy.parquet.nanosAsLong=true`` — ``events.ts`` is parquet
+  TIMESTAMP(NANOS) which Spark 4.x refuses to read natively
+  ([PARQUET_TYPE_ILLEGAL]); with this flag it arrives as a long and the
+  catalog converts with integer ``ts DIV 1000`` -> ``timestamp_micros`` so
+  both engines truncate ns->us identically.
+- Arrow execution on — all collection paths and pandas UDFs cross the
+  Python<->JVM boundary through Arrow batches (row-wise py4j collection of
+  100k rows measurably stalls for minutes).
+- AQE on (coalesce partitions + skew join) — at 100 TB this is what re-plans
+  shuffles at runtime; at test scale it coalesces the tiny shuffles.
+
+Scale posture: shuffle partitions default to 32 on local[32] test rigs, but
+the factory honours ``NYUKI_SHUFFLE_PARTITIONS`` so a real cluster deployment
+sets it to ~2-3x total executor cores. AQE then coalesces/splits at runtime.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+__all__ = ["get_session", "ENGINE_CONF"]
+
+# Configuration shared by every entry point (tests, bench, driver harness).
+ENGINE_CONF: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Dimension tables (region/nation/supplier/part at test SFs) stay under
+    # this threshold -> broadcast hash joins without hints.
+    "spark.sql.autoBroadcastJoinThreshold": "64MB",
+    # Streaming: file-replay sources in tests produce few, small batches.
+    "spark.sql.streaming.schemaInference": "false",
+    "spark.sql.shuffle.partitions": os.environ.get("NYUKI_SHUFFLE_PARTITIONS", "32"),
+    # Self-describing UI is useless headless; saves startup time.
+    "spark.ui.enabled": "false",
+}
+
+
+def get_session(
+    app_name: str = "nyuki-spark",
+    master: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the engine SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default ``*``)
+    so the same entry point serves tests, bench, and a real cluster (where
+    ``master`` is supplied by spark-submit and must be left None).
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if master is None and "SPARK_GRAFT_CPUS" in os.environ:
+        master = f"local[{os.environ['SPARK_GRAFT_CPUS']}]"
+    if master is not None:
+        builder = builder.master(master)
+    conf = dict(ENGINE_CONF)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    return spark

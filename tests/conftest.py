@@ -1,0 +1,40 @@
+"""Shared fixtures: one SparkSession + one DuckDB connection per test run.
+
+Default correctness tier for pytest is sf0.001 (fast feedback); set
+``NYUKI_TEST_SF_DIR=/root/testdata/sf0.01`` to rerun at the driver's t2 tier.
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+
+from nyuki_spark.catalog import TABLES
+from nyuki_spark.session import get_session
+
+SF_DIR = os.environ.get("NYUKI_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="session")
+def sf_dir() -> str:
+    return SF_DIR
+
+
+@pytest.fixture(scope="session")
+def spark():
+    spark = get_session("nyuki-tests", master="local[*]")
+    yield spark
+    spark.stop()
+
+
+@pytest.fixture(scope="session")
+def duck(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    yield con
+    con.close()
