@@ -1,0 +1,76 @@
+"""Benchmark: run the declared suite at $SPARK_GRAFT_SF_DIR, print ONE JSON line.
+
+Methodology mirrors BASELINE.md: warm local session, tables registered once,
+per-query wall time includes Arrow collection, median of N_REPS reps,
+excludes JVM startup and one warm-up query. The acceptance bar is the
+BASELINE.md naive-PySpark suite total (35.6 s at sf0.1; budget <= ~71 s).
+
+Output (stdout, single line):
+  {"metric": "declared_suite_total", "value": <sum of per-query medians, sec>,
+   "unit": "sec", "queries": {qid: sec}, "sf": <float>}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+N_REPS = int(os.environ.get("NYUKI_BENCH_REPS", "3"))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # BASELINE.md methodology: small shuffle partition count at bench scale
+    # (AQE coalesces anyway; this removes scheduling overhead on tiny shuffles).
+    os.environ.setdefault("NYUKI_SHUFFLE_PARTITIONS", "8")
+
+    from nyuki_spark.catalog import register_tables
+    from nyuki_spark.queries import REGISTRY
+    from nyuki_spark.session import get_session
+
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf"))
+    except ValueError:
+        sf = -1.0
+
+    spark = get_session("nyuki-bench", master=f"local[{cpus}]")
+    register_tables(spark, sf_dir)
+
+    # Warm-up: JIT, codegen cache, parquet footer cache.
+    spark.sql("SELECT COUNT(*) AS n FROM lineitem").toArrow()
+
+    per_query: dict[str, float] = {}
+    for qid, q in sorted(REGISTRY.items()):
+        times = []
+        for _ in range(N_REPS):
+            t0 = time.perf_counter()
+            if q.engine_fn is not None:
+                df = q.engine_fn(spark, sf_dir)
+            else:
+                df = spark.sql(q.engine_sql)
+            df.toArrow()  # full materialisation through Arrow, like BASELINE
+            times.append(time.perf_counter() - t0)
+        per_query[qid] = round(statistics.median(times), 4)
+
+    total = round(sum(per_query.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "declared_suite_total",
+                "value": total,
+                "unit": "sec",
+                "queries": per_query,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    main()
