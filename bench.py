@@ -43,8 +43,13 @@ def main() -> None:
     # Warm-up: JIT, codegen cache, parquet footer cache.
     spark.sql("SELECT COUNT(*) AS n FROM lineitem").toArrow()
 
+    # Bench times the declared suite only — the set BASELINE.md's numbers
+    # cover. Extension queries (streaming-live, LSH, ...) are correctness
+    # surface, timed separately if needed.
     per_query: dict[str, float] = {}
     for qid, q in sorted(REGISTRY.items()):
+        if q.suite != "declared":
+            continue
         times = []
         for _ in range(N_REPS):
             t0 = time.perf_counter()

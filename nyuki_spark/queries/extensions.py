@@ -1,12 +1,150 @@
-"""Extension queries beyond the 61 declared ones (SURVEY.md §2.10/§2.9).
+"""Extension queries beyond the 61 declared ones (SURVEY.md §2.9/§2.10).
 
-These grow the engine's checked surface: LLM-pipeline operators, text
-analysis, and live Structured Streaming counterparts of the batch-checkable
-streaming queries. Oracle-backed where DuckDB can express the semantics;
-rows-only (no oracle) otherwise.
-
-Populated incrementally; every entry added here automatically shows up in
-``__spark_entry__.queries()`` and the pytest oracle harness.
+These grow the engine's checked surface. ``*_live`` queries execute through
+Structured Streaming for real — replay the events table as micro-batches,
+run the streaming operator, drain with availableNow — and are STILL checked
+against the DuckDB oracle: the streaming result of a finite replay must
+equal the batch answer (stream/batch parity), so the batch-SQL oracle
+applies. Approximate/nondeterministic ops carry no oracle (rows-only).
 """
 
 from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nyuki_spark.catalog import load_table
+from nyuki_spark.queries.registry import register
+from nyuki_spark.streaming.replay import replay_stream
+from nyuki_spark.streaming.runner import run_to_table
+from nyuki_spark.streaming.windows import session_agg, sliding_agg, tumbling_agg
+
+
+def _replayed(spark: SparkSession, sf_dir: str):
+    events = load_table(spark, sf_dir, "events")
+    scratch = tempfile.mkdtemp(prefix="nyuki-live-")
+    return replay_stream(spark, events, n_chunks=4, scratch_dir=scratch), scratch
+
+
+def _live(build):
+    """Wrap a streaming pipeline builder into a (spark, sf_dir) callable."""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        sdf, scratch = _replayed(spark, sf_dir)
+        try:
+            out = run_to_table(build(sdf), mode="complete")
+            # Force materialisation before the scratch dir disappears.
+            out = out.cache()
+            out.count()
+            return out
+        finally:
+            shutil.rmtree(scratch, ignore_errors=True)
+
+    return fn
+
+
+# -- tumbling window, live ---------------------------------------------------
+
+register(
+    "stream_tumbling_live",
+    engine_fn=_live(
+        lambda sdf: tumbling_agg(
+            sdf,
+            "ts",
+            "1 hour",
+            ["event_type"],
+            [
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("value").cast("decimal(18,2)"))
+                .cast("decimal(18,2)")
+                .alias("total"),
+            ],
+        ).orderBy("win_start", "event_type")
+    ),
+    oracle=(
+        "SELECT CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS win_start, event_type, COUNT(*) AS n,\n"
+        "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total\n"
+        "FROM events GROUP BY 1, 2 ORDER BY 1, 2"
+    ),
+    category="streaming-live",
+    suite="extension",
+    doc="Structured Streaming tumbling window over a 4-micro-batch replay",
+)
+
+# -- sliding window, live ----------------------------------------------------
+
+register(
+    "stream_sliding_live",
+    engine_fn=_live(
+        lambda sdf: sliding_agg(
+            sdf,
+            "ts",
+            "30 minutes",
+            "5 minutes",
+            ["user_id"],
+            [F.count(F.lit(1)).alias("n")],
+        ).orderBy("win_start", "user_id")
+    ),
+    # Each event belongs to 6 epoch-aligned 5-min-step windows; DuckDB
+    # time_bucket's origin (2000-01-03) is a multiple of 5 min from epoch,
+    # so bucket boundaries coincide with Spark's window().
+    oracle=(
+        "SELECT win_start, user_id, COUNT(*) AS n FROM (\n"
+        "  SELECT time_bucket(INTERVAL '5 minutes', e.ts) - (k.k * INTERVAL '5 minutes') AS win_start,\n"
+        "         e.user_id\n"
+        "  FROM events e CROSS JOIN range(6) k(k)\n"
+        ") GROUP BY win_start, user_id ORDER BY win_start, user_id"
+    ),
+    category="streaming-live",
+    suite="extension",
+    doc="Structured Streaming sliding window (30m/5m) over replay",
+)
+
+# -- session window, live ----------------------------------------------------
+
+register(
+    "stream_session_live",
+    engine_fn=_live(
+        lambda sdf: session_agg(
+            sdf,
+            "ts",
+            "30 minutes",
+            ["user_id"],
+            [F.count(F.lit(1)).alias("n_events")],
+        ).orderBy("user_id", "sess_start")
+    ),
+    oracle=(
+        "WITH marked AS (SELECT user_id, ts, event_id, CASE WHEN ts >\n"
+        "LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) + INTERVAL 30 MINUTE\n"
+        "OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL THEN 1 ELSE 0 END AS new_sess\n"
+        "FROM events),\n"
+        "sess AS (SELECT user_id, ts, event_id, SUM(new_sess) OVER\n"
+        "(PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sess_id FROM marked)\n"
+        "SELECT user_id, MIN(ts) AS sess_start, COUNT(*) AS n_events\n"
+        "FROM sess GROUP BY user_id, sess_id ORDER BY user_id, sess_start"
+    ),
+    category="streaming-live",
+    suite="extension",
+    doc="session_window() in a real streaming query vs gaps-and-islands oracle",
+)
+
+# -- streaming dedup, live ---------------------------------------------------
+
+register(
+    "stream_dedup_live",
+    engine_fn=_live(
+        lambda sdf: sdf.groupBy("user_id", "event_type")
+        .agg(F.min("event_id").alias("first_event"))
+        .orderBy("user_id", "event_type")
+    ),
+    oracle=(
+        "SELECT user_id, event_type, MIN(event_id) AS first_event FROM events\n"
+        "GROUP BY user_id, event_type ORDER BY user_id, event_type"
+    ),
+    category="streaming-live",
+    suite="extension",
+    doc="streaming first-per-key over replay (at-least-once consumer dedup)",
+)

@@ -23,6 +23,8 @@ class Query:
       (as-of rewrite) or where the operator is not SQL (pandas-UDF kNN).
     - ``oracle_sql``: DuckDB twin. None -> driver records rows-only check.
     - ``category``: SURVEY.md §2 bucket, for reporting.
+    - ``suite``: "declared" (the 61 in SURVEY.md Appendix A — the set
+      BASELINE.md's numbers cover, and what bench.py times) or "extension".
     """
 
     id: str
@@ -33,6 +35,7 @@ class Query:
     )
     category: str = ""
     doc: str = ""
+    suite: str = "declared"
 
     def run(self, spark: SparkSession, sf_dir: str) -> DataFrame:
         register_tables(spark, sf_dir)
@@ -58,6 +61,7 @@ def register(
     engine_fn: Callable[[SparkSession, str], DataFrame] | None = None,
     category: str = "",
     doc: str = "",
+    suite: str = "declared",
 ) -> Query:
     """Register a query. ``sql`` sets both sides (portable text); ``engine``/
     ``oracle`` set dialect-specific twins."""
@@ -71,6 +75,7 @@ def register(
         engine_fn=engine_fn,
         category=category,
         doc=doc,
+        suite=suite,
     )
     assert id not in REGISTRY, f"duplicate query id {id}"
     REGISTRY[id] = q

@@ -1,0 +1,42 @@
+"""File-replay streaming source.
+
+Replays a batch DataFrame as a Structured Streaming source by writing it to
+a scratch parquet directory in ``n_chunks`` files and reading it back with
+``maxFilesPerTrigger=1`` — n micro-batches, arbitrary arrival order (the
+chunks are hash-partitioned, so event-time order is NOT preserved across
+batches: exactly the out-of-order delivery a bus gives you, which is what
+watermarks are for).
+
+This is the test double for the bus source (nyuki's MQTT/XMPP subscription;
+upstream `nyuki/bus/mqtt.py` — mount empty, SURVEY.md §0). The production
+path is the same code reading Kafka or the Python DataSource in
+:mod:`nyuki_spark.sources.bus`.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = ["replay_stream"]
+
+
+def replay_stream(
+    spark: SparkSession,
+    df: DataFrame,
+    n_chunks: int = 4,
+    scratch_dir: str | None = None,
+) -> DataFrame:
+    """Return a streaming DataFrame that replays ``df`` in ``n_chunks``
+    micro-batches. ``scratch_dir`` (a fresh temp dir by default) holds the
+    replay files; caller owns cleanup."""
+    if scratch_dir is None:
+        scratch_dir = tempfile.mkdtemp(prefix="nyuki-replay-")
+    path = f"{scratch_dir}/replay"
+    df.repartition(n_chunks).write.mode("overwrite").parquet(path)
+    return (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
