@@ -1,0 +1,196 @@
+"""Text analysis for LLM-data pipelines (SURVEY.md §2.10).
+
+Everything here is pure Column expressions — JVM-side, whole-stage-codegen
+friendly, no Python in the hot path. At 100 TB that matters: a row-at-a-time
+Python UDF would serialize every document across the Arrow boundary; these
+compile into the same generated code as any built-in function and scan at
+parquet-reader speed with full predicate/column pushdown intact.
+
+Determinism: the token hash is md5-derived (first 15 hex chars -> 60-bit
+int), which is identical in any engine with md5 — the DuckDB oracle
+reproduces it exactly (`('0x' || SUBSTR(MD5(w),1,15))::BIGINT`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "tokens",
+    "token_count",
+    "token_hash60",
+    "quality_features",
+    "lang_id",
+    "fingerprint_md5",
+    "rolling_hash",
+    "simhash60",
+    "word_ngrams",
+]
+
+# Stopword votes per language for the heuristic language-ID. Tiny on
+# purpose: broadcast as literals into the plan, no lookup table needed.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "to"),
+    "de": ("der", "die", "das", "und", "ein"),
+    "es": ("el", "la", "los", "y", "un"),
+    "fr": ("le", "la", "les", "et", "un"),
+    "zh": ("的", "是", "了", "在", "我"),
+}
+
+
+def tokens(text: Column | str, sep: str = " ") -> Column:
+    """Whitespace tokenization -> array<string>."""
+    return F.split(F.col(text) if isinstance(text, str) else text, sep)
+
+
+def token_count(text: Column | str, sep: str = " ") -> Column:
+    return F.size(tokens(text, sep))
+
+
+def token_hash60(tok: Column) -> Column:
+    """Deterministic 60-bit token hash (md5 prefix), portable across engines.
+
+    60 bits (15 hex chars) keeps the value inside a signed BIGINT with
+    headroom, so the same arithmetic works in Spark, DuckDB, anything.
+    """
+    return F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("bigint")
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality features: token count, average token length,
+    stopword ratio, and a composite [0,1] score.
+
+    The score is a deterministic blend — the point is the *machinery*
+    (pure-Column feature extraction a filter can push through), not the
+    specific weights, which a real pipeline would fit on labels.
+    """
+    t = tokens(text_col)
+    n_tok = F.size(t)
+    stop = F.size(F.filter(t, lambda x: x.isin("the", "a", "and", "of", "to")))
+    avg_len = (F.length(text_col) - (n_tok - F.lit(1))) / n_tok
+    stop_ratio = stop / n_tok
+    score = F.round(
+        F.least(n_tok / F.lit(100.0), F.lit(1.0)) * 0.5
+        + F.least(avg_len / F.lit(8.0), F.lit(1.0)) * 0.3
+        + (F.lit(1.0) - F.least(stop_ratio * 4, F.lit(1.0))) * 0.2,
+        4,
+    )
+    return df.withColumns(
+        {
+            "n_tokens": n_tok,
+            "avg_token_len": F.round(avg_len, 4).cast("double"),
+            "stopword_ratio": F.round(stop_ratio, 4).cast("double"),
+            "quality": score.cast("double"),
+        }
+    )
+
+
+def lang_id(text_col: Column | str, langs: dict[str, tuple[str, ...]] | None = None) -> Column:
+    """Heuristic language-ID: stopword votes per language, argmax with a
+    deterministic tie-break (lexicographic language code).
+
+    This is the n-gram-heuristic tier: cheap, JVM-side, good enough for
+    corpus routing. Model-based ID would slot in as a pandas UDF.
+    """
+    langs = langs or LANG_STOPWORDS
+    t = tokens(text_col)
+
+    # NB: lambdas passed to higher-order functions must take exactly the
+    # declared arity — default-arg capture (lambda x, w=...) makes PySpark
+    # treat them as multi-arg lambdas. Close over via a factory instead.
+    def _member_of(words: tuple[str, ...]):
+        return lambda x: x.isin(*words)
+
+    best_score, best_lang = None, None
+    for code in sorted(langs):
+        score = F.size(F.filter(t, _member_of(langs[code])))
+        if best_score is None:
+            best_score, best_lang = score, F.lit(code)
+        else:
+            better = score > best_score
+            best_lang = F.when(better, F.lit(code)).otherwise(best_lang)
+            best_score = F.when(better, score).otherwise(best_score)
+    return F.when(best_score > 0, best_lang).otherwise(F.lit("und"))
+
+
+def fingerprint_md5(text_col: Column | str, normalize: bool = True) -> Column:
+    """Content fingerprint: md5 of the (optionally normalized) text.
+
+    Normalization = lowercase + collapse whitespace — the standard exact-dup
+    key after superficial formatting differences.
+    """
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    if normalize:
+        c = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+    return F.md5(c)
+
+
+def rolling_hash(text_col: Column | str, sep: str = " ") -> Column:
+    """Polynomial rolling hash over tokens: acc = (acc*31 + h(w)) mod 2^31-1.
+
+    Order-sensitive (unlike a bag-of-words hash) and streaming-friendly: the
+    same recurrence updates incrementally as tokens arrive. Token values are
+    reduced mod 1e9+7 first so every intermediate stays far from BIGINT
+    overflow (ANSI mode would reject a wrap).
+    """
+    t = tokens(text_col, sep)
+    return F.aggregate(
+        t,
+        F.lit(0).cast("bigint"),
+        lambda acc, w: (acc * 31 + token_hash60(w) % 1000000007) % 2147483647,
+    )
+
+
+def simhash60(text_col: Column | str, sep: str = " ") -> Column:
+    """60-bit SimHash over whitespace tokens (Charikar 2002, public).
+
+    For each bit b: sum +-1 over tokens by whether bit b of the token hash
+    is set; the output bit is 1 iff the sum is positive. Near-duplicate
+    texts land at small Hamming distance. Pure Column expressions: the
+    per-bit vote is a fold over the token array, the 60 bits are summed as
+    disjoint powers of two — no shuffle, no UDF, fully codegen'd.
+    """
+    t = tokens(text_col, sep)
+    hashes = F.transform(t, token_hash60)
+
+    # Bit test via bitwiseAND with a Python-computed mask literal (shifts on
+    # lambda-variable Columns trip py4j); the factory keeps the lambda at
+    # exactly arity 2 — see the note in :func:`lang_id`.
+    def _vote_for(mask: int):
+        mlit = F.lit(mask).cast("bigint")
+        return lambda acc, h: acc + F.when(h.bitwiseAND(mlit) != 0, 1).otherwise(-1)
+
+    bit_terms = []
+    for b in range(60):
+        mask = 1 << b
+        vote = F.aggregate(hashes, F.lit(0), _vote_for(mask))
+        bit_terms.append(
+            F.when(vote > 0, F.lit(mask).cast("bigint")).otherwise(
+                F.lit(0).cast("bigint")
+            )
+        )
+    out = bit_terms[0]
+    for term in bit_terms[1:]:
+        out = out + term
+    return out
+
+
+def word_ngrams(df: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle) rows.
+
+    The shingle set is the input to Jaccard / MinHash dedup. Built with a
+    sequence+transform (no explode of the raw token array first), then one
+    explode — a single narrow pipeline stage before the dedup shuffle.
+    """
+    t = tokens(text_col)
+    # Guard short docs: Spark's sequence(0, negative) counts DOWN, so gate
+    # the gram build on size >= n instead of relying on an empty sequence.
+    grams = F.when(
+        F.size(t) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(t) - n),
+            lambda i: F.concat_ws(" ", *[F.element_at(t, i + j + 1) for j in range(n)]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return df.select(F.col(id_col), F.explode(grams).alias("shingle")).distinct()

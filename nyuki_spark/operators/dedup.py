@@ -1,0 +1,258 @@
+"""Deduplication family for LLM-data pipelines (SURVEY.md §2.10).
+
+Four tiers, cheapest first — a 100 TB corpus runs them as a funnel:
+
+1. **Exact** (`exact_dedup_groups`): hash-groupBy on a content fingerprint.
+   One shuffle on the md5 key with map-side partial aggregation; AQE
+   handles the (rare) skew of a massively-duplicated boilerplate doc.
+2. **SimHash** (`simhash_pairs`): 60-bit sketch per doc (pure Column math,
+   computed during the scan), then candidate pairs at small Hamming
+   distance. Candidate generation here is banded like classic simhash
+   dedup: split the 60 bits into ``bands`` chunks, equi-join on any equal
+   chunk (a dup pair at Hamming <= bands-1 must share one chunk — the
+   pigeonhole guarantee), then verify the true distance. Equi-join ->
+   shuffle-hash/SMJ, never a cross join.
+3. **MinHash + LSH** (`minhash_neardup_pairs`): shingle sets -> MLlib
+   MinHashLSH ``approxSimilarityJoin`` (band-bucket equi-join under the
+   hood). Approximate-recall tier; seeded, so deterministic per run.
+4. **Exact n-gram Jaccard** (`ngram_jaccard_pairs`): the ground truth the
+   approximate tiers are measured against. Shingle-explode + self-join on
+   shingle + count ratio. Quadratic in the worst case — at scale it runs
+   only on LSH-candidate pairs (pass ``candidates``).
+
+Embedding-space near-dup (`embedding_neardup_pairs`) closes the family:
+cosine similarity over ``array<float>`` columns, JVM-side fold (zip_with +
+aggregate), exact over all pairs or LSH-pruned.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from nyuki_spark.functions.text import fingerprint_md5, simhash60, word_ngrams
+
+__all__ = [
+    "exact_dedup_groups",
+    "exact_dedup_keep_first",
+    "simhash_pairs",
+    "minhash_neardup_pairs",
+    "ngram_jaccard_pairs",
+    "embedding_neardup_pairs",
+]
+
+
+def exact_dedup_groups(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", normalize: bool = False
+) -> DataFrame:
+    """Duplicate groups: (keep_id, dupes) for every text seen >1 times.
+
+    Grouping on the md5 fingerprint, not the raw text, keeps shuffle rows
+    small (16 bytes vs document bodies) — the difference between a cheap
+    and an impossible shuffle at 100 TB.
+    """
+    return (
+        df.select(F.col(id_col), fingerprint_md5(text_col, normalize).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("dupes"))
+        .where(F.col("dupes") > 1)
+        .select("keep_id", "dupes")
+    )
+
+
+def exact_dedup_keep_first(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", normalize: bool = False
+) -> DataFrame:
+    """The corpus with exact duplicates removed (lowest id wins).
+
+    Window-free formulation: min-id per fingerprint then semi-join back —
+    two narrow shuffles on the 16-byte key, no sort, no per-group state.
+    """
+    keep = (
+        df.select(F.col(id_col), fingerprint_md5(text_col, normalize).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    return df.join(keep, on=id_col, how="left_semi")
+
+
+def simhash_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bands: int = 4,
+) -> DataFrame:
+    """Candidate near-dup pairs by SimHash banding, verified by true
+    Hamming distance: (id_a, id_b, hamming), id_a < id_b.
+
+    ``bands`` must be > max_hamming for the pigeonhole guarantee (a pair
+    within max_hamming differs in <= max_hamming bands, so at least one of
+    bands > max_hamming chunks is identical).
+    """
+    assert bands > max_hamming, "need bands > max_hamming for exact recall"
+    width = 60 // bands
+    sh = df.select(F.col(id_col).alias("id"), simhash60(text_col).alias("sh"))
+    chunks = sh.select(
+        "id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("sh", b * width)
+                        .bitwiseAND((1 << width) - 1)
+                        .alias("chunk"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bc"),
+    ).select("id", "sh", "bc.band", "bc.chunk")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh"))).alias("hamming"),
+        )
+        .distinct()
+    )
+    return cand.where(F.col("hamming") <= max_hamming)
+
+
+def minhash_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    num_hash_tables: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate Jaccard near-dup pairs via MLlib MinHashLSH:
+    (id_a, id_b, jaccard_est), id_a < id_b, est >= threshold.
+
+    Shingles are hashed into a sparse indicator vector (2^20 dims) —
+    MinHashLSH wants Vector input. approxSimilarityJoin expands each side
+    by num_hash_tables band keys and equi-joins: candidate volume scales
+    with collisions, not with |corpus|^2.
+    """
+    from pyspark.ml.feature import MinHashLSH
+    from pyspark.ml.linalg import Vectors, VectorUDT
+
+    dims = 1 << 20
+    shingled = (
+        word_ngrams(df, n=n, id_col=id_col, text_col=text_col)
+        .withColumn("idx", F.abs(F.xxhash64("shingle")) % dims)
+        .groupBy(id_col)
+        .agg(F.collect_set("idx").alias("idxs"))
+    )
+
+    @F.udf(VectorUDT())
+    def to_vec(idxs):
+        return Vectors.sparse(dims, sorted(idxs), [1.0] * len(idxs))
+
+    vecs = shingled.select(F.col(id_col).alias("id"), to_vec("idxs").alias("features"))
+    lsh = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=num_hash_tables, seed=seed
+    )
+    model = lsh.fit(vecs)
+    joined = model.approxSimilarityJoin(vecs, vecs, 1.0 - threshold, distCol="jdist")
+    return (
+        joined.where(F.col("datasetA.id") < F.col("datasetB.id"))
+        .select(
+            F.col("datasetA.id").alias("id_a"),
+            F.col("datasetB.id").alias("id_b"),
+            F.round(1.0 - F.col("jdist"), 4).alias("jaccard_est"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard pairs: (id_a, id_b, jaccard), id_a < id_b.
+
+    Self-join on shingle finds only pairs sharing >= 1 shingle — disjoint
+    docs never meet, so the join output is |shared-shingle incidences|, not
+    |corpus|^2. At 100 TB, pass ``candidates`` (id_a, id_b from an LSH
+    tier) to verify just those pairs instead.
+    """
+    sh = word_ngrams(df, n=n, id_col=id_col, text_col=text_col)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("ns"))
+    a, b = sh.alias("a"), sh.alias("b")
+    shared = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    if candidates is not None:
+        shared = shared.join(candidates.select("id_a", "id_b"), ["id_a", "id_b"], "left_semi")
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("ns").alias("na"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("ns").alias("nb"))
+    return (
+        shared.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")), 4
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    threshold: float | None = None,
+    top: int | None = None,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Cosine-similar pairs over an embedding column, JVM-side only.
+
+    Per-row norms are precomputed before the join so the pair stage does a
+    single zip_with/aggregate fold per pair. Exact all-pairs is O(n^2) —
+    fine for a verification pass; the scale path prunes candidates with
+    :func:`nyuki_spark.operators.similarity.knn_cosine_lsh`-style bucketing
+    first. ``top`` returns the k most similar pairs; ``threshold`` filters.
+    """
+    emb_d = F.transform(F.col(emb_col), lambda x: x.cast("double"))
+    base = df.select(
+        F.col(id_col).alias("id"),
+        emb_d.alias("e"),
+        F.sqrt(F.aggregate(emb_d, F.lit(0.0), lambda a, x: a + x * x)).alias("nrm"),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.e"), F.col("b.e"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    pairs = a.join(b, F.col("a.id") < F.col("b.id")).select(
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        F.round(dot / (F.col("a.nrm") * F.col("b.nrm")), 4).alias("sim"),
+    )
+    if threshold is not None:
+        pairs = pairs.where(F.col("sim") >= threshold)
+    if top is not None:
+        pairs = pairs.orderBy(F.col("sim").desc(), "id_a", "id_b").limit(top)
+    return pairs

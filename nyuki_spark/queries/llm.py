@@ -1,0 +1,324 @@
+"""LLM-data-pipeline queries (SURVEY.md §2.10) — the training-data surface.
+
+Every deterministic operator gets a DuckDB oracle twin, including the ones
+people usually leave unchecked: simhash (bit-exact 60-bit sketch replicated
+in DuckDB SQL), rolling hash (list_reduce fold), banded simhash pair
+generation (engine uses the pigeonhole equi-join, oracle brute-forces all
+pairs — the match proves the banding loses nothing), and n-gram Jaccard.
+Only the genuinely approximate tiers (MinHashLSH, random-hyperplane ANN)
+are rows-only; their recall is asserted in tests/test_dedup.py instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nyuki_spark.catalog import load_table
+from nyuki_spark.functions.text import (
+    lang_id,
+    quality_features,
+    rolling_hash,
+    simhash60,
+)
+from nyuki_spark.operators.dedup import (
+    embedding_neardup_pairs,
+    minhash_neardup_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from nyuki_spark.operators.similarity import knn_cosine_lsh
+from nyuki_spark.queries.registry import register
+
+# Shared DuckDB CTE: 60-bit md5-derived token hashes (matches
+# functions.text.token_hash60 bit-for-bit — verified primitive parity).
+_DUCK_TOK = (
+    "SELECT doc_id, ('0x' || SUBSTR(MD5(u.w), 1, 15))::BIGINT AS h\n"
+    "FROM documents, UNNEST(STRING_SPLIT(text, ' ')) AS u(w)"
+)
+
+_DUCK_SIMHASH = (
+    "WITH tok AS (" + _DUCK_TOK + "),\n"
+    "bits AS (SELECT doc_id, r.b, SUM(CASE WHEN (h >> r.b) & 1 = 1 THEN 1 ELSE -1 END) AS v\n"
+    "         FROM tok, UNNEST(RANGE(0, 60)) AS r(b) GROUP BY doc_id, r.b)\n"
+    "SELECT doc_id, CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash\n"
+    "FROM bits GROUP BY doc_id"
+)
+
+
+# -- quality scoring ---------------------------------------------------------
+
+
+def _quality_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        quality_features(docs)
+        .select("doc_id", "n_tokens", "avg_token_len", "stopword_ratio", "quality")
+        .orderBy("doc_id")
+        .limit(50)
+    )
+
+
+register(
+    "llm_quality_score",
+    engine_fn=_quality_fn,
+    oracle=(
+        "SELECT doc_id, n_tokens,\n"
+        "CAST(ROUND((LENGTH(text) - (n_tokens - 1)) / n_tokens, 4) AS DOUBLE) AS avg_token_len,\n"
+        "CAST(ROUND(stop / n_tokens, 4) AS DOUBLE) AS stopword_ratio,\n"
+        "CAST(ROUND(LEAST(n_tokens / 100.0, 1.0) * 0.5\n"
+        "  + LEAST(((LENGTH(text) - (n_tokens - 1)) / n_tokens) / 8.0, 1.0) * 0.3\n"
+        "  + (1.0 - LEAST(stop / n_tokens * 4, 1.0)) * 0.2, 4) AS DOUBLE) AS quality\n"
+        "FROM (SELECT doc_id, text, LEN(STRING_SPLIT(text, ' ')) AS n_tokens,\n"
+        "      LEN(LIST_FILTER(STRING_SPLIT(text, ' '),\n"
+        "          x -> x IN ('the','a','and','of','to'))) AS stop\n"
+        "      FROM documents)\n"
+        "ORDER BY doc_id LIMIT 50"
+    ),
+    category="llm-text",
+    suite="extension",
+    doc="per-doc quality features + composite score, pure Column exprs",
+)
+
+
+# -- language ID -------------------------------------------------------------
+
+
+def _lang_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            lang_id("text").alias("pred_lang"),
+            F.col("lang").alias("gold_lang"),
+        )
+        .orderBy("doc_id")
+        .limit(100)
+    )
+
+
+_LANG_SCORES = {
+    "de": "('der','die','das','und','ein')",
+    "en": "('the','a','and','of','to')",
+    "es": "('el','la','los','y','un')",
+    "fr": "('le','la','les','et','un')",
+    "zh": "('的','是','了','在','我')",
+}
+
+register(
+    "llm_lang_id",
+    engine_fn=_lang_fn,
+    oracle=(
+        "SELECT doc_id,\n"
+        "CASE WHEN GREATEST(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'\n"
+        + "".join(
+            f"     WHEN s_{c} = GREATEST(s_de, s_en, s_es, s_fr, s_zh) THEN '{c}'\n"
+            for c in sorted(_LANG_SCORES)
+        )
+        + "END AS pred_lang, lang AS gold_lang\n"
+        "FROM (SELECT doc_id, lang,\n"
+        + ",\n".join(
+            f"  LEN(LIST_FILTER(STRING_SPLIT(text, ' '), x -> x IN {w})) AS s_{c}"
+            for c, w in sorted(_LANG_SCORES.items())
+        )
+        + "\n  FROM documents)\nORDER BY doc_id LIMIT 100"
+    ),
+    category="llm-text",
+    suite="extension",
+    doc="stopword-vote language ID, argmax with lexicographic tie-break",
+)
+
+
+# -- fingerprints ------------------------------------------------------------
+
+register(
+    "llm_fingerprint",
+    sql=(
+        "SELECT doc_id, MD5(text) AS fp FROM documents ORDER BY doc_id LIMIT 50"
+    ),
+    category="llm-text",
+    suite="extension",
+    doc="md5 content fingerprint (portable: identical text in both engines)",
+)
+
+
+def _rolling_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", rolling_hash("text").alias("rh"))
+        .orderBy("doc_id")
+        .limit(50)
+    )
+
+
+register(
+    "llm_rolling_hash",
+    engine_fn=_rolling_fn,
+    oracle=(
+        "SELECT doc_id, LIST_REDUCE(\n"
+        "  LIST_PREPEND(CAST(0 AS BIGINT), LIST_TRANSFORM(STRING_SPLIT(text, ' '),\n"
+        "    w -> ('0x' || SUBSTR(MD5(w), 1, 15))::BIGINT % 1000000007)),\n"
+        "  (acc, x) -> (acc * 31 + x) % 2147483647) AS rh\n"
+        "FROM documents ORDER BY doc_id LIMIT 50"
+    ),
+    category="llm-text",
+    suite="extension",
+    doc="order-sensitive polynomial rolling hash over tokens (fold, no UDF)",
+)
+
+
+# -- simhash -----------------------------------------------------------------
+
+
+def _simhash_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", simhash60("text").alias("simhash"))
+        .orderBy("doc_id")
+        .limit(50)
+    )
+
+
+register(
+    "llm_simhash",
+    engine_fn=_simhash_fn,
+    oracle=_DUCK_SIMHASH + " ORDER BY doc_id LIMIT 50",
+    category="llm-dedup",
+    suite="extension",
+    doc="60-bit SimHash sketch, bit-exact vs a DuckDB SQL replication",
+)
+
+
+def _simhash_pairs_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_pairs(docs, max_hamming=3, bands=4).orderBy("id_a", "id_b")
+
+
+register(
+    "llm_simhash_pairs",
+    engine_fn=_simhash_pairs_fn,
+    oracle=(
+        "WITH sh AS (" + _DUCK_SIMHASH + ")\n"
+        "SELECT a.doc_id AS id_a, b.doc_id AS id_b,\n"
+        "       BIT_COUNT(XOR(a.simhash, b.simhash)) AS hamming\n"
+        "FROM sh a JOIN sh b ON a.doc_id < b.doc_id\n"
+        "WHERE BIT_COUNT(XOR(a.simhash, b.simhash)) <= 3\n"
+        "ORDER BY id_a, id_b"
+    ),
+    category="llm-dedup",
+    suite="extension",
+    doc=(
+        "near-dup pairs at Hamming<=3: engine uses banded equi-join "
+        "(pigeonhole-exact), oracle brute-forces all pairs — match proves "
+        "the banding is lossless"
+    ),
+)
+
+
+# -- n-gram Jaccard ----------------------------------------------------------
+
+
+def _jaccard_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, threshold=0.5, n=3).orderBy("id_a", "id_b")
+
+
+register(
+    "llm_ngram_jaccard",
+    engine_fn=_jaccard_fn,
+    oracle=(
+        "WITH shd AS (\n"
+        "  SELECT DISTINCT doc_id, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS s\n"
+        "  FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS arr FROM documents),\n"
+        "       UNNEST(RANGE(1, GREATEST(LEN(arr) - 1, 1))) AS t(i)\n"
+        "), n AS (SELECT doc_id, COUNT(*) AS ns FROM shd GROUP BY doc_id),\n"
+        "pair AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared\n"
+        "         FROM shd a JOIN shd b ON a.s = b.s AND a.doc_id < b.doc_id\n"
+        "         GROUP BY 1, 2)\n"
+        "SELECT id_a, id_b,\n"
+        "       ROUND(shared / (na.ns + nb.ns - shared), 4) AS jaccard\n"
+        "FROM pair JOIN n na ON na.doc_id = id_a JOIN n nb ON nb.doc_id = id_b\n"
+        "WHERE ROUND(shared / (na.ns + nb.ns - shared), 4) >= 0.5\n"
+        "ORDER BY id_a, id_b"
+    ),
+    category="llm-dedup",
+    suite="extension",
+    doc="exact word-3-gram Jaccard pairs >= 0.5 (shingle self-join)",
+)
+
+
+# -- embedding-space near-dup ------------------------------------------------
+
+
+def _cos_pairs_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_neardup_pairs(emb, top=10)
+
+
+register(
+    "llm_cosine_pairs",
+    engine_fn=_cos_pairs_fn,
+    oracle=(
+        "SELECT a.vec_id AS id_a, b.vec_id AS id_b,\n"
+        "CAST(ROUND(LIST_COSINE_SIMILARITY(a.embedding, b.embedding), 4) AS DOUBLE) AS sim\n"
+        "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id\n"
+        "ORDER BY sim DESC, id_a, id_b LIMIT 10"
+    ),
+    category="llm-dedup",
+    suite="extension",
+    doc="top-10 most cosine-similar embedding pairs, JVM-side fold (no UDF)",
+)
+
+
+# -- multimodal plumbing -----------------------------------------------------
+
+register(
+    "llm_multimodal_bytes",
+    engine=(
+        "SELECT source, COUNT(*) AS n,\n"
+        "SUM(OCTET_LENGTH(CAST(text AS BINARY))) AS total_bytes,\n"
+        "MAX(OCTET_LENGTH(CAST(text AS BINARY))) AS max_bytes\n"
+        "FROM documents GROUP BY source ORDER BY source"
+    ),
+    oracle=(
+        "SELECT source, COUNT(*) AS n,\n"
+        "SUM(OCTET_LENGTH(ENCODE(text))) AS total_bytes,\n"
+        "MAX(OCTET_LENGTH(ENCODE(text))) AS max_bytes\n"
+        "FROM documents GROUP BY source ORDER BY source"
+    ),
+    category="llm-multimodal",
+    suite="extension",
+    doc="binary-payload accounting: utf8-encode to BINARY, byte stats per source",
+)
+
+
+# -- approximate tiers (rows-only; recall asserted in tests) -----------------
+
+
+def _minhash_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_neardup_pairs(docs, threshold=0.5)
+
+
+register(
+    "llm_minhash_neardup",
+    engine_fn=_minhash_fn,
+    category="llm-dedup",
+    suite="extension",
+    doc="MinHashLSH near-dup pairs (approx; recall vs exact in tests)",
+)
+
+
+def _knn_lsh_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
+    return knn_cosine_lsh(emb.where(F.col("vec_id") != 0), [float(x) for x in q], k=10)
+
+
+register(
+    "llm_knn_lsh",
+    engine_fn=_knn_lsh_fn,
+    category="llm-similarity",
+    suite="extension",
+    doc="ANN top-10 via random-hyperplane LSH (approx; recall vs brute force in tests)",
+)

@@ -1,0 +1,74 @@
+"""Dedup-family tests: exact tiers vs ground truth, approx tiers vs recall.
+
+The oracle harness already bit-checks the deterministic tiers (simhash,
+jaccard, fingerprints) against DuckDB; these tests cover what the oracle
+can't: recall of the approximate tiers on a corpus with *known* planted
+duplicates, and algebraic properties (idempotence, keep-first choice).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nyuki_spark.catalog import load_table
+from nyuki_spark.operators.dedup import (
+    exact_dedup_keep_first,
+    minhash_neardup_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+
+
+@pytest.fixture(scope="module")
+def planted(spark, sf_dir):
+    """documents + planted near-dups: for every 10th doc, a copy with the
+    first two tokens dropped (high Jaccard overlap, new doc_id)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.where(F.col("doc_id") % 10 == 0)
+    offset = 1_000_000
+    perturbed = base.select(
+        (F.col("doc_id") + offset).alias("doc_id"),
+        F.concat_ws(" ", F.slice(F.split("text", " "), 3, 100000)).alias("text"),
+    )
+    return docs.unionByName(perturbed), offset
+
+
+def test_exact_dedup_keep_first(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    doubled = docs.unionByName(
+        docs.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    )
+    kept = exact_dedup_keep_first(doubled)
+    # Every surviving row is an original (lowest id wins), one per text.
+    assert kept.where(F.col("doc_id") >= 1_000_000).count() == 0
+    assert kept.count() == docs.select("text").distinct().count()
+    # Idempotent: dedup of the deduped corpus is a no-op.
+    assert exact_dedup_keep_first(kept).count() == kept.count()
+
+
+def test_minhash_recall_on_planted_dups(planted):
+    corpus, offset = planted
+    truth = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(corpus, threshold=0.5).collect()
+    }
+    planted_truth = {p for p in truth if p[1] >= offset}
+    assert planted_truth, "fixture produced no planted near-dup pairs"
+    found = {
+        (r.id_a, r.id_b)
+        for r in minhash_neardup_pairs(corpus, threshold=0.5).collect()
+    }
+    recall = len(planted_truth & found) / len(planted_truth)
+    assert recall >= 0.9, f"minhash recall {recall:.2f} on planted dups"
+
+
+def test_simhash_banding_finds_planted_dups(planted):
+    corpus, offset = planted
+    # Dropping 2 tokens flips few simhash bits; banded search at a wider
+    # radius must surface a planted pair without any brute-force scan.
+    pairs = simhash_pairs(corpus, max_hamming=14, bands=15)
+    planted_found = pairs.where(
+        (F.col("id_b") - F.col("id_a")) == 1_000_000
+    ).count()
+    assert planted_found > 0
