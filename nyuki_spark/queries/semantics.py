@@ -1,0 +1,127 @@
+"""Reference-semantics queries: factory rules, condition DSL, pipeline spec.
+
+These check the nyuki semantics layer against the oracle: the rule chain /
+condition DSL / spec compiler produce Column programs whose results must
+equal hand-written DuckDB SQL with the same semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from nyuki_spark.catalog import load_table
+from nyuki_spark.functions.evaluate import compile_condition
+from nyuki_spark.functions.transform import Extract, Lookup, RuleChain, Set, Sub
+from nyuki_spark.plans.spec import compile_pipeline
+from nyuki_spark.queries.registry import register
+
+
+# -- factory rule chain ------------------------------------------------------
+
+_CHAIN = RuleChain(
+    (
+        Extract("k", r'"k":\s*([0-9]+)', group=1, src="props"),
+        Sub("event_type", "error", "err"),
+        Set("origin", "bus"),
+        Lookup("event_type", (("purchase", "buy"), ("click", "tap"))),
+    )
+)
+
+
+def _rule_chain_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        _CHAIN(events)
+        .select("event_id", "k", "event_type", "origin")
+        .orderBy("event_id")
+        .limit(50)
+    )
+
+
+register(
+    "sem_rule_chain",
+    engine_fn=_rule_chain_fn,
+    oracle=(
+        "SELECT event_id,\n"
+        "REGEXP_EXTRACT(props, '\"k\":\\s*([0-9]+)', 1) AS k,\n"
+        "CASE REGEXP_REPLACE(event_type, 'error', 'err')\n"
+        "  WHEN 'purchase' THEN 'buy' WHEN 'click' THEN 'tap'\n"
+        "  ELSE REGEXP_REPLACE(event_type, 'error', 'err') END AS event_type,\n"
+        "'bus' AS origin\n"
+        "FROM events ORDER BY event_id LIMIT 50"
+    ),
+    category="semantics",
+    suite="extension",
+    doc="extract/sub/set/lookup rule chain == hand-written SQL",
+)
+
+
+# -- condition DSL -----------------------------------------------------------
+
+_COND = "value > 100.0 and event_type in ['purchase', 'click'] and not (user_id % 2 == 0)"
+
+
+def _cond_dsl_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.where(compile_condition(_COND))
+        .select("event_id", "user_id")
+        .orderBy("event_id")
+    )
+
+
+register(
+    "sem_cond_dsl",
+    engine_fn=_cond_dsl_fn,
+    oracle=(
+        "SELECT event_id, user_id FROM events\n"
+        "WHERE value > 100.0 AND event_type IN ('purchase', 'click')\n"
+        "AND NOT (user_id % 2 = 0) ORDER BY event_id"
+    ),
+    category="semantics",
+    suite="extension",
+    doc="safe condition DSL compiled to a pushed-down predicate",
+)
+
+
+# -- pipeline spec (workflow template equivalent) ----------------------------
+
+_SPEC = {
+    "name": "enrich-purchases",
+    "version": 1,
+    "steps": [
+        {"op": "filter", "condition": "event_type == 'purchase'"},
+        {"op": "extract", "field": "k", "src": "props", "pattern": '"k":\\s*([0-9]+)'},
+        {
+            "op": "branch",
+            "field": "size",
+            "cases": [
+                {"condition": "value > 400", "value": "big"},
+                {"condition": "value > 150", "value": "mid"},
+            ],
+            "default": "small",
+        },
+        {"op": "set", "field": "route", "value": "billing"},
+        {"op": "select", "fields": ["event_id", "k", "size", "route"]},
+    ],
+}
+
+
+def _spec_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return compile_pipeline(_SPEC)(events).orderBy("event_id")
+
+
+register(
+    "sem_pipeline_spec",
+    engine_fn=_spec_fn,
+    oracle=(
+        "SELECT event_id, REGEXP_EXTRACT(props, '\"k\":\\s*([0-9]+)', 1) AS k,\n"
+        "CASE WHEN value > 400 THEN 'big' WHEN value > 150 THEN 'mid'\n"
+        "ELSE 'small' END AS size, 'billing' AS route\n"
+        "FROM events WHERE event_type = 'purchase' ORDER BY event_id"
+    ),
+    category="semantics",
+    suite="extension",
+    doc="JSON workflow-template spec compiled to one fused DataFrame program",
+)

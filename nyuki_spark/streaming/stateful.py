@@ -1,0 +1,157 @@
+"""Custom stateful streaming operators via applyInPandasWithState.
+
+The reference's workflow DAGs have two stateful tasks with no relational
+equivalent (upstream `tukio` join/sleep tasks wired in `nyuki/workflow/`
+— mount empty, SURVEY.md §0):
+
+- **join**: a multi-parent DAG node waits for all parent branches to
+  deliver their payload for the same workflow instance, with a timeout —
+  on timeout it proceeds with whatever arrived.
+- **sleep**: hold a payload for a fixed delay, then release it.
+
+Both compile to grouped state: the key is the correlation id, the state is
+what has arrived, and the timeout is Spark's per-group state timeout. State
+lives in the state store (RocksDB/HDFS-backed at scale), partitioned by
+key hash — 1000 executors each own their key range, no coordination.
+Timeouts fire on no-data micro-batches too, so quiet streams still flush.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+__all__ = ["join_branches_with_timeout", "sleep_release"]
+
+
+def join_branches_with_timeout(
+    sdf: DataFrame,
+    n_branches: int,
+    key_col: str = "instance_id",
+    branch_col: str = "branch",
+    payload_col: str = "payload",
+    timeout_ms: int = 30_000,
+) -> DataFrame:
+    """Wait for ``n_branches`` distinct branches per key, else time out.
+
+    Input: a stream with (key, branch, payload) columns. Output: one row
+    per key — ``complete`` true iff every branch arrived; on processing-
+    time timeout the row carries the branches that did arrive (the
+    reference's join task proceeds with partial results the same way).
+    """
+    out_schema = StructType(
+        [
+            StructField(key_col, LongType()),
+            StructField("branches", ArrayType(StringType())),
+            StructField("payloads", ArrayType(StringType())),
+            StructField("complete", BooleanType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("branches", ArrayType(StringType())),
+            StructField("payloads", ArrayType(StringType())),
+        ]
+    )
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            branches, payloads = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    key_col: [key[0]],
+                    "branches": [list(branches)],
+                    "payloads": [list(payloads)],
+                    "complete": [False],
+                }
+            )
+            return
+        branches, payloads = (
+            state.get if state.exists else ([], [])
+        )
+        branches, payloads = list(branches), list(payloads)
+        for pdf in pdfs:
+            for b, p in zip(pdf[branch_col], pdf[payload_col]):
+                if b not in branches:
+                    branches.append(str(b))
+                    payloads.append(str(p))
+        if len(set(branches)) >= n_branches:
+            if state.exists:
+                state.remove()
+            yield pd.DataFrame(
+                {
+                    key_col: [key[0]],
+                    "branches": [sorted(branches)],
+                    "payloads": [payloads],
+                    "complete": [True],
+                }
+            )
+        else:
+            state.update((branches, payloads))
+            state.setTimeoutDuration(timeout_ms)
+
+    return sdf.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
+def sleep_release(
+    sdf: DataFrame,
+    delay_ms: int,
+    key_col: str = "event_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Hold each payload for ``delay_ms`` of processing time, then emit.
+
+    The reference's sleep task pauses a workflow branch; here the payload
+    parks in the state store and the group's timeout releases it — no
+    executor blocks, no slot is held while sleeping.
+    """
+    out_schema = StructType(
+        [StructField(key_col, LongType()), StructField(payload_col, StringType())]
+    )
+    state_schema = StructType([StructField("payload", StringType())])
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            (payload,) = state.get
+            state.remove()
+            yield pd.DataFrame({key_col: [key[0]], payload_col: [payload]})
+            return
+        last = None
+        for pdf in pdfs:
+            if len(pdf):
+                last = str(pdf[payload_col].iloc[-1])
+        if last is not None:
+            state.update((last,))
+            state.setTimeoutDuration(delay_ms)
+        return
+        yield  # pragma: no cover — keeps fn a generator on the park path
+
+    return sdf.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

@@ -1,0 +1,70 @@
+"""Multimodal plumbing tests: binary round-trip, batch shapes, fan-out.
+
+The codec itself is stubbed (no media libs in the container) — these
+verify everything around it: parquet round-trips binary+struct unchanged,
+the Arrow-batched stages produce the declared schemas, the stub refuses
+to pretend it decoded anything, and frame fan-out is complete.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nyuki_spark.catalog import load_table
+from nyuki_spark.functions.multimodal import (
+    attach_fake_payload,
+    byte_features,
+    decode_media,
+    sample_frames,
+)
+
+
+@pytest.fixture(scope="module")
+def media(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(50)
+    return attach_fake_payload(docs)
+
+
+def test_binary_parquet_roundtrip(spark, media, tmp_path):
+    path = str(tmp_path / "media")
+    media.write.parquet(path)
+    back = spark.read.parquet(path)
+    assert dict(back.dtypes)["payload"] == "binary"
+    orig = {r.doc_id: r for r in media.collect()}
+    for r in back.collect():
+        assert bytes(r.payload) == bytes(orig[r.doc_id].payload)
+        assert r.media_meta.kind == "image"
+        assert r.media_meta.duration_ms == len(bytes(r.payload)) * 10
+
+
+def test_decode_stub_refuses_without_fake(media):
+    with pytest.raises(NotImplementedError):
+        decode_media(media)
+
+
+def test_fake_decode_deterministic(media):
+    a = {r.doc_id: r for r in decode_media(media, fake=True).collect()}
+    b = {r.doc_id: r for r in decode_media(media, fake=True).collect()}
+    assert a.keys() == b.keys() and len(a) == 50
+    for k in a:
+        assert a[k].n_bytes == b[k].n_bytes and a[k].mean_byte == b[k].mean_byte
+        assert 0 < a[k].mean_byte < 255
+
+
+def test_byte_features_shape(media):
+    rows = byte_features(media, dim=16).collect()
+    assert len(rows) == 50
+    for r in rows:
+        assert len(r.features) == 16
+        assert abs(sum(r.features) - 1.0) < 1e-9
+
+
+def test_sample_frames_fanout(media):
+    frames = sample_frames(media, n_frames=4)
+    per_doc = frames.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    assert len(per_doc) == 50
+    assert all(r.n == 4 for r in per_doc)
+    # Frames concatenate back into a prefix of the original payload.
+    one = frames.where(F.col("doc_id") == per_doc[0].doc_id).orderBy("frame_no").collect()
+    assert all(len(bytes(f.frame)) > 0 for f in one)

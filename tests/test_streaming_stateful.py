@@ -1,0 +1,104 @@
+"""Stateful streaming smoke tests: join-with-timeout, sleep, metrics.
+
+No batch oracle exists for temporal behavior (SURVEY.md §2.9) — these
+assert the semantics directly: complete joins emit immediately, incomplete
+joins emit on timeout with partial branches, sleep releases after the
+delay, and the listener sees every batch.
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+
+import pytest
+from pyspark.sql import Row
+
+from nyuki_spark.streaming.listener import MetricsListener
+from nyuki_spark.streaming.runner import run_to_table
+from nyuki_spark.streaming.stateful import join_branches_with_timeout, sleep_release
+
+
+def _stream_from_rows(spark, tmp_path, rows, schema):
+    path = str(tmp_path / f"in-{uuid.uuid4().hex[:8]}")
+    spark.createDataFrame(rows, schema=schema).write.parquet(path)
+    df = spark.read.parquet(path)
+    return spark.readStream.schema(df.schema).option("maxFilesPerTrigger", 1).parquet(path)
+
+
+def _poll_table(spark, name, min_rows, timeout_s=45):
+    deadline = time.time() + timeout_s
+    while time.time() < deadline:
+        rows = spark.table(name).collect()
+        if len(rows) >= min_rows:
+            return rows
+        time.sleep(0.5)
+    return spark.table(name).collect()
+
+
+SCHEMA = "instance_id long, branch string, payload string"
+
+
+def test_join_branches_complete_path(spark, tmp_path):
+    rows = [
+        Row(instance_id=1, branch="a", payload="p1a"),
+        Row(instance_id=1, branch="b", payload="p1b"),
+        Row(instance_id=2, branch="a", payload="p2a"),  # incomplete, stays parked
+    ]
+    sdf = _stream_from_rows(spark, tmp_path, rows, SCHEMA)
+    out = run_to_table(
+        join_branches_with_timeout(sdf, n_branches=2, timeout_ms=600_000),
+        mode="append",
+    )
+    got = {r.instance_id: r for r in out.collect()}
+    assert set(got) == {1}, "only the complete instance may emit before timeout"
+    assert got[1].complete is True
+    assert got[1].branches == ["a", "b"]
+
+
+def test_join_timeout_emits_partial(spark, tmp_path):
+    rows = [Row(instance_id=7, branch="a", payload="p7a")]
+    sdf = _stream_from_rows(spark, tmp_path, rows, SCHEMA)
+    name = f"join_to_{uuid.uuid4().hex[:8]}"
+    listener = MetricsListener()
+    spark.streams.addListener(listener)
+    q = (
+        join_branches_with_timeout(sdf, n_branches=2, timeout_ms=1_500)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        got = _poll_table(spark, name, min_rows=1)
+    finally:
+        q.stop()
+        spark.streams.removeListener(listener)
+    assert len(got) == 1
+    assert got[0].complete is False and got[0].branches == ["a"]
+    # The listener saw this query start and progress (instance reports).
+    assert str(q.id) in listener.started
+    assert any(p.num_input_rows > 0 for p in listener.progress)
+
+
+def test_sleep_release_after_delay(spark, tmp_path):
+    rows = [Row(event_id=11, payload="wake-me")]
+    sdf = _stream_from_rows(spark, tmp_path, rows, "event_id long, payload string")
+    name = f"sleep_{uuid.uuid4().hex[:8]}"
+    t0 = time.time()
+    q = (
+        sleep_release(sdf, delay_ms=1_500)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        got = _poll_table(spark, name, min_rows=1)
+    finally:
+        q.stop()
+    elapsed = time.time() - t0
+    assert [(r.event_id, r.payload) for r in got] == [(11, "wake-me")]
+    assert elapsed >= 1.0, f"released too early ({elapsed:.1f}s)"
