@@ -1,0 +1,57 @@
+"""File-source smoke tests (SURVEY.md §2.1): CSV/JSON with explicit
+schemas, plus the map-function surface (§2.7) that has no fixture column.
+
+No CSV/JSON fixtures exist, so these round-trip through the fixture
+parquet: write out, read back with a declared schema, compare. Explicit
+schemas are the point — schema inference is a full extra pass over 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nyuki_spark.catalog import load_table
+
+
+def test_csv_roundtrip_explicit_schema(spark, sf_dir, tmp_path):
+    nation = load_table(spark, sf_dir, "nation")
+    path = str(tmp_path / "nation_csv")
+    nation.write.option("header", True).csv(path)
+    schema = "n_nationkey int, n_name string, n_regionkey int, n_comment string"
+    back = spark.read.schema(schema).option("header", True).csv(path)
+    assert back.schema.simpleString() == (
+        "struct<n_nationkey:int,n_name:string,n_regionkey:int,n_comment:string>"
+    )
+    assert sorted(r.n_nationkey for r in back.collect()) == sorted(
+        r.n_nationkey for r in nation.collect()
+    )
+
+
+def test_json_roundtrip_and_from_json(spark, sf_dir, tmp_path):
+    events = load_table(spark, sf_dir, "events").limit(200)
+    path = str(tmp_path / "events_json")
+    events.write.json(path)
+    back = spark.read.schema(events.schema).json(path)
+    assert back.count() == 200
+    # Per-topic JSON payload decode at the edge (SURVEY §1.1): props is a
+    # schema-less JSON string until a pipeline declares its schema.
+    k = back.select(
+        F.from_json("props", "k int").alias("p")
+    ).select("p.k")
+    vals = [r.k for r in k.collect()]
+    assert all(v is not None for v in vals)
+
+
+def test_map_functions_surface(spark):
+    df = spark.createDataFrame(
+        [(1, ["a", "b"], [10, 20])], "id int, ks array<string>, vs array<int>"
+    )
+    out = df.select(
+        F.map_from_arrays("ks", "vs").alias("m")
+    ).select(
+        F.element_at("m", "b").alias("b"),
+        F.map_keys("m").alias("keys"),
+        F.size("m").alias("n"),
+    )
+    row = out.head()
+    assert row.b == 20 and row.keys == ["a", "b"] and row.n == 2
