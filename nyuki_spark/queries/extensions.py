@@ -148,3 +148,84 @@ register(
     suite="extension",
     doc="streaming first-per-key over replay (at-least-once consumer dedup)",
 )
+
+
+# -- hierarchical time rollup (hypertable-style continuous aggregate) --------
+#
+# The scale pattern behind "continuous aggregates": aggregate raw events to
+# the finest resolution ONCE (hourly), then answer every coarser resolution
+# (daily here) by re-aggregating the tiny hourly table — the raw table is
+# scanned once, the daily rollup reads |hours| rows, not |events|. SUM/COUNT
+# re-aggregate losslessly, so the result must equal a direct daily
+# aggregation of the raw table — which is exactly what the oracle computes.
+
+def _rollup_two_level_fn(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    hourly = (
+        events.groupBy(
+            F.date_trunc("hour", "ts").alias("hr"),
+            "event_type",
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("total"),
+        )
+    )
+    return (
+        hourly.groupBy(F.date_trunc("day", "hr").alias("day"), "event_type")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("total").cast("decimal(18,2)").alias("total"),
+        )
+        .orderBy("day", "event_type")
+    )
+
+
+register(
+    "stream_rollup_hierarchical",
+    engine_fn=_rollup_two_level_fn,
+    oracle=(
+        "SELECT CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day, event_type,\n"
+        "COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total\n"
+        "FROM events GROUP BY 1, 2 ORDER BY 1, 2"
+    ),
+    category="streaming",
+    suite="extension",
+    doc="two-level rollup (hourly->daily) == direct daily aggregation",
+)
+
+
+# -- salted aggregation (skew mitigation, semantically transparent) ----------
+
+
+def _salted_agg_fn(spark, sf_dir):
+    from nyuki_spark.operators.skew import salted_aggregate
+
+    events = load_table(spark, sf_dir, "events")
+    out = salted_aggregate(
+        events.withColumn("value_d", F.col("value").cast("decimal(18,2)")),
+        keys=["event_type"],
+        aggs={
+            "n": ("event_id", "count"),
+            "total": ("value_d", "sum"),
+            "max_v": ("value", "max"),
+        },
+        n_salts=8,
+    )
+    return out.select(
+        "event_type", "n", F.col("total").cast("decimal(18,2)").alias("total"), "max_v"
+    ).orderBy("event_type")
+
+
+register(
+    "agg_salted_skew",
+    engine_fn=_salted_agg_fn,
+    oracle=(
+        "SELECT event_type, COUNT(*) AS n,\n"
+        "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total,\n"
+        "MAX(value) AS max_v\n"
+        "FROM events GROUP BY event_type ORDER BY event_type"
+    ),
+    category="aggregate",
+    suite="extension",
+    doc="two-phase salted aggregation == plain GROUP BY (skew-transparent)",
+)

@@ -322,3 +322,45 @@ register(
     suite="extension",
     doc="ANN top-10 via random-hyperplane LSH (approx; recall vs brute force in tests)",
 )
+
+
+# -- BPE-ish regex tokenization ----------------------------------------------
+
+register(
+    "llm_token_regex",
+    engine=(
+        "SELECT doc_id, SIZE(REGEXP_EXTRACT_ALL(text, '[a-z]+|[0-9]+', 0)) AS n_tok,\n"
+        "SIZE(ARRAY_DISTINCT(REGEXP_EXTRACT_ALL(text, '[a-z]+|[0-9]+', 0))) AS n_uniq\n"
+        "FROM documents ORDER BY doc_id LIMIT 100"
+    ),
+    oracle=(
+        "SELECT doc_id, LEN(REGEXP_EXTRACT_ALL(text, '[a-z]+|[0-9]+')) AS n_tok,\n"
+        "LEN(LIST_DISTINCT(REGEXP_EXTRACT_ALL(text, '[a-z]+|[0-9]+'))) AS n_uniq\n"
+        "FROM documents ORDER BY doc_id LIMIT 100"
+    ),
+    category="llm-text",
+    suite="extension",
+    doc="regex (BPE-ish) tokenizer: token + unique-token counts per doc",
+)
+
+
+# -- IVF similarity search (approx tier; recall in tests) --------------------
+
+
+def _knn_ivf_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nyuki_spark.operators.similarity import knn_cosine_ivf
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
+    return knn_cosine_ivf(
+        emb.where(F.col("vec_id") != 0), [float(x) for x in q], k=10
+    )
+
+
+register(
+    "llm_knn_ivf",
+    engine_fn=_knn_ivf_fn,
+    category="llm-similarity",
+    suite="extension",
+    doc="ANN top-10 via IVF coarse quantization (k-means cells, n_probe scan)",
+)

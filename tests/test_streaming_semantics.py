@@ -129,3 +129,31 @@ def test_approx_count_distinct_tolerance(spark, sf_dir):
     exact = events.select(F.countDistinct("user_id")).head()[0]
     approx = events.select(F.approx_count_distinct("user_id", rsd=0.02)).head()[0]
     assert abs(approx - exact) / exact <= 0.05, f"approx {approx} vs exact {exact}"
+
+
+def test_dedup_within_watermark_live(spark, tmp_path):
+    """Bus at-least-once contract: duplicates replayed within the
+    watermark horizon are suppressed; state is bounded by the horizon."""
+    from nyuki_spark.streaming.dedup import dedup_within_watermark
+
+    base = str(tmp_path / "dupstream")
+    _write_chunk(spark, base, 0, [Row(key="a", ts=T0), Row(key="b", ts=T0 + timedelta(seconds=30))])
+    # Redelivery of 'a' (same key, same event) in a later micro-batch.
+    _write_chunk(spark, base, 1, [Row(key="a", ts=T0), Row(key="c", ts=T0 + timedelta(minutes=1))])
+    sdf = (
+        spark.readStream.schema("key string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", True)
+        .parquet(base)
+    )
+    out = dedup_within_watermark(sdf, ["key"], "ts", "30 minutes")
+    rows: list = []
+    q = (
+        out.writeStream.foreachBatch(lambda df, _i: rows.extend(df.collect()))
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "cp2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert sorted(r.key for r in rows) == ["a", "b", "c"]
