@@ -40,6 +40,7 @@ __all__ = [
     "attach_fake_payload",
     "decode_media",
     "byte_features",
+    "resize_media",
     "sample_frames",
 ]
 
@@ -183,5 +184,60 @@ def sample_frames(
                         nos.append(k)
                         frames.append(chunk)
             yield pd.DataFrame({id_col: ids, "frame_no": nos, "frame": frames})
+
+    return df.select(id_col, payload_col).mapInPandas(fn, out_schema)
+
+
+def resize_media(
+    df: DataFrame,
+    width: int,
+    height: int,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    fake: bool = False,
+) -> DataFrame:
+    """Resize stub: real codecs absent, same contract as :func:`decode_media`.
+
+    The ``fake`` path emits a deterministic byte-subsample of the payload
+    sized width*height (a stand-in with the right output SHAPE — binary of
+    the target size — so downstream stages exercise real volumes). The
+    updated ``media_meta`` carries the new dimensions, which is the part
+    filters/joins actually consume.
+    """
+    try:  # pragma: no cover — decode libs not in this container
+        import PIL.Image  # noqa: F401
+    except ImportError:
+        if not fake:
+            raise NotImplementedError(
+                "no media codec libraries in this environment; pass fake=True"
+            )
+
+    out_schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("payload", BinaryType()),
+            StructField("media_meta", META_SCHEMA),
+        ]
+    )
+    target = width * height
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs = []
+            for b in pdf[payload_col]:
+                a = np.frombuffer(bytes(b), dtype=np.uint8)
+                idx = (np.arange(target) * max(1, len(a)) // max(1, target)) % max(1, len(a))
+                outs.append(a[idx].tobytes() if len(a) else b"")
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "payload": outs,
+                    "media_meta": [
+                        {"kind": "image", "width": width, "height": height,
+                         "sample_rate": None, "duration_ms": None}
+                        for _ in outs
+                    ],
+                }
+            )
 
     return df.select(id_col, payload_col).mapInPandas(fn, out_schema)

@@ -229,3 +229,35 @@ register(
     suite="extension",
     doc="two-phase salted aggregation == plain GROUP BY (skew-transparent)",
 )
+
+
+# -- native pivot (wide aggregation) -----------------------------------------
+
+
+def _pivot_fn(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    types = ["click", "error", "login", "purchase", "view"]
+    return (
+        events.groupBy("user_id")
+        .pivot("event_type", types)
+        .count()
+        .na.fill(0, types)
+        .orderBy("user_id")
+    )
+
+
+register(
+    "agg_pivot_native",
+    engine_fn=_pivot_fn,
+    oracle=(
+        "SELECT user_id,\n"
+        + ",\n".join(
+            f"SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS {t}"
+            for t in ["click", "error", "login", "purchase", "view"]
+        )
+        + "\nFROM events GROUP BY user_id ORDER BY user_id"
+    ),
+    category="aggregate",
+    suite="extension",
+    doc="native pivot (explicit value list = one pass, no value-discovery job)",
+)

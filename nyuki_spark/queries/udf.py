@@ -86,22 +86,24 @@ register(
 # -- grouped map (applyInPandas) ---------------------------------------------
 
 
-def _zscore(pdf: pd.DataFrame) -> pd.DataFrame:
-    std = pdf["value"].std()  # ddof=1 == STDDEV_SAMP
-    mean = pdf["value"].mean()
-    z = np.round((pdf["value"] - mean) / std, 4)
-    out = pd.DataFrame({"event_id": pdf["event_id"], "z": z})
-    # Single-row / constant groups: sample std is NaN/0 -> SQL NULL.
-    if not np.isfinite(std) or std == 0:
-        out["z"] = None
-    return out
-
-
 def _grouped_map_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Defined inside the function so cloudpickle ships it BY VALUE: a
+    # module-level function would be pickled by reference and the driver's
+    # Python workers (whose sys.path lacks this repo) couldn't import it.
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        std = pdf["value"].std()  # ddof=1 == STDDEV_SAMP
+        mean = pdf["value"].mean()
+        z = np.round((pdf["value"] - mean) / std, 4)
+        out = pd.DataFrame({"event_id": pdf["event_id"], "z": z})
+        # Single-row / constant groups: sample std is NaN/0 -> SQL NULL.
+        if not np.isfinite(std) or std == 0:
+            out["z"] = None
+        return out
+
     events = load_table(spark, sf_dir, "events")
     return (
         events.groupBy("user_id")
-        .applyInPandas(_zscore, schema="event_id long, z double")
+        .applyInPandas(zscore, schema="event_id long, z double")
         .orderBy("event_id")
     )
 

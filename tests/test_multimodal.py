@@ -68,3 +68,13 @@ def test_sample_frames_fanout(media):
     # Frames concatenate back into a prefix of the original payload.
     one = frames.where(F.col("doc_id") == per_doc[0].doc_id).orderBy("frame_no").collect()
     assert all(len(bytes(f.frame)) > 0 for f in one)
+
+
+def test_resize_stub_shape_and_meta(media):
+    from nyuki_spark.functions.multimodal import resize_media
+
+    out = resize_media(media, width=8, height=4, fake=True).collect()
+    assert len(out) == 50
+    for r in out:
+        assert len(bytes(r.payload)) == 32
+        assert r.media_meta.width == 8 and r.media_meta.height == 4

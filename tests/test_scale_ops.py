@@ -37,3 +37,30 @@ def test_salted_aggregate_invariant_to_salt_count(spark, sf_dir):
         ).orderBy("user_id")
         results.append([tuple(r) for r in out.collect()])
     assert results[0] == results[1] == results[2]
+
+
+def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
+    """Hive-partitioned layout + partition pruning: a filter on the
+    partition column must reach the scan as a PartitionFilter and read
+    only matching directories — at 100 TB this is the difference between
+    scanning one day and scanning three years."""
+    events = load_table(spark, sf_dir, "events")
+    path = str(tmp_path / "events_by_type")
+    events.write.partitionBy("event_type").parquet(path)
+    back = spark.read.parquet(path)
+    q = back.where(F.col("event_type") == "purchase").select("event_id")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(event_type" in plan, plan[:800]
+    want = events.where(F.col("event_type") == "purchase").count()
+    assert q.count() == want
+
+
+def test_percentile_sketch_tolerance(spark, sf_dir):
+    """percentile_approx within 1% relative of exact median (SURVEY §4
+    approx-sketch tier)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    exact = li.select(F.median("l_extendedprice")).head()[0]
+    approx = li.select(
+        F.percentile_approx("l_extendedprice", 0.5, 10000)
+    ).head()[0]
+    assert abs(approx - exact) / exact <= 0.01, (approx, exact)

@@ -13,6 +13,7 @@ import uuid
 
 import pytest
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 from nyuki_spark.streaming.listener import MetricsListener
 from nyuki_spark.streaming.runner import run_to_table
@@ -102,3 +103,33 @@ def test_sleep_release_after_delay(spark, tmp_path):
     elapsed = time.time() - t0
     assert [(r.event_id, r.payload) for r in got] == [(11, "wake-me")]
     assert elapsed >= 1.0, f"released too early ({elapsed:.1f}s)"
+
+
+def test_stream_stream_join_with_watermarks(spark, tmp_path):
+    """Watermarked stream-stream inner join (the relational alternative to
+    the stateful join task): clicks join purchases per user within 1h,
+    both sides' state bounded by their watermarks."""
+    from datetime import datetime, timedelta
+
+    t0 = datetime(2026, 3, 1, 9, 0, 0)
+    clicks = [Row(user_id=1, click_ts=t0), Row(user_id=2, click_ts=t0 + timedelta(minutes=5))]
+    buys = [
+        Row(user_id=1, buy_ts=t0 + timedelta(minutes=30)),
+        Row(user_id=2, buy_ts=t0 + timedelta(hours=3)),  # outside the hour
+    ]
+    c_sdf = _stream_from_rows(spark, tmp_path, clicks, "user_id long, click_ts timestamp")
+    b_sdf = _stream_from_rows(spark, tmp_path, buys, "user_id long, buy_ts timestamp")
+    joined = (
+        c_sdf.withWatermark("click_ts", "2 hours")
+        .join(
+            b_sdf.withWatermark("buy_ts", "2 hours"),
+            (c_sdf.user_id == b_sdf.user_id)
+            & (F.col("buy_ts") >= F.col("click_ts"))
+            & (F.col("buy_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+            "inner",
+        )
+        .select(c_sdf.user_id, "click_ts", "buy_ts")
+    )
+    out = run_to_table(joined, mode="append")
+    rows = out.collect()
+    assert [r.user_id for r in rows] == [1], rows
