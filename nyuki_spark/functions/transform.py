@@ -23,7 +23,7 @@ from itertools import chain
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["Extract", "Sub", "Set", "Unset", "Lookup", "RuleChain"]
+__all__ = ["Extract", "Sub", "Set", "Unset", "Lookup", "BroadcastLookup", "RuleChain"]
 
 
 class Rule:
@@ -125,3 +125,33 @@ class RuleChain:
 
     def __call__(self, df: DataFrame) -> DataFrame:
         return self.apply(df)
+
+
+class BroadcastLookup(Rule):
+    """Lookup through a DataFrame table too large to inline as a literal.
+
+    ``table`` must have columns (key_col, value_col). Executes as a
+    broadcast left-outer join + coalesce: the table ships once per
+    executor (no shuffle of the event stream), unmatched values pass
+    through unchanged — identical semantics to :class:`Lookup`, different
+    physical strategy. The streaming side works unchanged: broadcast
+    joins against static DataFrames are supported in micro-batch plans.
+    """
+
+    def __init__(self, fieldname: str, table: DataFrame, key_col: str = "key", value_col: str = "value"):
+        self.fieldname = fieldname
+        self.table = table
+        self.key_col = key_col
+        self.value_col = value_col
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        lut = F.broadcast(
+            self.table.select(
+                F.col(self.key_col).alias("__lk"),
+                F.col(self.value_col).alias("__lv"),
+            ).dropDuplicates(["__lk"])
+        )
+        joined = df.join(lut, df[self.fieldname] == lut["__lk"], "left")
+        return joined.withColumn(
+            self.fieldname, F.coalesce(F.col("__lv"), F.col(self.fieldname))
+        ).drop("__lk", "__lv")

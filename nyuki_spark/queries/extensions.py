@@ -261,3 +261,44 @@ register(
     suite="extension",
     doc="native pivot (explicit value list = one pass, no value-discovery job)",
 )
+
+
+# -- native posexplode (0-based ordinal explode) -----------------------------
+
+register(
+    "array_posexplode",
+    engine=(
+        "SELECT doc_id, t.pos, t.w FROM documents\n"
+        "LATERAL VIEW POSEXPLODE(SPLIT(text, ' ')) t AS pos, w\n"
+        "WHERE doc_id < 3 ORDER BY doc_id, t.pos"
+    ),
+    oracle=(
+        "SELECT doc_id, i - 1 AS pos, arr[i] AS w\n"
+        "FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS arr FROM documents),\n"
+        "     UNNEST(RANGE(1, LEN(arr) + 1)) AS t(i)\n"
+        "WHERE doc_id < 3 ORDER BY doc_id, pos"
+    ),
+    category="scalar-array",
+    suite="extension",
+    doc="posexplode with 0-based ordinals vs UNNEST+RANGE oracle",
+)
+
+
+# -- JSON -> typed MapType ---------------------------------------------------
+
+register(
+    "json_to_map",
+    engine=(
+        "SELECT event_id, FROM_JSON(props, 'map<string,int>')['k'] AS k,\n"
+        "SIZE(MAP_KEYS(FROM_JSON(props, 'map<string,int>'))) AS n_keys\n"
+        "FROM events ORDER BY event_id LIMIT 50"
+    ),
+    oracle=(
+        "SELECT event_id, CAST(props->>'$.k' AS INT) AS k,\n"
+        "1 AS n_keys\n"
+        "FROM events ORDER BY event_id LIMIT 50"
+    ),
+    category="scalar-json",
+    suite="extension",
+    doc="schema-less JSON payload decoded to a typed MapType at the edge",
+)

@@ -101,3 +101,18 @@ def test_dsl_matches_python_eval(spark, rows, cond):
         if eval(cond, {"__builtins__": {}}, {"a": a, "b": b, "s": s, "flag": flag})
     )
     assert got == want, f"{cond}: spark={got} python={want}"
+
+
+def test_broadcast_lookup_matches_inline_lookup(spark):
+    from pyspark.sql import Row as R
+
+    from nyuki_spark.functions.transform import BroadcastLookup
+
+    df = spark.createDataFrame([R(id=1, kind="gold"), R(id=2, kind="tin"), R(id=3, kind="silver")])
+    lut = spark.createDataFrame([R(key="gold", value="G"), R(key="silver", value="S")])
+    inline = Lookup("kind", (("gold", "G"), ("silver", "S"))).apply(df)
+    bcast = BroadcastLookup("kind", lut).apply(df)
+    assert sorted(map(tuple, inline.collect())) == sorted(map(tuple, bcast.collect()))
+    # The physical plan must broadcast the lookup table, not shuffle events.
+    plan = bcast._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan[:400]
