@@ -302,3 +302,71 @@ register(
     suite="extension",
     doc="schema-less JSON payload decoded to a typed MapType at the edge",
 )
+
+
+# -- extended window analytics ----------------------------------------------
+
+register(
+    "win_analytic_dist",
+    sql=(
+        "SELECT c_custkey,\n"
+        "CAST(ROUND(PERCENT_RANK() OVER w, 6) AS DOUBLE) AS pr,\n"
+        "CAST(ROUND(CUME_DIST() OVER w, 6) AS DOUBLE) AS cd,\n"
+        "NTH_VALUE(c_custkey, 3) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey\n"
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS third_in_seg\n"
+        "FROM customer WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)\n"
+        "ORDER BY c_custkey"
+    ),
+    category="window",
+    suite="extension",
+    doc="PERCENT_RANK / CUME_DIST / NTH_VALUE analytic distribution functions",
+)
+
+register(
+    "win_moving_avg",
+    sql=(
+        "SELECT o_orderkey,\n"
+        "CAST(ROUND(AVG(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey\n"
+        "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS DOUBLE) AS ma3\n"
+        "FROM orders ORDER BY o_orderkey LIMIT 200"
+    ),
+    category="window",
+    suite="extension",
+    doc="bounded ROWS frame: 3-row moving average per customer",
+)
+
+
+# -- sorted array aggregation ------------------------------------------------
+
+register(
+    "agg_array_sorted",
+    engine=(
+        "SELECT user_id, SORT_ARRAY(COLLECT_LIST(event_type)) AS types\n"
+        "FROM events WHERE user_id < 20 GROUP BY user_id ORDER BY user_id"
+    ),
+    oracle=(
+        "SELECT user_id, LIST_SORT(LIST(event_type)) AS types\n"
+        "FROM events WHERE user_id < 20 GROUP BY user_id ORDER BY user_id"
+    ),
+    category="aggregate",
+    suite="extension",
+    doc="array_agg with deterministic sort (collect_list order is undefined; sorting restores determinism)",
+)
+
+
+# -- fuzzy matching (edit distance) ------------------------------------------
+
+register(
+    "llm_fuzzy_levenshtein",
+    sql=(
+        "SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,\n"
+        "LEVENSHTEIN(a.p_name, b.p_name) AS dist\n"
+        "FROM part a JOIN part b ON a.p_partkey < b.p_partkey\n"
+        "AND a.p_partkey < 150 AND b.p_partkey < 150\n"
+        "WHERE LEVENSHTEIN(a.p_name, b.p_name) <= 8\n"
+        "ORDER BY dist, id_a, id_b LIMIT 50"
+    ),
+    category="llm-dedup",
+    suite="extension",
+    doc="edit-distance fuzzy matching tier (bounded id window keeps it a verification pass; scale path gates on simhash candidates)",
+)

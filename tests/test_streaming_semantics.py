@@ -157,3 +157,45 @@ def test_dedup_within_watermark_live(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert sorted(r.key for r in rows) == ["a", "b", "c"]
+
+
+def test_session_window_matches_gaps_and_islands_on_random_streams(spark):
+    """Property test (SURVEY §5.4): session_window() must agree with the
+    classic gaps-and-islands SQL on arbitrary event streams."""
+    import random
+
+    rng = random.Random(1234)
+    for trial in range(3):
+        rows = []
+        for uid in range(1, 6):
+            t = T0
+            for _ in range(rng.randint(1, 40)):
+                t = t + timedelta(minutes=rng.randint(1, 70))
+                rows.append(Row(user_id=uid, ts=t))
+        df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+        from nyuki_spark.streaming.windows import session_agg
+
+        got = sorted(
+            (r.user_id, r.sess_start, r.n)
+            for r in session_agg(df, "ts", "30 minutes", ["user_id"], [F.count(F.lit(1)).alias("n")]).collect()
+        )
+        df.createOrReplaceTempView("rand_events")
+        want = sorted(
+            (r.user_id, r.sess_start, r.n)
+            for r in spark.sql(
+                """
+                WITH marked AS (
+                  SELECT user_id, ts, CASE WHEN ts > LAG(ts) OVER
+                    (PARTITION BY user_id ORDER BY ts) + INTERVAL '30' MINUTE
+                    OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    THEN 1 ELSE 0 END AS new_sess FROM rand_events),
+                sess AS (
+                  SELECT user_id, ts, SUM(new_sess) OVER
+                    (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+                  FROM marked)
+                SELECT user_id, MIN(ts) AS sess_start, COUNT(*) AS n
+                FROM sess GROUP BY user_id, sid
+                """
+            ).collect()
+        )
+        assert got == want, f"trial {trial}: session_window != gaps-and-islands"
