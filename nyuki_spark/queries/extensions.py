@@ -370,3 +370,23 @@ register(
     suite="extension",
     doc="edit-distance fuzzy matching tier (bounded id window keeps it a verification pass; scale path gates on simhash candidates)",
 )
+
+
+# -- headline analytics: TPC-H Q3-shaped profitability query -----------------
+
+register(
+    "tpch_q3_like",
+    sql=(
+        "SELECT l.l_orderkey,\n"
+        "CAST(ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS DECIMAL(18,4)) AS revenue,\n"
+        "o.o_orderdate\n"
+        "FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey\n"
+        "JOIN lineitem l ON l.l_orderkey = o.o_orderkey\n"
+        "WHERE c.c_mktsegment = 'BUILDING' AND o.o_orderstatus <> 'F'\n"
+        "GROUP BY l.l_orderkey, o.o_orderdate\n"
+        "ORDER BY revenue DESC, l.l_orderkey LIMIT 10"
+    ),
+    category="join",
+    suite="extension",
+    doc="TPC-H Q3-shaped: selective dim filter -> fact join -> agg -> top-k",
+)
