@@ -390,3 +390,82 @@ register(
     suite="extension",
     doc="TPC-H Q3-shaped: selective dim filter -> fact join -> agg -> top-k",
 )
+
+
+# -- final coverage batch ----------------------------------------------------
+
+register(
+    "win_range_numeric",
+    sql=(
+        "SELECT p_partkey,\n"
+        "COUNT(*) OVER (ORDER BY p_size RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS n_near\n"
+        "FROM part ORDER BY p_partkey LIMIT 100"
+    ),
+    category="window",
+    suite="extension",
+    doc="numeric RANGE frame (peers by value distance, not row count)",
+)
+
+register(
+    "agg_minmax_by",
+    engine=(
+        "SELECT o_orderpriority,\n"
+        "MAX_BY(o_orderkey, o_totalprice) AS best_order,\n"
+        "MIN_BY(o_orderkey, o_totalprice) AS worst_order\n"
+        "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"
+    ),
+    oracle=(
+        "SELECT o_orderpriority,\n"
+        "ARG_MAX(o_orderkey, o_totalprice) AS best_order,\n"
+        "ARG_MIN(o_orderkey, o_totalprice) AS worst_order\n"
+        "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"
+    ),
+    category="aggregate",
+    suite="extension",
+    doc="argmax/argmin aggregation (MAX_BY/MIN_BY vs ARG_MAX/ARG_MIN)",
+)
+
+register(
+    "agg_corr_covar",
+    sql=(
+        "SELECT l_returnflag,\n"
+        "CAST(ROUND(CORR(l_quantity, l_extendedprice), 6) AS DOUBLE) AS corr_qp,\n"
+        "CAST(ROUND(COVAR_SAMP(l_quantity, l_discount), 6) AS DOUBLE) AS cov_qd\n"
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"
+    ),
+    category="aggregate",
+    suite="extension",
+    doc="bivariate statistics: correlation + sample covariance",
+)
+
+register(
+    "date_diff_funcs",
+    engine=(
+        "SELECT o_orderkey, DATEDIFF(DATE '1995-06-01', o_orderdate) AS days_to_cut\n"
+        "FROM orders ORDER BY o_orderkey LIMIT 50"
+    ),
+    oracle=(
+        "SELECT o_orderkey, DATE_DIFF('day', o_orderdate, DATE '1995-06-01') AS days_to_cut\n"
+        "FROM orders ORDER BY o_orderkey LIMIT 50"
+    ),
+    category="scalar-date",
+    suite="extension",
+    doc="date difference in days (DATEDIFF vs DATE_DIFF dialect pair)",
+)
+
+register(
+    "try_cast_safe",
+    sql=(
+        "SELECT event_id, TRY_CAST(GET_JSON_OBJECT(props, '$.k') AS INT) AS k_ok,\n"
+        "TRY_CAST(event_type AS INT) AS never_int\n"
+        "FROM events ORDER BY event_id LIMIT 50"
+    ),
+    oracle=(
+        "SELECT event_id, TRY_CAST(props->>'$.k' AS INT) AS k_ok,\n"
+        "TRY_CAST(event_type AS INT) AS never_int\n"
+        "FROM events ORDER BY event_id LIMIT 50"
+    ),
+    category="scalar-cond",
+    suite="extension",
+    doc="TRY_CAST: malformed input -> NULL, not error (ANSI-safe ingestion)",
+)
