@@ -2,14 +2,30 @@
 
 from __future__ import annotations
 
+import re
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 
-from nyuki_spark.catalog import register_tables
+from nyuki_spark.catalog import TABLES, configure_session, register_tables
 
 __all__ = ["Query", "REGISTRY", "register"]
+
+
+def _infer_tables(*sqls: str | None) -> tuple[str, ...]:
+    """Fixture tables a query references, by word-matching its SQL texts.
+
+    Registering only these keeps one unreadable table from failing queries
+    that never touch it (the round-1 blast-radius bug: a bad ``events``
+    read zeroed even orders-only queries). Over-matching (a column named
+    like a table) is harmless — it registers one extra view.
+    """
+    words: set[str] = set()
+    for s in sqls:
+        if s:
+            words.update(re.findall(r"[a-z_]+", s.lower()))
+    return tuple(t for t in TABLES if t in words)
 
 
 @dataclass(frozen=True)
@@ -25,6 +41,9 @@ class Query:
     - ``category``: SURVEY.md §2 bucket, for reporting.
     - ``suite``: "declared" (the 61 in SURVEY.md Appendix A — the set
       BASELINE.md's numbers cover, and what bench.py times) or "extension".
+    - ``tables``: fixture tables to register as temp views before running.
+      None -> inferred from the SQL texts; engine_fn-only queries load
+      their own tables via ``load_table`` and need none registered.
     """
 
     id: str
@@ -36,9 +55,18 @@ class Query:
     category: str = ""
     doc: str = ""
     suite: str = "declared"
+    tables: tuple[str, ...] | None = None
 
     def run(self, spark: SparkSession, sf_dir: str) -> DataFrame:
-        register_tables(spark, sf_dir)
+        # The caller's session is often NOT ours (the driver harness builds
+        # a virgin one) — configure it before anything touches parquet.
+        configure_session(spark)
+        tables = self.tables
+        if tables is None:
+            tables = _infer_tables(self.engine_sql, self.oracle_sql)
+            if not tables and self.engine_fn is None:
+                tables = TABLES  # pure-SQL query we failed to parse: register all
+        register_tables(spark, sf_dir, tables)
         if self.engine_fn is not None:
             return self.engine_fn(spark, sf_dir)
         assert self.engine_sql is not None, f"{self.id}: no engine side"
@@ -62,6 +90,7 @@ def register(
     category: str = "",
     doc: str = "",
     suite: str = "declared",
+    tables: tuple[str, ...] | None = None,
 ) -> Query:
     """Register a query. ``sql`` sets both sides (portable text); ``engine``/
     ``oracle`` set dialect-specific twins."""
@@ -76,6 +105,7 @@ def register(
         category=category,
         doc=doc,
         suite=suite,
+        tables=tables,
     )
     assert id not in REGISTRY, f"duplicate query id {id}"
     REGISTRY[id] = q
