@@ -225,14 +225,18 @@ def embedding_neardup_pairs(
     top: int | None = None,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Cosine-similar pairs over an embedding column, JVM-side only.
 
     Per-row norms are precomputed before the join so the pair stage does a
-    single zip_with/aggregate fold per pair. Exact all-pairs is O(n^2) —
-    fine for a verification pass; the scale path prunes candidates with
-    :func:`nyuki_spark.operators.similarity.knn_cosine_lsh`-style bucketing
-    first. ``top`` returns the k most similar pairs; ``threshold`` filters.
+    single zip_with/aggregate fold per pair. ``candidates`` (id_a, id_b,
+    e.g. from :func:`nyuki_spark.operators.similarity.
+    embedding_candidates_lsh`) is the scale path: sims are computed only
+    for candidate pairs via two equi-joins on the ids — no theta join
+    anywhere in the plan. Without it the exact all-pairs O(n^2) form runs —
+    keep that for verification/recall passes only. ``top`` returns the k
+    most similar pairs; ``threshold`` filters.
     """
     emb_d = F.transform(F.col(emb_col), lambda x: x.cast("double"))
     base = df.select(
@@ -246,11 +250,24 @@ def embedding_neardup_pairs(
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    pairs = a.join(b, F.col("a.id") < F.col("b.id")).select(
-        F.col("a.id").alias("id_a"),
-        F.col("b.id").alias("id_b"),
+    sim_cols = [
+        F.col("id_a"),
+        F.col("id_b"),
         F.round(dot / (F.col("a.nrm") * F.col("b.nrm")), 4).alias("sim"),
-    )
+    ]
+    if candidates is not None:
+        # Equi-join the embeddings onto the (already pruned) candidate list.
+        pairs = (
+            candidates.select("id_a", "id_b")
+            .join(a, F.col("id_a") == F.col("a.id"))
+            .join(b, F.col("id_b") == F.col("b.id"))
+            .select(*sim_cols)
+        )
+    else:
+        pairs = (
+            a.join(b, F.col("a.id") < F.col("b.id"))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), sim_cols[2])
+        )
     if threshold is not None:
         pairs = pairs.where(F.col("sim") >= threshold)
     if top is not None:

@@ -1,0 +1,123 @@
+"""Scalable global (un-partitioned) window ranking.
+
+A global ``ROW_NUMBER() OVER (ORDER BY ...)`` makes Spark's WindowExec move
+every row to ONE partition ("Moving all data to a single partition" warning)
+— the round-1 plan for ``win_rank`` and a guaranteed OOM/bottleneck at
+100 TB. This module executes the same semantics in two balanced phases, the
+same way the engine rewrote as-of joins:
+
+- :func:`global_row_number` — split the sort-key domain into buckets at
+  approxQuantile split points (computed once, embedded as plan LITERALS —
+  crucial: ``repartitionByRange`` re-samples its boundaries on every
+  evaluation, so two plan branches over the same lineage can disagree;
+  literal splits cannot), rank locally per bucket (a window PARTITIONED by
+  bucket id, so every WindowExec group is ~|rows|/n_buckets), then add
+  cumulative bucket-size offsets (an n_buckets-row side table, broadcast
+  back). Buckets are contiguous ranges of the total order and equal keys
+  share a bucket, so local-rank + offset == global row number exactly.
+
+- :func:`key_rank` — RANK/DENSE_RANK over a *low-cardinality* key need no
+  per-row global sort at all: aggregate to the distinct-key level (partial
+  map-side agg), rank the tiny key table (single-partition window over
+  #distinct rows — that smallness is the point), broadcast-join back.
+
+- :func:`ntile_from_rn` — NTILE(k) is pure arithmetic once the global row
+  number and total count are known: the first ``n % k`` tiles take
+  ``n//k + 1`` rows, the rest ``n//k``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["global_row_number", "key_rank", "ntile_from_rn"]
+
+
+def global_row_number(
+    df: DataFrame,
+    sort_col: str,
+    tiebreak_cols: list[str] | None = None,
+    ascending: bool = True,
+    out: str = "rn",
+    num_buckets: int = 32,
+    rel_err: float = 0.001,
+) -> DataFrame:
+    """Exact global ROW_NUMBER over (sort_col, *tiebreak_cols), no global sort.
+
+    ``sort_col`` must be numeric non-null (it feeds approxQuantile);
+    ``tiebreak_cols`` (ascending) must make the order total for a
+    deterministic result — same contract as SQL ROW_NUMBER.
+    """
+    probs = [i / num_buckets for i in range(1, num_buckets)]
+    splits = sorted(set(df.stat.approxQuantile(sort_col, probs, rel_err)))
+    sarr = F.array(*[F.lit(s) for s in splits])
+    v = F.col(sort_col)
+    # Deterministic bucket id = how many split points precede this value in
+    # the requested order; equal values always share a bucket.
+    pid = F.size(F.filter(sarr, lambda s: (v > s) if ascending else (v < s)))
+    order = [v.asc() if ascending else v.desc()] + [
+        F.col(c).asc() for c in (tiebreak_cols or [])
+    ]
+    tagged = df.withColumn("_pid", pid)
+    # Balanced window: every _pid group holds ~|rows|/num_buckets rows.
+    w = Window.partitionBy("_pid").orderBy(*order)
+    local = tagged.withColumn("_lrn", F.row_number().over(w))
+    # Offsets: cumulative sizes of the preceding buckets. This window spans
+    # num_buckets rows total — trivially single-node; partitionBy(lit(0))
+    # declares that on purpose (a partitionless window would emit Spark's
+    # move-all-data-to-one-partition warning for what is a k-row merge).
+    cw = (
+        Window.partitionBy(F.lit(0))
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        tagged.groupBy("_pid")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .withColumn("_off", F.coalesce(F.sum("_n").over(cw), F.lit(0)))
+        .select("_pid", "_off")
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(out, (F.col("_lrn") + F.col("_off")).cast("int"))
+        .drop("_pid", "_lrn")
+    )
+
+
+def key_rank(
+    df: DataFrame,
+    key_col: str,
+    rank_out: str = "rk",
+    dense_out: str = "drk",
+) -> DataFrame:
+    """Attach global RANK/DENSE_RANK over ``key_col`` via a distinct-key table.
+
+    Correct for any key cardinality; efficient when distinct(key) fits a
+    broadcast (segments, categories, labels, dates — the usual RANK keys).
+    The single-partition window here covers #distinct(key) rows — that
+    smallness is the design; lit(0) partitioning declares it intentional.
+    """
+    kw = Window.partitionBy(F.lit(0)).orderBy(key_col)
+    keys = (
+        df.groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .withColumn(dense_out, F.row_number().over(kw))
+        .withColumn(
+            rank_out,
+            (F.coalesce(F.sum("_n").over(kw.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)) + 1).cast("int"),
+        )
+        .select(key_col, rank_out, dense_out)
+    )
+    return df.join(F.broadcast(keys), key_col)
+
+
+def ntile_from_rn(rn: Column, total: int, k: int) -> Column:
+    """NTILE(k) as arithmetic on a global row number ``rn`` (1-based)."""
+    q, r = divmod(total, k)
+    if q == 0:  # fewer rows than tiles: tile == rn
+        return rn.cast("int")
+    big = r * (q + 1)  # rows covered by the (q+1)-sized leading tiles
+    return (
+        F.when(rn <= big, F.ceil(rn / (q + 1))).otherwise(r + F.ceil((rn - big) / q))
+    ).cast("int")

@@ -23,7 +23,16 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
-__all__ = ["cosine_scores", "knn_cosine", "knn_cosine_lsh", "knn_cosine_ivf", "label_centroids"]
+__all__ = [
+    "cosine_scores",
+    "knn_cosine",
+    "knn_cosine_lsh",
+    "knn_cosine_ivf",
+    "label_centroids",
+    "embedding_candidates_lsh",
+    "build_ivf_index",
+    "knn_cosine_ivf_indexed",
+]
 
 
 def cosine_scores(df: DataFrame, query_vec: list[float], emb_col: str = "embedding") -> DataFrame:
@@ -136,6 +145,53 @@ def label_centroids(
     )
 
 
+def embedding_candidates_lsh(
+    df: DataFrame,
+    sim_floor: float = 0.3,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    bucket_length: float = 2.0,
+    num_hash_tables: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Candidate (id_a, id_b) pairs with cosine >= ``sim_floor``, via LSH.
+
+    The scale path for pair search: random-projection bucketing turns the
+    all-pairs problem into an equi-join on (hash-table, bucket) keys —
+    candidate volume scales with bucket collisions, not |corpus|^2. For
+    unit-normalised embeddings ``d^2 = 2 - 2*cos``, so a cosine floor maps
+    exactly to a Euclidean radius for ``approxSimilarityJoin`` (which also
+    verifies the TRUE distance on candidates, discarding false positives).
+
+    Recall is probabilistic (seeded, hence deterministic per run): a true
+    pair is missed only if it collides in none of ``num_hash_tables``
+    tables. At the defaults the fixture corpora lose no pair above the
+    floor (asserted against brute force in tests/test_similarity.py); on a
+    real near-dup corpus the interesting pairs sit far above any sane
+    floor, where collision probability is highest.
+    """
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    # Cosine floor -> Euclidean radius on the unit sphere.
+    radius = float(np.sqrt(max(2.0 - 2.0 * sim_floor, 0.0)))
+    vecs = df.select(F.col(id_col).alias("id"), array_to_vector(F.col(emb_col)).alias("features"))
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        bucketLength=bucket_length,
+        numHashTables=num_hash_tables,
+        seed=seed,
+    )
+    model = lsh.fit(vecs)
+    joined = model.approxSimilarityJoin(vecs, vecs, radius, distCol="_d")
+    return (
+        joined.where(F.col("datasetA.id") < F.col("datasetB.id"))
+        .select(F.col("datasetA.id").alias("id_a"), F.col("datasetB.id").alias("id_b"))
+        .distinct()
+    )
+
+
 def knn_cosine_ivf(
     df: DataFrame,
     query_vec: list[float],
@@ -178,4 +234,78 @@ def knn_cosine_ivf(
     probe_cells = by_sim[:n_probe]
     # Cell-pruned exact scoring: only n_probe cells cross the Arrow boundary.
     pool = assigned.where(F.col("cell").isin(probe_cells)).drop("features", "cell")
+    return knn_cosine(pool, query_vec, k=k, id_col=id_col, emb_col=emb_col)
+
+
+def _probe_cells(centroids: list[tuple[int, list[float]]], query_vec: list[float], n_probe: int) -> list[int]:
+    """The ``n_probe`` cell ids whose centroids are most cosine-similar."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = np.linalg.norm(q) or 1.0
+
+    def sim(c: list[float]) -> float:
+        v = np.asarray(c, dtype=np.float64)
+        return float(np.dot(v, q) / ((np.linalg.norm(v) or 1.0) * qn))
+
+    return [cell for cell, c in sorted(centroids, key=lambda t: -sim(t[1]))][:n_probe]
+
+
+def build_ivf_index(
+    df: DataFrame,
+    index_dir: str,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    seed: int = 42,
+) -> None:
+    """Fit-once IVF index build: the expensive step, run once and persisted.
+
+    K-means learns ``n_cells`` coarse centroids; every vector is written to
+    ``{index_dir}/vectors`` **partitioned by its cell id**, centroids to
+    ``{index_dir}/centroids``. Queries then read only their probed cells'
+    directories — real partition pruning at the parquet layout level, so a
+    probe touches ~n_probe/n_cells of a 100 TB corpus and the rest is never
+    scanned. (Round-1 version re-fit KMeans inside every query call — the
+    classic IVF anti-pattern this split removes.)
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    spark = df.sparkSession
+    vecs = df.select(F.col(id_col), F.col(emb_col), array_to_vector(F.col(emb_col)).alias("features"))
+    model = KMeans(k=n_cells, seed=seed, featuresCol="features", predictionCol="cell").fit(vecs)
+    assigned = model.transform(vecs).drop("features")
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(f"{index_dir}/vectors")
+    cents = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
+    spark.createDataFrame(cents, "cell int, centroid array<double>").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{index_dir}/centroids")
+
+
+def knn_cosine_ivf_indexed(
+    spark,
+    index_dir: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Query a prebuilt IVF index (:func:`build_ivf_index`) — no fitting.
+
+    Reads the (tiny) centroid table, picks ``n_probe`` cells driver-side,
+    then scans only those cells' partitions: the ``cell IN (...)`` filter
+    prunes at the directory level (`PartitionFilters` in the plan), so
+    unprobed cells cost zero I/O. Exact scoring on the pool via
+    :func:`knn_cosine`.
+    """
+    centroids = [
+        (int(r["cell"]), list(r["centroid"]))
+        for r in spark.read.parquet(f"{index_dir}/centroids").collect()
+    ]
+    cells = _probe_cells(centroids, query_vec, n_probe)
+    pool = (
+        spark.read.parquet(f"{index_dir}/vectors")
+        .where(F.col("cell").isin(cells))
+        .drop("cell")
+    )
     return knn_cosine(pool, query_vec, k=k, id_col=id_col, emb_col=emb_col)

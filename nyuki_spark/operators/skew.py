@@ -68,8 +68,17 @@ def salted_join(
 
     The small side grows n_salts x (it was broadcast-sized anyway); the
     big side's hottest key now hash-spreads over n_salts tasks. Result is
-    row-identical to ``big.join(small, key, how)``.
+    row-identical to ``big.join(small, key, how)`` — which is only true for
+    join types that keep at most one copy of each small-side row: in a
+    right/full outer join, unmatched small-side rows would surface once per
+    salt replica, so those types are rejected.
     """
+    allowed = {"inner", "left", "left_outer", "leftsemi", "left_semi", "semi"}
+    if how not in allowed:
+        raise ValueError(
+            f"salted_join supports {sorted(allowed)}; {how!r} would replicate "
+            "unmatched small-side rows n_salts times"
+        )
     big_cols, small_cols = big.columns, [c for c in small.columns if c != key]
     b = big.withColumn(
         "__salt",

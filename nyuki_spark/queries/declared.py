@@ -282,14 +282,40 @@ register(
 # 2.5 window functions
 # --------------------------------------------------------------------------
 
+def _win_rank_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase execution of the declared global-window SQL (the oracle).
+
+    The naive plan moves ALL rows into one WindowExec partition; here
+    ROW_NUMBER runs via range-repartition + local rank + offset merge,
+    RANK/DENSE_RANK over the low-cardinality segment via a broadcast
+    distinct-key table, and NTILE as arithmetic on (rn, count) — every
+    stage balanced, no single-partition window anywhere in the plan.
+    """
+    from nyuki_spark.operators.rank import global_row_number, key_rank, ntile_from_rn
+
+    cust = load_table(spark, sf_dir, "customer")
+    total = cust.count()
+    out = global_row_number(
+        cust, "c_acctbal", tiebreak_cols=["c_custkey"], ascending=False, out="rn"
+    )
+    out = key_rank(out, "c_mktsegment", rank_out="rk", dense_out="drk")
+    out = out.withColumn("quartile", ntile_from_rn(F.col("rn"), total, 4))
+    return out.select("c_custkey", "c_acctbal", "rn", "rk", "drk", "quartile").orderBy(
+        "c_custkey"
+    )
+
+
 register(
     "win_rank",
-    "SELECT c_custkey, c_acctbal,\n"
-    "ROW_NUMBER() OVER (ORDER BY c_acctbal DESC, c_custkey) AS rn,\n"
-    "RANK() OVER (ORDER BY c_mktsegment) AS rk,\n"
-    "DENSE_RANK() OVER (ORDER BY c_mktsegment) AS drk,\n"
-    "NTILE(4) OVER (ORDER BY c_acctbal DESC, c_custkey) AS quartile\n"
-    "FROM customer ORDER BY c_custkey",
+    engine_fn=_win_rank_fn,
+    oracle=(
+        "SELECT c_custkey, c_acctbal,\n"
+        "ROW_NUMBER() OVER (ORDER BY c_acctbal DESC, c_custkey) AS rn,\n"
+        "RANK() OVER (ORDER BY c_mktsegment) AS rk,\n"
+        "DENSE_RANK() OVER (ORDER BY c_mktsegment) AS drk,\n"
+        "NTILE(4) OVER (ORDER BY c_acctbal DESC, c_custkey) AS quartile\n"
+        "FROM customer ORDER BY c_custkey"
+    ),
     category="window",
 )
 

@@ -86,8 +86,12 @@ def join_branches_with_timeout(
         branches, payloads = list(branches), list(payloads)
         for pdf in pdfs:
             for b, p in zip(pdf[branch_col], pdf[payload_col]):
+                # Normalise BEFORE the membership test: stored branches are
+                # strings, so a non-string b would never match and dupes
+                # would accumulate.
+                b = str(b)
                 if b not in branches:
-                    branches.append(str(b))
+                    branches.append(b)
                     payloads.append(str(p))
         if len(set(branches)) >= n_branches:
             if state.exists:

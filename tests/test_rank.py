@@ -1,0 +1,79 @@
+"""Two-phase global ranking (operators/rank.py): semantics + plan shape.
+
+A global un-partitioned window is the canonical 100 TB scale-killer ("Moving
+all data to a single partition"). These tests pin both properties of the
+rewrite: it returns EXACTLY what the naive window returns, and the heavy
+window in its plan is partitioned (only k-row merge windows may be tiny).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from nyuki_spark.catalog import load_table
+from nyuki_spark.operators.rank import global_row_number, key_rank, ntile_from_rn
+
+
+def test_global_row_number_matches_window(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    got = global_row_number(
+        events, "value", tiebreak_cols=["event_id"], ascending=False, out="rn"
+    ).select("event_id", "rn")
+    w = Window.partitionBy(F.lit(0)).orderBy(F.col("value").desc(), "event_id")
+    want = events.select("event_id", F.row_number().over(w).cast("int").alias("rn"))
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_global_row_number_ascending(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    got = global_row_number(
+        orders, "o_totalprice", tiebreak_cols=["o_orderkey"], ascending=True, out="rn"
+    )
+    top = got.orderBy("rn").select("o_orderkey").head(3)
+    w = Window.partitionBy(F.lit(0)).orderBy("o_totalprice", "o_orderkey")
+    want = (
+        orders.select("o_orderkey", F.row_number().over(w).alias("rn"))
+        .orderBy("rn")
+        .head(3)
+    )
+    assert [r.o_orderkey for r in top] == [r.o_orderkey for r in want]
+
+
+def test_key_rank_matches_window(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer")
+    got = key_rank(cust, "c_mktsegment").select("c_custkey", "rk", "drk")
+    w = Window.partitionBy(F.lit(0)).orderBy("c_mktsegment")
+    want = cust.select(
+        "c_custkey",
+        F.rank().over(w).cast("int").alias("rk"),
+        F.dense_rank().over(w).cast("int").alias("drk"),
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_ntile_matches_window(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer")
+    total = cust.count()
+    ranked = global_row_number(
+        cust, "c_acctbal", tiebreak_cols=["c_custkey"], ascending=False, out="rn"
+    )
+    for k in (3, 4, 7):
+        got = ranked.select("c_custkey", ntile_from_rn(F.col("rn"), total, k).alias("t"))
+        w = Window.partitionBy(F.lit(0)).orderBy(F.col("c_acctbal").desc(), "c_custkey")
+        want = cust.select("c_custkey", F.ntile(k).over(w).cast("int").alias("t"))
+        assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect())), k
+
+
+def test_win_rank_plan_has_no_unpartitioned_heavy_window(spark, sf_dir):
+    """Every row_number window in the executed win_rank plan must be
+    partitioned by the bucket id — the full-data window may never be
+    global. (The k-row offset/segment merges are lit(0)-partitioned by
+    design and excluded by the row_number filter.)"""
+    from nyuki_spark.queries import REGISTRY
+
+    df = REGISTRY["win_rank"].run(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    heavy = [ln for ln in plan.splitlines() if "Window" in ln and "row_number" in ln and "_pid" in ln]
+    assert heavy, f"expected a _pid-partitioned row_number Window in:\n{plan[:1500]}"
+    assert "Moving all data to a single partition" not in plan

@@ -25,6 +25,20 @@ def test_salted_join_equals_plain_join(spark, sf_dir):
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
 
 
+def test_salted_join_rejects_outer_joins(spark, sf_dir):
+    """right/full outer would surface unmatched small-side rows once per
+    salt replica — the operator must refuse rather than silently multiply."""
+    import pytest
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_name"
+    )
+    for how in ("right", "full", "full_outer", "right_outer"):
+        with pytest.raises(ValueError, match="salted_join supports"):
+            salted_join(orders, customer, "o_custkey", how=how)
+
+
 def test_salted_aggregate_invariant_to_salt_count(spark, sf_dir):
     events = load_table(spark, sf_dir, "events")
     results = []

@@ -37,3 +37,45 @@ def test_ivf_knn_recall(spark, sf_dir):
     # Determinism: same seed, same result set.
     again = [r.vec_id for r in knn_cosine_ivf(pool, qv, k=10, n_cells=8, n_probe=4).collect()]
     assert approx == again
+
+
+def test_ivf_index_build_query_split(spark, sf_dir, tmp_path):
+    """Fit-once index build + fit-free query: the scale path. The probe
+    must hit only its cells' partitions (directory-level pruning)."""
+    from nyuki_spark.operators.similarity import build_ivf_index, knn_cosine_ivf_indexed
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
+    qv = [float(x) for x in q]
+    pool = emb.where(F.col("vec_id") != 0)
+    index_dir = str(tmp_path / "ivf")
+    build_ivf_index(pool, index_dir, n_cells=8)
+
+    probed = (
+        spark.read.parquet(f"{index_dir}/vectors")
+        .where(F.col("cell").isin([0, 1]))
+        .select("vec_id")
+    )
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan, plan[:800]
+
+    exact = [r.vec_id for r in knn_cosine(pool, qv, k=10).collect()]
+    approx = [r.vec_id for r in knn_cosine_ivf_indexed(spark, index_dir, qv, k=10, n_probe=4).collect()]
+    recall = len(set(exact) & set(approx)) / len(exact)
+    assert recall >= 0.7, f"indexed IVF recall {recall:.2f} vs brute force"
+    again = [r.vec_id for r in knn_cosine_ivf_indexed(spark, index_dir, qv, k=10, n_probe=4).collect()]
+    assert approx == again
+
+
+def test_lsh_candidate_pairs_total_recall_on_fixture(spark, sf_dir):
+    """The registered llm_cosine_pairs path: LSH candidates + exact verify
+    must reproduce the exact all-pairs top-10 on fixture data (the
+    all-pairs form survives only here, as the recall oracle)."""
+    from nyuki_spark.operators.dedup import embedding_neardup_pairs
+    from nyuki_spark.operators.similarity import embedding_candidates_lsh
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = embedding_neardup_pairs(emb, top=10).collect()
+    cands = embedding_candidates_lsh(emb, sim_floor=0.35)
+    pruned = embedding_neardup_pairs(emb, top=10, candidates=cands).collect()
+    assert sorted(map(tuple, exact)) == sorted(map(tuple, pruned))
