@@ -154,26 +154,28 @@ def simhash60(text_col: Column | str, sep: str = " ") -> Column:
     t = tokens(text_col, sep)
     hashes = F.transform(t, token_hash60)
 
-    # Bit test via bitwiseAND with a Python-computed mask literal (shifts on
-    # lambda-variable Columns trip py4j); the factory keeps the lambda at
-    # exactly arity 2 — see the note in :func:`lang_id`.
-    def _vote_for(mask: int):
-        mlit = F.lit(mask).cast("bigint")
-        return lambda acc, h: acc + F.when(h.bitwiseAND(mlit) != 0, 1).otherwise(-1)
-
-    bit_terms = []
-    for b in range(60):
-        mask = 1 << b
-        vote = F.aggregate(hashes, F.lit(0), _vote_for(mask))
-        bit_terms.append(
-            F.when(vote > 0, F.lit(mask).cast("bigint")).otherwise(
-                F.lit(0).cast("bigint")
-            )
-        )
-    out = bit_terms[0]
-    for term in bit_terms[1:]:
-        out = out + term
-    return out
+    # Single-pass fold: ONE traversal of the token array carrying all 60
+    # vote counters as an array accumulator (the round-1 form folded the
+    # array 60 times, once per bit — same values, 60x the scan work on a
+    # text-heavy corpus). Masks are literal arrays, so the zip_with lambdas
+    # stay at arity 2 (shifts on lambda-variable Columns trip py4j — see
+    # the note in :func:`lang_id`).
+    masks = F.array(*[F.lit(1 << b).cast("bigint") for b in range(60)])
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), 60),
+        lambda acc, h: F.zip_with(
+            acc, masks, lambda a, m: a + F.when(h.bitwiseAND(m) != 0, 1).otherwise(-1)
+        ),
+    )
+    # Assemble the fingerprint: sum the mask of every positive-vote bit.
+    return F.aggregate(
+        F.zip_with(
+            votes, masks, lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("bigint"))
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
 
 
 def word_ngrams(df: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
