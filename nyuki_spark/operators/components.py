@@ -1,0 +1,109 @@
+"""Distributed connected components — dup *pairs* -> dup *groups*.
+
+The dedup funnel (SURVEY.md §2.10) ends at pair lists (simhash/MinHash/
+Jaccard emit ``(id_a, id_b)``), but the operation a corpus pipeline
+actually needs is "keep one document per duplicate *group*" — and groups
+are the connected components of the pair graph (A~B, B~C means A,B,C are
+one group even though (A,C) was never emitted as a pair).
+
+Algorithm: iterative min-label propagation. Every node starts labeled with
+its own id; each round, every node takes the min of its own label and its
+neighbors' labels; fixpoint = components labeled by their min member. This
+is the Spark-idiomatic, dependency-free equivalent of GraphX/GraphFrames
+``connectedComponents`` and converges in O(graph diameter) rounds — for
+near-duplicate graphs the diameter is tiny (dup groups are near-cliques),
+so 3-5 rounds is typical. For general graphs with long chains, the
+O(log n)-round large-star/small-star contraction (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC 2014 — public
+literature) is the upgrade path; same interface, not needed for dedup.
+
+Scale notes (100 TB corpus):
+- The iteration state is ``(id, comp)`` — two longs per node *that appears
+  in a pair*, which is orders of magnitude smaller than the corpus. The
+  heavy lifting (pair generation) already happened upstream in the LSH
+  funnel.
+- Each round is one shuffle hash-join (edges ⋈ labels on node id) plus one
+  partial-aggregated ``groupBy(id).min(comp)`` — both narrow-key shuffles
+  Catalyst handles with map-side combine.
+- ``localCheckpoint`` after every round truncates lineage; without it the
+  plan doubles per iteration and the driver dies on plan analysis long
+  before the executors sweat. (On a real cluster with an HDFS checkpoint
+  dir, reliable ``checkpoint`` is the drop-in upgrade.)
+- The per-round convergence test is one ``count`` action over the changed
+  labels. A driver-side loop over *rounds* (not rows) is the standard
+  structure for iterative algorithms on Spark — GraphX supersteps do the
+  same; the data never visits the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["connected_components", "dedup_by_components"]
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    id_out: str = "id",
+    comp_out: str = "component",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Label each node of the undirected ``edges`` graph with the min id
+    reachable from it. Returns one row per node that appears in any edge:
+    ``(id_out, comp_out)``. Nodes never mentioned in ``edges`` are their own
+    singleton components by definition and are omitted (join back against
+    the corpus for them — see :func:`dedup_by_components`).
+    """
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    bidir = e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d"))).distinct()
+    labels = (
+        bidir.select(F.col("s").alias("id"))
+        .distinct()
+        .withColumn("comp", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        msgs = bidir.join(labels, bidir["s"] == labels["id"]).select(
+            F.col("d").alias("id"), F.col("comp")
+        )
+        new = (
+            labels.union(msgs)
+            .groupBy("id")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint()
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias(id_out), F.col("comp").alias(comp_out))
+
+
+def dedup_by_components(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Keep one representative row (the min-id member) per duplicate group.
+
+    ``pairs`` is any near-dup pair list over ``df[id_col]``. Rows whose id
+    never appears in a pair are kept untouched (left-anti against the
+    non-representative members). The anti-join key is a single long; the
+    loser list sizes with the number of *duplicates* — small corpora get a
+    broadcast from AQE automatically, web-scale corpora (where dup rates
+    of 30%+ make the list unbroadcastable) fall back to a narrow-key
+    shuffle anti-join, so no explicit broadcast hint here.
+    """
+    comps = connected_components(pairs, src=src, dst=dst)
+    losers = comps.where(F.col("id") != F.col("component")).select("id")
+    return df.join(losers, df[id_col] == losers["id"], "left_anti")

@@ -383,3 +383,83 @@ register(
     suite="extension",
     doc="ANN top-10 via prebuilt IVF index (fit-once k-means, cell-partition-pruned probe)",
 )
+
+
+# -- near-dup clustering (pairs -> groups) -----------------------------------
+
+
+def _neardup_clusters_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nyuki_spark.operators.components import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = simhash_pairs(docs, max_hamming=3, bands=4)
+    return (
+        connected_components(pairs, id_out="doc_id", comp_out="component")
+        .orderBy("doc_id")
+    )
+
+
+register(
+    "llm_neardup_clusters",
+    engine_fn=_neardup_clusters_fn,
+    oracle=(
+        "WITH RECURSIVE sh AS (" + _DUCK_SIMHASH + "),\n"
+        "pairs AS (SELECT a.doc_id AS s, b.doc_id AS d\n"
+        "          FROM sh a JOIN sh b ON a.doc_id < b.doc_id\n"
+        "          WHERE BIT_COUNT(XOR(a.simhash, b.simhash)) <= 3),\n"
+        "edges AS (SELECT s, d FROM pairs UNION SELECT d, s FROM pairs),\n"
+        "reach(id, comp) AS (\n"
+        "  SELECT s, s FROM edges\n"
+        "  UNION\n"
+        "  SELECT e.d, r.comp FROM reach r JOIN edges e ON e.s = r.id)\n"
+        "SELECT id AS doc_id, MIN(comp) AS component FROM reach\n"
+        "GROUP BY id ORDER BY doc_id"
+    ),
+    category="llm-dedup",
+    suite="extension",
+    doc=(
+        "duplicate GROUPS, not just pairs: connected components over the "
+        "simhash pair graph via min-label propagation (engine iterates "
+        "shuffle joins, oracle is a recursive CTE) — proves transitive "
+        "closure, e.g. A~B, B~C landing in one group without an A~C pair"
+    ),
+)
+
+
+def _dedup_groups_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nyuki_spark.operators.components import dedup_by_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = simhash_pairs(docs, max_hamming=3, bands=4)
+    return (
+        dedup_by_components(docs, pairs)
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+register(
+    "llm_dedup_groups",
+    engine_fn=_dedup_groups_fn,
+    oracle=(
+        "WITH RECURSIVE sh AS (" + _DUCK_SIMHASH + "),\n"
+        "pairs AS (SELECT a.doc_id AS s, b.doc_id AS d\n"
+        "          FROM sh a JOIN sh b ON a.doc_id < b.doc_id\n"
+        "          WHERE BIT_COUNT(XOR(a.simhash, b.simhash)) <= 3),\n"
+        "edges AS (SELECT s, d FROM pairs UNION SELECT d, s FROM pairs),\n"
+        "reach(id, comp) AS (\n"
+        "  SELECT s, s FROM edges\n"
+        "  UNION\n"
+        "  SELECT e.d, r.comp FROM reach r JOIN edges e ON e.s = r.id),\n"
+        "losers AS (SELECT id FROM reach GROUP BY id HAVING id <> MIN(comp))\n"
+        "SELECT doc_id, source, n_chars FROM documents\n"
+        "WHERE doc_id NOT IN (SELECT id FROM losers) ORDER BY doc_id"
+    ),
+    category="llm-dedup",
+    suite="extension",
+    doc=(
+        "end-to-end near-dedup: keep the min-id representative per "
+        "duplicate group, pass singletons through (anti-join on the "
+        "component loser list)"
+    ),
+)
