@@ -196,3 +196,39 @@ def word_ngrams(df: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str
         ),
     ).otherwise(F.array().cast("array<string>"))
     return df.select(F.col(id_col), F.explode(grams).alias("shingle")).distinct()
+
+
+# PII redaction rules: (tag, pattern, replacement), applied IN ORDER.
+# Patterns are restricted to the Java-regex ∩ RE2 subset (no lookaround, no
+# backrefs) so the DuckDB oracle can run the identical pattern; order is
+# part of the contract (the oracle must chain REGEXP_REPLACE the same way).
+PII_RULES: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+)
+
+
+def redact_pii(text_col: Column | str) -> Column:
+    """Replace emails / SSN-like ids / phone-like numbers / IPv4 literals
+    with typed placeholder tags. A chain of ``regexp_replace`` — pure
+    Column, codegen'd, no Python per row; at corpus scale this runs inside
+    the same generated stage as the parquet scan.
+    """
+    out = F.col(text_col) if isinstance(text_col, str) else text_col
+    for _tag, pattern, repl in PII_RULES:
+        out = F.regexp_replace(out, pattern, repl)
+    return out
+
+
+def pii_counts(text_col: Column | str) -> list[Column]:
+    """Per-rule match counts (on the ORIGINAL text — count before you
+    redact, or earlier replacements mask later patterns). One aliased
+    ``regexp_count`` column per rule: ``n_email, n_ssn, n_phone, n_ipv4``.
+    """
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    return [
+        F.regexp_count(col, F.lit(pattern)).alias(f"n_{tag}")
+        for tag, pattern, _repl in PII_RULES
+    ]

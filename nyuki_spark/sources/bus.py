@@ -19,6 +19,13 @@ surface onto Structured Streaming's source contract:
 Rows: (topic string, payload string) — payloads stay schema-less JSON
 strings exactly as on the reference bus; pipelines apply ``from_json``
 with their per-topic schema at the edge (SURVEY.md §1.1).
+
+Kafka wire parity: with ``option("wire", "kafka")`` the same source emits
+rows in the exact schema of Spark's built-in Kafka connector (key/value
+binary, topic, partition, offset, timestamp, timestampType), so moving a
+pipeline to a real broker is `format("nyuki_bus") -> format("kafka")` plus
+broker options — zero changes downstream. :func:`kafka_wire_to_bus` /
+:func:`bus_to_kafka_wire` adapt between the two row shapes at the edges.
 """
 
 from __future__ import annotations
@@ -32,15 +39,60 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
-__all__ = ["BusDataSource", "register_bus", "publish_rows"]
+__all__ = [
+    "BusDataSource",
+    "register_bus",
+    "publish_rows",
+    "kafka_wire_to_bus",
+    "bus_to_kafka_wire",
+    "KAFKA_SCHEMA",
+]
 
 SCHEMA = "topic string, payload string"
+
+# The exact row schema of Spark's built-in Kafka connector (column names,
+# order, and types from the Structured Streaming + Kafka integration guide).
+# ``option("wire", "kafka")`` makes this source emit it so downstream code
+# is already wire-compatible with `format("kafka")`.
+KAFKA_SCHEMA = (
+    "key binary, value binary, topic string, partition int, offset bigint, "
+    "timestamp timestamp, timestampType int"
+)
+
+# Synthetic per-topic offsets: segment index * stride + line number. Strictly
+# monotonic within a topic (Kafka's actual guarantee); NOT dense — same as a
+# compacted Kafka topic, so consumers must not assume offset arithmetic.
+_OFFSET_STRIDE = 1 << 20
+
+
+def _read_segment_kafka(root: str, rel: str, seg_idx: int):
+    import datetime
+
+    topic = rel.split(os.sep, 1)[0]
+    path = os.path.join(root, rel)
+    ts = datetime.datetime.fromtimestamp(os.path.getmtime(path), datetime.timezone.utc)
+    with open(path, encoding="utf-8") as fh:
+        for line_no, line in enumerate(fh):
+            line = line.strip()
+            if line:
+                # key=None (unkeyed publish), partition 0 (one partition per
+                # topic in the file transport), timestampType 0 = CreateTime.
+                yield (
+                    None,
+                    line.encode("utf-8"),
+                    topic,
+                    0,
+                    seg_idx * _OFFSET_STRIDE + line_no,
+                    ts,
+                    0,
+                )
 
 
 def _topic_segments(root: str) -> dict[str, list[str]]:
@@ -83,23 +135,32 @@ def _read_segment(root: str, rel: str):
 
 
 class _SegmentPartition(InputPartition):
-    def __init__(self, rel: str):
+    def __init__(self, rel: str, seg_idx: int = 0):
         self.rel = rel
+        self.seg_idx = seg_idx
 
 
 class _BusBatchReader(DataSourceReader):
     def __init__(self, options):
         self.root = options["path"]
         self.topic = options.get("topic")
+        self.kafka_wire = options.get("wire") == "kafka"
 
     def partitions(self):
-        segs = _segments(self.root)
-        if self.topic:
-            segs = [s for s in segs if s.split(os.sep, 1)[0] == self.topic]
-        return [_SegmentPartition(s) for s in segs] or [_SegmentPartition("")]
+        out = []
+        for topic, files in _topic_segments(self.root).items():
+            if self.topic and topic != self.topic:
+                continue
+            for idx, fname in enumerate(files):
+                out.append(_SegmentPartition(os.path.join(topic, fname), idx))
+        return out or [_SegmentPartition("")]
 
     def read(self, partition):
-        if partition.rel:
+        if not partition.rel:
+            return
+        if self.kafka_wire:
+            yield from _read_segment_kafka(self.root, partition.rel, partition.seg_idx)
+        else:
             yield from _read_segment(self.root, partition.rel)
 
 
@@ -113,6 +174,7 @@ class _BusStreamReader(DataSourceStreamReader):
     def __init__(self, options):
         self.root = options["path"]
         self.topic = options.get("topic")
+        self.kafka_wire = options.get("wire") == "kafka"
 
     def _counts(self) -> dict[str, list[str]]:
         segs = _topic_segments(self.root)
@@ -132,12 +194,15 @@ class _BusStreamReader(DataSourceStreamReader):
         start_t = start.get("topics", {})
         for topic, n_end in end.get("topics", {}).items():
             n_start = start_t.get(topic, 0)
-            for fname in segs.get(topic, [])[n_start:n_end]:
-                out.append(_SegmentPartition(os.path.join(topic, fname)))
+            for idx, fname in enumerate(segs.get(topic, [])[n_start:n_end], start=n_start):
+                out.append(_SegmentPartition(os.path.join(topic, fname), idx))
         return out
 
     def read(self, partition):
-        yield from _read_segment(self.root, partition.rel)
+        if self.kafka_wire:
+            yield from _read_segment_kafka(self.root, partition.rel, partition.seg_idx)
+        else:
+            yield from _read_segment(self.root, partition.rel)
 
     def commit(self, end: dict) -> None:
         # Checkpoint WAL owns progress; the transport needs no ack. The
@@ -165,7 +230,9 @@ class _BusWriter(DataSourceWriter):
         by_topic: dict[str, list[str]] = {}
         for row in rows:
             topic = getattr(row, "topic", None) or self.default_topic
-            payload = getattr(row, "payload")
+            payload = getattr(row, "payload", None)
+            if payload is None:  # kafka-wire shape: binary value column
+                payload = row.value.decode("utf-8")
             by_topic.setdefault(topic, []).append(payload)
         rel = None
         for topic, payloads in by_topic.items():
@@ -185,6 +252,29 @@ class _BusWriter(DataSourceWriter):
                 os.remove(m.rel)
 
 
+class _BusStreamWriter(DataSourceStreamWriter):
+    """Streaming publish: same segment-per-task append as the batch writer.
+
+    Per-microbatch at-least-once — a batch retried after a partial failure
+    re-appends its segments (abort best-effort-removes them first);
+    consumers dedup, the bus contract. Exactly-once would need the batchId
+    written into the segment name plus idempotent rename, which the
+    reference bus doesn't promise either.
+    """
+
+    def __init__(self, options):
+        self._inner = _BusWriter(options)
+
+    def write(self, iterator):
+        return self._inner.write(iterator)
+
+    def commit(self, messages, batchId) -> None:
+        pass
+
+    def abort(self, messages, batchId) -> None:
+        self._inner.abort(messages)
+
+
 class BusDataSource(DataSource):
     """``format("nyuki_bus")`` — options: path (root dir), topic (filter)."""
 
@@ -193,7 +283,7 @@ class BusDataSource(DataSource):
         return "nyuki_bus"
 
     def schema(self) -> str:
-        return SCHEMA
+        return KAFKA_SCHEMA if self.options.get("wire") == "kafka" else SCHEMA
 
     def reader(self, schema: StructType):
         return _BusBatchReader(self.options)
@@ -204,9 +294,37 @@ class BusDataSource(DataSource):
     def writer(self, schema: StructType, overwrite: bool):
         return _BusWriter(self.options)
 
+    def streamWriter(self, schema: StructType, overwrite: bool):
+        return _BusStreamWriter(self.options)
+
 
 def register_bus(spark) -> None:
     spark.dataSource.register(BusDataSource)
+
+
+def kafka_wire_to_bus(df):
+    """Adapt a Kafka-schema stream (this source with ``wire=kafka``, or the
+    real ``format("kafka")``) to the bus row shape (topic, payload) so
+    pipelines written against the bus schema run unchanged on a broker.
+    Pure Column cast — no Python per row.
+    """
+    from pyspark.sql import functions as F
+
+    return df.select(
+        F.col("topic"), F.col("value").cast("string").alias("payload")
+    )
+
+
+def bus_to_kafka_wire(df):
+    """Adapt (topic, payload) rows to the shape Kafka's sink expects
+    (topic + binary key/value; key stays null for unkeyed publish)."""
+    from pyspark.sql import functions as F
+
+    return df.select(
+        F.lit(None).cast("binary").alias("key"),
+        F.col("payload").cast("binary").alias("value"),
+        F.col("topic"),
+    )
 
 
 def publish_rows(root: str, topic: str, payloads: list[dict]) -> str:
