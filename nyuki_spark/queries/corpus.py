@@ -171,6 +171,155 @@ def _mix_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- incremental dedup (new batch vs reference corpus) -----------------------
+
+# Order-insensitive content fingerprint: md5 of the sorted unique token set.
+# Word-salad fixtures collide on it organically (446 distinct / 500 docs at
+# sf0.01, 6 batch-vs-reference collisions), so the anti-join and the
+# in-batch min-id grouping both do real work.
+_FP_SPARK = lambda: F.md5(  # noqa: E731
+    F.array_join(F.array_sort(F.array_distinct(F.split(F.col("text"), " "))), " ")
+)
+_FP_DUCK = (
+    "MD5(LIST_AGGREGATE(LIST_SORT(LIST_DISTINCT(STRING_SPLIT(text, ' '))),"
+    " 'string_agg', ' '))"
+)
+
+
+def _incr_dedup_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup an incoming batch against an existing reference corpus.
+
+    The production shape for append-only corpus builds: fingerprints of the
+    reference corpus are a (large) table, the new batch anti-joins on the
+    fingerprint, then dedups within itself keeping the lowest id. Both
+    steps shuffle only on the 32-char fingerprint — never on text — and the
+    anti-join gets partial-agg'd map-side; at 100 TB neither side is
+    broadcastable and this stays a plain hash-partitioned anti-join.
+    """
+    docs = load_table(spark, sf_dir, "documents").withColumn("fp", _FP_SPARK())
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    ref = docs.filter(F.col("doc_id") % 10 != 0)
+    novel = batch.join(ref.select("fp"), "fp", "left_anti")
+    return (
+        novel.groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id", "fp")
+        .orderBy("doc_id")
+    )
+
+
+register(
+    "llm_incremental_dedup",
+    engine_fn=_incr_dedup_fn,
+    oracle=(
+        "WITH fp AS (SELECT doc_id, " + _FP_DUCK + " AS fp FROM documents)\n"
+        "SELECT MIN(doc_id) AS doc_id, fp FROM fp b\n"
+        "WHERE doc_id % 10 = 0\n"
+        "  AND NOT EXISTS (SELECT 1 FROM fp r WHERE r.doc_id % 10 <> 0\n"
+        "                  AND r.fp = b.fp)\n"
+        "GROUP BY fp ORDER BY doc_id"
+    ),
+    category="llm-dedup",
+    suite="extension",
+    doc=(
+        "incremental dedup: new batch anti-joins reference corpus on an "
+        "order-insensitive token-set fingerprint, then keeps min-id within "
+        "itself — the append-only corpus-build shape"
+    ),
+)
+
+
+# -- token-budget shard packing ----------------------------------------------
+
+register(
+    "llm_shard_pack",
+    engine=(
+        "WITH tok AS (SELECT doc_id, lang, SIZE(SPLIT(text, ' ')) AS n_tok\n"
+        "             FROM documents),\n"
+        "cum AS (SELECT lang, doc_id, n_tok,\n"
+        "        SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id\n"
+        "            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum\n"
+        "        FROM tok)\n"
+        "SELECT lang, CAST(FLOOR((cum - n_tok) / 1000) AS BIGINT) AS shard,\n"
+        "       COUNT(*) AS n_docs, SUM(n_tok) AS tok_total\n"
+        "FROM cum GROUP BY lang, shard ORDER BY lang, shard"
+    ),
+    oracle=(
+        "WITH tok AS (SELECT doc_id, lang, LEN(STRING_SPLIT(text, ' ')) AS n_tok\n"
+        "             FROM documents),\n"
+        "cum AS (SELECT lang, doc_id, n_tok,\n"
+        "        SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id\n"
+        "            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum\n"
+        "        FROM tok)\n"
+        "SELECT lang, CAST(FLOOR((cum - n_tok) / 1000) AS BIGINT) AS shard,\n"
+        "       COUNT(*) AS n_docs, SUM(n_tok) AS tok_total\n"
+        "FROM cum GROUP BY lang, shard ORDER BY lang, shard"
+    ),
+    category="llm-sampling",
+    suite="extension",
+    doc=(
+        "greedy token-budget packing: docs chopped into ~1000-token training "
+        "shards by start-offset of a per-language running token sum — the "
+        "window is partitioned by lang (no global single-partition sort); at "
+        "100 TB you'd sub-shard by (lang, hash bucket) first and the same "
+        "plan holds per bucket"
+    ),
+)
+
+
+# -- corpus vocabulary stats: top-k bigrams per language ----------------------
+
+
+def _bigram_topk_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from nyuki_spark.functions.text import word_ngrams
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = word_ngrams(docs, n=2)  # (doc_id, shingle), distinct per doc
+    cnt = (
+        grams.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang", "shingle")
+        .agg(F.count(F.lit(1)).alias("df_docs"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("df_docs"), "shingle")
+    return (
+        cnt.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("lang", F.col("shingle").alias("bigram"), "df_docs")
+        .orderBy("lang", F.desc("df_docs"), "bigram")
+    )
+
+
+register(
+    "llm_bigram_topk",
+    engine_fn=_bigram_topk_fn,
+    oracle=(
+        "WITH shd AS (\n"
+        "  SELECT DISTINCT doc_id, arr[i] || ' ' || arr[i+1] AS s\n"
+        "  FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS arr FROM documents),\n"
+        "       UNNEST(RANGE(1, GREATEST(LEN(arr), 1))) AS t(i)\n"
+        "), cnt AS (\n"
+        "  SELECT d.lang, s.s, COUNT(*) AS df_docs\n"
+        "  FROM shd s JOIN documents d USING (doc_id) GROUP BY 1, 2\n"
+        "), rk AS (\n"
+        "  SELECT lang, s, df_docs,\n"
+        "         ROW_NUMBER() OVER (PARTITION BY lang\n"
+        "                            ORDER BY df_docs DESC, s) AS rn\n"
+        "  FROM cnt)\n"
+        "SELECT lang, s AS bigram, df_docs FROM rk WHERE rn <= 5\n"
+        "ORDER BY lang, df_docs DESC, bigram"
+    ),
+    category="llm-text",
+    suite="extension",
+    doc=(
+        "document frequency of word bigrams, top-5 per language: distinct "
+        "shingles per doc -> hash agg -> per-lang rank (the post-agg table "
+        "is vocab-sized, so the rank window is cheap at any corpus scale)"
+    ),
+)
+
+
 register(
     "llm_data_mix",
     engine_fn=_mix_fn,
@@ -191,5 +340,113 @@ register(
         "weighted source mixing via reproducible hash sampling: keep-rate "
         "per source as a literal CASE, row fate = md5(doc_id) uniform draw "
         "— identical sample in Spark and DuckDB, no RNG, no shuffle"
+    ),
+)
+
+
+# -- quality-filter funnel ----------------------------------------------------
+
+
+def _funnel_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep/drop decision with a first-failing-rule reason per doc, counted
+    per (lang, reason) — the shape every corpus-cleaning job reports. One
+    pass, pure Column; the CASE chain pushes into the same codegen stage
+    as the scan, and the output is reason-cardinality-sized (tiny at any
+    corpus scale)."""
+    from nyuki_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = tokens("text")
+    n_tok = F.size(t)
+    stop_ratio = F.size(
+        F.filter(t, lambda x: x.isin("the", "a", "and", "of", "to"))
+    ).cast("double") / n_tok
+    reason = (
+        F.when(n_tok < 40, "too_short")
+        .when(stop_ratio > 0.12, "high_stopword")
+        .otherwise("kept")
+    )
+    return (
+        docs.select("lang", reason.alias("reason"))
+        .groupBy("lang", "reason")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang", "reason")
+    )
+
+
+register(
+    "llm_quality_funnel",
+    engine_fn=_funnel_fn,
+    oracle=(
+        "SELECT lang,\n"
+        "  CASE WHEN n < 40 THEN 'too_short'\n"
+        "       WHEN CAST(stop AS DOUBLE) / n > 0.12 THEN 'high_stopword'\n"
+        "       ELSE 'kept' END AS reason,\n"
+        "  COUNT(*) AS n_docs\n"
+        "FROM (SELECT lang, LEN(STRING_SPLIT(text, ' ')) AS n,\n"
+        "        LEN(LIST_FILTER(STRING_SPLIT(text, ' '),\n"
+        "            x -> x IN ('the','a','and','of','to'))) AS stop\n"
+        "      FROM documents)\n"
+        "GROUP BY lang, reason ORDER BY lang, reason"
+    ),
+    category="llm-text",
+    suite="extension",
+    doc=(
+        "corpus-cleaning funnel: first-failing-rule reject reason "
+        "(too_short / high_stopword / kept) counted per language"
+    ),
+)
+
+
+# -- embedding int8 quantization ---------------------------------------------
+
+
+def _quantize_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of embeddings: per-vector scale =
+    max(|x|), components mapped by FLOOR(x * 127 / scale). FLOOR (not
+    round-half) so Spark and DuckDB agree bit-for-bit; both compute the
+    intermediate in float64 from the same float32 inputs, so the floor
+    argument is identical. Pure higher-order Column functions — at 100 TB
+    this is a map-only stage with no shuffle at all."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    mx = F.array_max(F.transform(F.col("embedding"), lambda x: F.abs(x))).cast(
+        "double"
+    )
+    q = lambda i: F.floor(  # noqa: E731
+        F.col("embedding")[i].cast("double") * 127.0 / F.col("mx")
+    ).cast("int")
+    return (
+        emb.withColumn("mx", mx)
+        .select(
+            "vec_id",
+            F.round("mx", 6).alias("scale"),
+            q(0).alias("q0"),
+            q(1).alias("q1"),
+            q(2).alias("q2"),
+        )
+        .orderBy("vec_id")
+        .limit(200)
+    )
+
+
+register(
+    "llm_embed_quantize",
+    engine_fn=_quantize_fn,
+    oracle=(
+        "SELECT vec_id, ROUND(mx, 6) AS scale,\n"
+        "  CAST(FLOOR(CAST(embedding[1] AS DOUBLE) * 127.0 / mx) AS INT) AS q0,\n"
+        "  CAST(FLOOR(CAST(embedding[2] AS DOUBLE) * 127.0 / mx) AS INT) AS q1,\n"
+        "  CAST(FLOOR(CAST(embedding[3] AS DOUBLE) * 127.0 / mx) AS INT) AS q2\n"
+        "FROM (SELECT vec_id, embedding,\n"
+        "        CAST(LIST_MAX(LIST_TRANSFORM(embedding, x -> ABS(x))) AS DOUBLE) AS mx\n"
+        "      FROM embeddings)\n"
+        "ORDER BY vec_id LIMIT 200"
+    ),
+    category="llm-embedding",
+    suite="extension",
+    doc=(
+        "symmetric int8 embedding quantization (per-vector max-abs scale, "
+        "floor mapping) — shuffle-free map stage, deterministic across "
+        "engines via float64 + FLOOR"
     ),
 )

@@ -469,3 +469,50 @@ register(
     suite="extension",
     doc="TRY_CAST: malformed input -> NULL, not error (ANSI-safe ingestion)",
 )
+
+
+# -- storage layout: Z-order clustering key ----------------------------------
+
+
+def _zvalue_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nyuki_spark.sources.layout import zvalue
+
+    orders = load_table(spark, sf_dir, "orders")
+    bucketed = orders.select(
+        "o_orderkey",
+        (F.col("o_custkey") % 256).alias("cx"),
+        (F.col("o_orderkey") % 256).alias("cy"),
+    )
+    return (
+        bucketed.select(
+            "o_orderkey", zvalue(["cx", "cy"], bits=8).alias("z")
+        )
+        .orderBy("z", "o_orderkey")
+        .limit(200)
+    )
+
+
+def _zvalue_oracle() -> str:
+    from nyuki_spark.sources.layout import zvalue_sql
+
+    z = zvalue_sql(["cx", "cy"], bits=8)
+    return (
+        "SELECT o_orderkey, " + z + " AS z\n"
+        "FROM (SELECT o_orderkey, o_custkey % 256 AS cx,\n"
+        "             o_orderkey % 256 AS cy FROM orders)\n"
+        "ORDER BY z, o_orderkey LIMIT 200"
+    )
+
+
+register(
+    "layout_zvalue",
+    engine_fn=_zvalue_fn,
+    oracle=_zvalue_oracle(),
+    category="layout",
+    suite="extension",
+    doc=(
+        "Morton/Z-curve clustering key: bit-interleave of two bucketed "
+        "dims, pure-Column shift/mask chain; the sort key zorder_by uses "
+        "for multi-dimension row-group pruning"
+    ),
+)
