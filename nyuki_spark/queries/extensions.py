@@ -516,3 +516,125 @@ register(
         "for multi-dimension row-group pruning"
     ),
 )
+
+
+# -- robust ingestion: corrupt-record-tolerant JSON parse --------------------
+
+
+def _corrupt_json_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE JSON ingestion: malformed payloads land in a corrupt-
+    record column instead of failing the job — the non-negotiable property
+    of any 100 TB ingest (one bad record must never kill a pipeline).
+    Malformation is synthesized deterministically (every 7th event loses
+    its closing chars) so the oracle can replicate the split exactly.
+    """
+    events = load_table(spark, sf_dir, "events")
+    payload = F.when(
+        F.col("event_id") % 7 == 0,
+        F.expr("SUBSTR(props, 1, LENGTH(props) - 2)"),
+    ).otherwise(F.col("props"))
+    parsed = F.from_json(
+        payload,
+        "k int, _corrupt string",
+        {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"},
+    )
+    return (
+        events.select("event_type", parsed.alias("p"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.count(F.col("p._corrupt")).alias("n_bad"),
+            F.sum(F.when(F.col("p._corrupt").isNull(), F.col("p.k"))).alias(
+                "k_sum"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+register(
+    "ingest_corrupt_json",
+    engine_fn=_corrupt_json_fn,
+    oracle=(
+        "SELECT event_type, COUNT(*) AS n_total,\n"
+        "  COUNT(*) FILTER (NOT JSON_VALID(payload)) AS n_bad,\n"
+        "  SUM(CASE WHEN JSON_VALID(payload)\n"
+        "      THEN CAST(payload->>'$.k' AS INT) END) AS k_sum\n"
+        "FROM (SELECT event_type,\n"
+        "        CASE WHEN event_id % 7 = 0\n"
+        "             THEN SUBSTR(props, 1, LENGTH(props) - 2)\n"
+        "             ELSE props END AS payload\n"
+        "      FROM events)\n"
+        "GROUP BY event_type ORDER BY event_type"
+    ),
+    category="ingestion",
+    suite="extension",
+    doc=(
+        "corrupt-record-tolerant JSON ingestion: PERMISSIVE from_json with "
+        "a corrupt-record column; bad payloads counted, good ones parsed, "
+        "job never fails"
+    ),
+)
+
+
+# -- CDC upsert/delete merge --------------------------------------------------
+
+
+def _cdc_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize a CDC batch from the orders table itself (deterministic,
+    oracle-replicable): keys %5==0 arrive as changes — of those, %10==0 are
+    deletes, the rest upserts doubling o_totalprice — then verify the merged
+    snapshot by aggregate, so every surviving row participates in the check.
+    """
+    from nyuki_spark.operators.cdc import upsert_snapshot
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    base = orders  # full snapshot: change keys DO collide -> anti-join works
+    changes = (
+        orders.filter(F.col("o_orderkey") % 5 == 0)
+        .withColumn("is_delete", F.col("o_orderkey") % 10 == 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(F.col("is_delete"), F.col("o_totalprice")).otherwise(
+                F.col("o_totalprice") * 2
+            ),
+        )
+    )
+    snap = upsert_snapshot(base, changes, ["o_orderkey"], delete_col="is_delete")
+    return (
+        snap.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("o_totalprice"), 4)
+            .cast("decimal(18,4)")
+            .alias("price_sum"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+register(
+    "cdc_upsert_merge",
+    engine_fn=_cdc_fn,
+    oracle=(
+        "WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice\n"
+        "              FROM orders WHERE o_orderkey % 5 <> 0),\n"
+        "chg AS (SELECT o_orderkey, o_orderstatus,\n"
+        "               o_totalprice * 2 AS o_totalprice\n"
+        "        FROM orders WHERE o_orderkey % 5 = 0 AND o_orderkey % 10 <> 0),\n"
+        "snap AS (SELECT * FROM base\n"
+        "         UNION ALL SELECT * FROM chg)\n"
+        "SELECT o_orderstatus, COUNT(*) AS n_rows,\n"
+        "       CAST(ROUND(SUM(o_totalprice), 4) AS DECIMAL(18,4)) AS price_sum\n"
+        "FROM snap GROUP BY o_orderstatus ORDER BY o_orderstatus"
+    ),
+    category="cdc",
+    suite="extension",
+    doc=(
+        "CDC copy-on-write merge: upserts replace, tombstones delete, "
+        "untouched base survives via anti-join — snapshot verified by "
+        "per-status aggregate"
+    ),
+)
