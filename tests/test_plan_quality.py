@@ -54,3 +54,45 @@ def test_whole_stage_codegen_present(spark, sf_dir, qid):
     # "*(N) Operator" is the compact-plan marker for a WholeStageCodegen
     # stage; at least one fused stage must exist in the final plan.
     assert "*(" in plan, plan[:400]
+
+
+# -- round-2 operators: the 100 TB plan properties, locked in ----------------
+
+
+@pytest.mark.parametrize("qid", ["llm_embed_quantize", "layout_zvalue"])
+def test_map_only_topk_never_shuffles(spark, sf_dir, qid):
+    """Quantization and Z-value are map stages ending in a bounded top-k:
+    the whole plan must be scan -> project -> TakeOrderedAndProject with
+    zero Exchange at any corpus size."""
+    plan = _plan(spark, sf_dir, qid)
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan, plan[:600]
+
+
+@pytest.mark.parametrize(
+    "qid",
+    [
+        "llm_incremental_dedup",
+        "llm_shard_pack",
+        "llm_bigram_topk",
+        "llm_quality_funnel",
+        "cdc_upsert_merge",
+        "ingest_corrupt_json",
+        "llm_pii_redact",
+        "llm_data_mix",
+    ],
+)
+def test_round2_ops_no_scale_killers(spark, sf_dir, qid):
+    """No single-partition exchange (the global-sort/IO bottleneck) and no
+    nested-loop/cartesian join anywhere in the round-2 operators. The only
+    allowed SinglePartition is the final ordered collect of a small result
+    — which these queries express as rangepartitioning, not SinglePartition."""
+    plan = _plan(spark, sf_dir, qid)
+    assert "Exchange SinglePartition" not in plan, plan[:600]
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_incremental_dedup_is_anti_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "llm_incremental_dedup")
+    assert "LeftAnti" in plan, plan[:600]
