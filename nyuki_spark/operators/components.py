@@ -58,7 +58,14 @@ def connected_components(
     the corpus for them — see :func:`dedup_by_components`).
     """
     e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
-    bidir = e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d"))).distinct()
+    # Materialize the edge list ONCE: without this every round's join
+    # re-executes the whole upstream pair-generation funnel (LSH banding
+    # over the full corpus) — the dominant cost, paid max_iter times.
+    bidir = (
+        e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
+        .distinct()
+        .localCheckpoint()
+    )
     labels = (
         bidir.select(F.col("s").alias("id"))
         .distinct()
