@@ -450,3 +450,187 @@ register(
         "engines via float64 + FLOOR"
     ),
 )
+
+
+# -- deterministic train/val/test split ---------------------------------------
+
+_DRAW_DUCK = (
+    "('0x' || SUBSTR(MD5('split' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT"
+    " / 4294967296.0"
+)
+
+
+def _split_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-range split assignment: the draw is a pure function of
+    (salt, doc_id), so membership is stable under reshuffles, re-runs, and
+    corpus growth — a doc never migrates between splits when new docs
+    arrive (the property random splits lack). Map-only + small agg."""
+    docs = load_table(spark, sf_dir, "documents")
+    draw = hash_fraction("doc_id", salt="split")
+    split = (
+        F.when(draw < 0.8, "train").when(draw < 0.9, "val").otherwise("test")
+    )
+    return (
+        docs.select("source", split.alias("split"))
+        .groupBy("source", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("source", "split")
+    )
+
+
+register(
+    "llm_split_assign",
+    engine_fn=_split_fn,
+    oracle=(
+        "SELECT source,\n"
+        "  CASE WHEN d < 0.8 THEN 'train' WHEN d < 0.9 THEN 'val'\n"
+        "       ELSE 'test' END AS split,\n"
+        "  COUNT(*) AS n_docs\n"
+        "FROM (SELECT source, " + _DRAW_DUCK + " AS d FROM documents)\n"
+        "GROUP BY source, split ORDER BY source, split"
+    ),
+    category="llm-sampling",
+    suite="extension",
+    doc=(
+        "deterministic train/val/test split by salted hash ranges — "
+        "membership stable under corpus growth, no RNG state"
+    ),
+)
+
+
+# -- benchmark decontamination ------------------------------------------------
+
+
+def _decontam_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Find training docs that leak benchmark content: 5-gram shingle
+    overlap between the train split and a benchmark set. The join is on
+    the shingle (never all-pairs): candidate pairs are bounded by shared
+    shingles exactly like the Jaccard funnel, so at 100 TB this scales
+    with the leak rate, not the corpus square. Output = (train, bench)
+    pairs with >= 3 shared 5-grams."""
+    from nyuki_spark.functions.text import word_ngrams
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = word_ngrams(docs, n=5)
+    bench = grams.join(
+        docs.filter(F.col("doc_id") % 50 == 0).select("doc_id"), "doc_id"
+    ).withColumnRenamed("doc_id", "bench_id")
+    train = grams.join(
+        docs.filter(F.col("doc_id") % 50 != 0).select("doc_id"), "doc_id"
+    ).withColumnRenamed("doc_id", "train_id")
+    return (
+        train.join(bench, "shingle")
+        .groupBy("train_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("shared_5grams"))
+        .filter(F.col("shared_5grams") >= 3)
+        .orderBy("train_id", "bench_id")
+    )
+
+
+register(
+    "llm_decontaminate",
+    engine_fn=_decontam_fn,
+    oracle=(
+        "WITH shd AS (\n"
+        "  SELECT DISTINCT doc_id,\n"
+        "    arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] || ' ' ||\n"
+        "    arr[i+3] || ' ' || arr[i+4] AS s\n"
+        "  FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS arr FROM documents),\n"
+        "       UNNEST(RANGE(1, GREATEST(LEN(arr) - 3, 1))) AS t(i)\n"
+        ")\n"
+        "SELECT tr.doc_id AS train_id, be.doc_id AS bench_id,\n"
+        "       COUNT(*) AS shared_5grams\n"
+        "FROM shd tr JOIN shd be ON tr.s = be.s\n"
+        "WHERE tr.doc_id % 50 <> 0 AND be.doc_id % 50 = 0\n"
+        "GROUP BY 1, 2 HAVING COUNT(*) >= 3\n"
+        "ORDER BY train_id, bench_id"
+    ),
+    category="llm-dedup",
+    suite="extension",
+    doc=(
+        "benchmark decontamination: train-vs-benchmark 5-gram shingle "
+        "overlap via shingle equi-join (scales with leak rate, never "
+        "all-pairs)"
+    ),
+)
+
+
+# -- tokenization to vocabulary ids -------------------------------------------
+
+
+def _tok_ids_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map each document's first 12 tokens to ids under a corpus-derived
+    vocabulary (top-100 tokens by global frequency, ties by token text;
+    OOV -> -1) — the id-ification step in front of every trainer. The
+    vocab is aggregated distributedly and broadcast into the position
+    join (it is vocab-sized, always broadcastable); doc order is restored
+    with a sorted collect_list keyed on token position."""
+    from pyspark.sql import Window
+
+    from nyuki_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.posexplode(F.slice(tokens("text"), 1, 12)).alias("pos", "w")
+    )
+    freq = (
+        docs.select(F.explode(tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # Top-100 FIRST via TakeOrderedAndProject (distributed, no shuffle),
+    # THEN rank: the single-partition row_number window only ever sees 100
+    # rows, not the full vocabulary (billions of distinct tokens at
+    # web-corpus scale).
+    vw = Window.orderBy(F.desc("n"), "w")
+    vocab = (
+        freq.orderBy(F.desc("n"), "w")
+        .limit(100)
+        .withColumn("tok_id", F.row_number().over(vw) - 1)
+        .select("w", "tok_id")
+    )
+    mapped = tok.join(F.broadcast(vocab), "w", "left").select(
+        "doc_id",
+        "pos",
+        F.coalesce(F.col("tok_id"), F.lit(-1)).alias("tok_id"),
+    )
+    return (
+        mapped.groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("pos", "tok_id"))
+            ).getField("tok_id").alias("ids")
+        )
+        .orderBy("doc_id")
+        .limit(100)
+    )
+
+
+register(
+    "llm_tokenize_ids",
+    engine_fn=_tok_ids_fn,
+    oracle=(
+        "WITH freq AS (\n"
+        "  SELECT u.w, COUNT(*) AS n\n"
+        "  FROM documents, UNNEST(STRING_SPLIT(text, ' ')) AS u(w) GROUP BY 1\n"
+        "), vocab AS (\n"
+        "  SELECT w, ROW_NUMBER() OVER (ORDER BY n DESC, w) - 1 AS tok_id\n"
+        "  FROM freq QUALIFY tok_id < 100\n"
+        "), pos AS (\n"
+        "  SELECT doc_id, i AS pos, arr[i] AS w\n"
+        "  FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS arr FROM documents),\n"
+        "       UNNEST(RANGE(1, LEAST(LEN(arr), 12) + 1)) AS t(i)\n"
+        ")\n"
+        "SELECT doc_id,\n"
+        "       LIST(COALESCE(v.tok_id, -1) ORDER BY pos) AS ids\n"
+        "FROM pos LEFT JOIN vocab v USING (w)\n"
+        "GROUP BY doc_id ORDER BY doc_id LIMIT 100"
+    ),
+    category="llm-text",
+    suite="extension",
+    doc=(
+        "tokenize-to-ids under a top-100 corpus vocabulary (global freq, "
+        "deterministic ties, OOV=-1); vocab broadcast, order restored by "
+        "position-keyed sorted collect"
+    ),
+)

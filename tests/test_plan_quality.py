@@ -96,3 +96,15 @@ def test_round2_ops_no_scale_killers(spark, sf_dir, qid):
 def test_incremental_dedup_is_anti_join(spark, sf_dir):
     plan = _plan(spark, sf_dir, "llm_incremental_dedup")
     assert "LeftAnti" in plan, plan[:600]
+
+
+def test_tokenize_vocab_ranks_after_topk(spark, sf_dir):
+    """The vocab id window must see only the top-100 rows (TakeOrdered
+    before rank), never the full vocabulary."""
+    plan = _plan(spark, sf_dir, "llm_tokenize_ids")
+    # two TakeOrderedAndProject nodes: the root doc_id collect AND the
+    # vocab top-100 feeding the rank window
+    assert plan.count("TakeOrderedAndProject") == 2, plan[:600]
+    assert "Exchange SinglePartition" not in plan, (
+        "vocab rank must consume the top-k, not the full vocabulary"
+    )
