@@ -42,6 +42,7 @@ def global_row_number(
     out: str = "rn",
     num_buckets: int = 32,
     rel_err: float = 0.001,
+    attach_total: str | None = None,
 ) -> DataFrame:
     """Exact global ROW_NUMBER over (sort_col, *tiebreak_cols), no global sort.
 
@@ -72,16 +73,22 @@ def global_row_number(
         .orderBy("_pid")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    offsets = (
-        tagged.groupBy("_pid")
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .withColumn("_off", F.coalesce(F.sum("_n").over(cw), F.lit(0)))
-        .select("_pid", "_off")
+    offsets = tagged.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n")).withColumn(
+        "_off", F.coalesce(F.sum("_n").over(cw), F.lit(0))
     )
+    if attach_total:
+        # Total row count for free off the k-row bucket table — callers
+        # needing it (NTILE arithmetic) would otherwise pay a whole extra
+        # count() job over the full input.
+        tot_w = Window.partitionBy(F.lit(0)).rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        offsets = offsets.withColumn(attach_total, F.sum("_n").over(tot_w))
+    keep = ["_pid", "_off"] + ([attach_total] if attach_total else [])
     return (
-        local.join(F.broadcast(offsets), "_pid")
+        local.join(F.broadcast(offsets.select(*keep)), "_pid")
         .withColumn(out, (F.col("_lrn") + F.col("_off")).cast("int"))
-        .drop("_pid", "_lrn")
+        .drop("_pid", "_lrn", "_off")
     )
 
 
@@ -90,6 +97,7 @@ def key_rank(
     key_col: str,
     rank_out: str = "rk",
     dense_out: str = "drk",
+    stats_df: DataFrame | None = None,
 ) -> DataFrame:
     """Attach global RANK/DENSE_RANK over ``key_col`` via a distinct-key table.
 
@@ -99,8 +107,12 @@ def key_rank(
     smallness is the design; lit(0) partitioning declares it intentional.
     """
     kw = Window.partitionBy(F.lit(0)).orderBy(key_col)
+    # Key counts only need (key_col): let callers pass the cheap upstream
+    # relation (a bare scan) so this branch doesn't re-execute whatever
+    # expensive lineage produced ``df`` (e.g. a full ranking pipeline).
     keys = (
-        df.groupBy(key_col)
+        (stats_df if stats_df is not None else df)
+        .groupBy(key_col)
         .agg(F.count(F.lit(1)).alias("_n"))
         .withColumn(dense_out, F.row_number().over(kw))
         .withColumn(
@@ -112,12 +124,27 @@ def key_rank(
     return df.join(F.broadcast(keys), key_col)
 
 
-def ntile_from_rn(rn: Column, total: int, k: int) -> Column:
-    """NTILE(k) as arithmetic on a global row number ``rn`` (1-based)."""
-    q, r = divmod(total, k)
-    if q == 0:  # fewer rows than tiles: tile == rn
-        return rn.cast("int")
-    big = r * (q + 1)  # rows covered by the (q+1)-sized leading tiles
+def ntile_from_rn(rn: Column, total: int | Column, k: int) -> Column:
+    """NTILE(k) as arithmetic on a global row number ``rn`` (1-based).
+
+    ``total`` may be a Python int or a Column (e.g. the ``attach_total``
+    output of :func:`global_row_number` — saves the separate count job).
+    """
+    if isinstance(total, int):
+        q, r = divmod(total, k)
+        if q == 0:  # fewer rows than tiles: tile == rn
+            return rn.cast("int")
+        big = r * (q + 1)  # rows covered by the (q+1)-sized leading tiles
+        return (
+            F.when(rn <= big, F.ceil(rn / (q + 1))).otherwise(
+                r + F.ceil((rn - big) / q)
+            )
+        ).cast("int")
+    q = F.floor(total / k)
+    r = total % k
+    big = r * (q + 1)
     return (
-        F.when(rn <= big, F.ceil(rn / (q + 1))).otherwise(r + F.ceil((rn - big) / q))
+        F.when(q == 0, rn)
+        .when(rn <= big, F.ceil(rn / (q + 1)))
+        .otherwise(r + F.ceil((rn - big) / q))
     ).cast("int")

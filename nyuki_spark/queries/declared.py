@@ -294,12 +294,18 @@ def _win_rank_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nyuki_spark.operators.rank import global_row_number, key_rank, ntile_from_rn
 
     cust = load_table(spark, sf_dir, "customer")
-    total = cust.count()
     out = global_row_number(
-        cust, "c_acctbal", tiebreak_cols=["c_custkey"], ascending=False, out="rn"
+        cust,
+        "c_acctbal",
+        tiebreak_cols=["c_custkey"],
+        ascending=False,
+        out="rn",
+        attach_total="_tot",  # rides the k-row bucket table: no count() job
     )
-    out = key_rank(out, "c_mktsegment", rank_out="rk", dense_out="drk")
-    out = out.withColumn("quartile", ntile_from_rn(F.col("rn"), total, 4))
+    out = key_rank(
+        out, "c_mktsegment", rank_out="rk", dense_out="drk", stats_df=cust
+    )
+    out = out.withColumn("quartile", ntile_from_rn(F.col("rn"), F.col("_tot"), 4))
     return out.select("c_custkey", "c_acctbal", "rn", "rk", "drk", "quartile").orderBy(
         "c_custkey"
     )

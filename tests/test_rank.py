@@ -77,3 +77,21 @@ def test_win_rank_plan_has_no_unpartitioned_heavy_window(spark, sf_dir):
     heavy = [ln for ln in plan.splitlines() if "Window" in ln and "row_number" in ln and "_pid" in ln]
     assert heavy, f"expected a _pid-partitioned row_number Window in:\n{plan[:1500]}"
     assert "Moving all data to a single partition" not in plan
+
+
+def test_ntile_column_total_matches_int_total(spark, sf_dir):
+    from nyuki_spark.catalog import load_table
+
+    cust = load_table(spark, sf_dir, "customer")
+    total = cust.count()
+    ranked = global_row_number(
+        cust, "c_acctbal", tiebreak_cols=["c_custkey"], out="rn",
+        attach_total="_tot",
+    )
+    got = ranked.select(
+        "c_custkey",
+        ntile_from_rn(F.col("rn"), total, 4).alias("a"),
+        ntile_from_rn(F.col("rn"), F.col("_tot"), 4).alias("b"),
+    )
+    assert got.where("a <> b").count() == 0
+    assert ranked.where(F.col("_tot") != total).count() == 0
