@@ -134,6 +134,7 @@ def compact(
     in_path: str,
     out_path: str,
     target_mb: int = 128,
+    partition_by: list[str] | None = None,
 ) -> dict:
     """Rewrite a small-file parquet directory into ~``target_mb`` files.
 
@@ -143,11 +144,21 @@ def compact(
     the caller's rename (object stores don't do in-place atomically, and
     pretending otherwise loses data on failure). Returns before/after file
     counts so maintenance jobs can log their effect.
+
+    ``partition_by``: pass the table's directory-partition columns to keep
+    them as directories in the output (a flat rewrite would inline them
+    into the files and lose planner-level directory pruning). With
+    partitions the file-count bound applies per write task via
+    ``maxRecordsPerFile``-free coalesce, so heavily partitioned tables may
+    still produce one file per (task, partition) — the parquet contract.
     """
     n_in, bytes_in = _dir_stats(in_path)
     n_out = max(1, math.ceil(bytes_in / (target_mb * 1024 * 1024)))
     df = spark.read.parquet(in_path)
-    df.coalesce(n_out).write.mode("overwrite").parquet(out_path)
+    w = df.coalesce(n_out).write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(out_path)
     n_written, bytes_out = _dir_stats(out_path)
     return {
         "files_in": n_in,

@@ -104,3 +104,21 @@ def test_compact_reduces_file_count(spark, tmp_path):
     assert stats["files_in"] == 40
     assert stats["files_out"] == 1  # tiny data -> single target-size file
     assert spark.read.parquet(dst).count() == 10000
+
+
+def test_compact_preserves_directory_partitions(spark, tmp_path):
+    from nyuki_spark.sources.layout import compact
+
+    src = str(tmp_path / "psrc")
+    dst = str(tmp_path / "pdst")
+    df = spark.createDataFrame(
+        [Row(k=i, grp="a" if i % 2 else "b") for i in range(2000)]
+    )
+    df.repartition(20).write.partitionBy("grp").parquet(src)
+    compact(spark, src, dst, target_mb=128, partition_by=["grp"])
+    assert sorted(
+        d for d in os.listdir(dst) if d.startswith("grp=")
+    ) == ["grp=a", "grp=b"]
+    back = spark.read.parquet(dst)
+    assert back.count() == 2000
+    assert {r.grp for r in back.select("grp").distinct().collect()} == {"a", "b"}
