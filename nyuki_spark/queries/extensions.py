@@ -638,3 +638,91 @@ register(
         "per-status aggregate"
     ),
 )
+
+
+# -- time-series gap-fill + LOCF ---------------------------------------------
+
+
+def _gapfill_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nyuki_spark.operators.timeseries import gapfill_locf
+
+    events = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    return gapfill_locf(
+        events, "user_id", "ts", "value", step="1 hour"
+    ).orderBy("user_id", "h")
+
+
+register(
+    "ts_gapfill_locf",
+    engine_fn=_gapfill_fn,
+    oracle=(
+        "WITH hourly AS (\n"
+        "  SELECT user_id, DATE_TRUNC('hour', ts) AS h,\n"
+        "         CAST(ROUND(AVG(value), 4) AS DOUBLE) AS v\n"
+        "  FROM events WHERE user_id < 10 GROUP BY 1, 2\n"
+        "), bounds AS (\n"
+        "  SELECT user_id, MIN(h) AS h0, MAX(h) AS h1 FROM hourly GROUP BY 1\n"
+        "), grid AS (\n"
+        "  SELECT user_id, UNNEST(GENERATE_SERIES(h0, h1, INTERVAL 1 HOUR)) AS h\n"
+        "  FROM bounds\n"
+        ")\n"
+        "SELECT g.user_id, g.h, hourly.v,\n"
+        "       LAST_VALUE(hourly.v IGNORE NULLS) OVER (\n"
+        "         PARTITION BY g.user_id ORDER BY g.h\n"
+        "         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled\n"
+        "FROM grid g LEFT JOIN hourly\n"
+        "  ON hourly.user_id = g.user_id AND hourly.h = g.h\n"
+        "ORDER BY g.user_id, g.h"
+    ),
+    category="timeseries",
+    suite="extension",
+    doc=(
+        "hypertable-style resampling: per-key dense hourly grid (sequence "
+        "over each key's own span), bucket avg, LOCF gap-fill — every "
+        "stage key-partitioned, no global calendar cross join"
+    ),
+)
+
+
+# -- skew diagnosis -----------------------------------------------------------
+
+
+def _skew_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew report: the 10 heaviest join/agg keys with their share of
+    all rows — the measurement you take before choosing salting or AQE
+    skew hints. Partial-agg'd count + distributed top-k; the full-table
+    total comes from the same single pass (grouped counts summed), not a
+    second scan."""
+    events = load_table(spark, sf_dir, "events")
+    counts = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        counts.orderBy(F.desc("n"), "user_id")
+        .limit(10)
+        .crossJoin(
+            F.broadcast(counts.agg(F.sum("n").alias("total_rows")))
+        )
+        .select(
+            "user_id",
+            "n",
+            F.round(F.col("n") * 100.0 / F.col("total_rows"), 4).alias("pct"),
+        )
+        .orderBy(F.desc("n"), "user_id")
+    )
+
+
+register(
+    "skew_report",
+    engine_fn=_skew_fn,
+    oracle=(
+        "WITH c AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY 1),\n"
+        "t AS (SELECT SUM(n) AS total_rows FROM c)\n"
+        "SELECT user_id, n, ROUND(n * 100.0 / total_rows, 4) AS pct\n"
+        "FROM c, t ORDER BY n DESC, user_id LIMIT 10"
+    ),
+    category="diagnostics",
+    suite="extension",
+    doc=(
+        "key-skew report: top-10 heaviest keys with row share — the "
+        "pre-salting diagnostic, one aggregated pass + broadcast total"
+    ),
+)
