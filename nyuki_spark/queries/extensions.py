@@ -726,3 +726,120 @@ register(
         "pre-salting diagnostic, one aggregated pass + broadcast total"
     ),
 )
+
+
+# -- higher-order array functions --------------------------------------------
+
+
+def _hof_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zip_with / filter / transform+aggregate over the embedding arrays —
+    the JVM-side lambda surface (SparkSQL higher-order functions, Spark
+    2.4+). All codegen'd Column work: the float math crosses no Arrow
+    boundary, so at 100 TB this is a pure map stage."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = F.col("embedding")
+    dot_rev = F.aggregate(
+        F.zip_with(e, F.reverse(e), lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        emb.select(
+            "vec_id",
+            F.round(dot_rev, 4).cast("double").alias("dot_rev"),
+            F.size(F.filter(e, lambda x: x > 0.2)).alias("n_big"),
+            F.forall(e, lambda x: F.abs(x) <= 1.0).cast("int").alias("bounded"),
+        )
+        .orderBy("vec_id")
+        .limit(100)
+    )
+
+
+register(
+    "hof_array_math",
+    engine_fn=_hof_fn,
+    oracle=(
+        "SELECT vec_id,\n"
+        "  CAST(ROUND(LIST_SUM(LIST_TRANSFORM(LIST_ZIP(embedding, LIST_REVERSE(embedding)),\n"
+        "       p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), 4) AS DOUBLE) AS dot_rev,\n"
+        "  LEN(LIST_FILTER(embedding, x -> x > 0.2)) AS n_big,\n"
+        "  CAST(LIST_MAX(LIST_TRANSFORM(embedding, x -> ABS(x))) <= 1.0 AS INT) AS bounded\n"
+        "FROM embeddings ORDER BY vec_id LIMIT 100"
+    ),
+    category="scalar-array",
+    suite="extension",
+    doc=(
+        "higher-order array lambdas (zip_with/filter/forall/aggregate "
+        "fold) vs DuckDB list functions — codegen'd, no UDF"
+    ),
+)
+
+
+# -- unpivot (wide -> long) ---------------------------------------------------
+
+register(
+    "unpivot_stack",
+    engine=(
+        "SELECT o_orderkey, metric, val FROM (\n"
+        "  SELECT o_orderkey,\n"
+        "    STACK(2, 'price', CAST(o_totalprice AS DOUBLE),\n"
+        "             'custkey', CAST(o_custkey AS DOUBLE)) AS (metric, val)\n"
+        "  FROM orders\n"
+        ") WHERE o_orderkey <= 200 ORDER BY o_orderkey, metric"
+    ),
+    oracle=(
+        "SELECT o_orderkey, metric, val FROM (\n"
+        "  SELECT o_orderkey, 'price' AS metric, CAST(o_totalprice AS DOUBLE) AS val FROM orders\n"
+        "  UNION ALL\n"
+        "  SELECT o_orderkey, 'custkey', CAST(o_custkey AS DOUBLE) FROM orders\n"
+        ") WHERE o_orderkey <= 200 ORDER BY o_orderkey, metric"
+    ),
+    category="reshape",
+    suite="extension",
+    doc="unpivot wide->long via STACK (generator, no shuffle) vs UNION ALL oracle",
+)
+
+
+# -- deterministic k-sample per group ----------------------------------------
+
+
+def _group_sample_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform k-per-key sample with zero RNG state: order each group by a
+    salted md5 draw and keep the first k. Reproducible across runs,
+    cluster sizes, and partitionings; the window is key-partitioned, so
+    no stage is global."""
+    from pyspark.sql import Window
+
+    from nyuki_spark.operators.sample import hash_fraction
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        hash_fraction("doc_id", salt="pick"), "doc_id"
+    )
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("lang", "doc_id", "rn")
+        .orderBy("lang", "rn")
+    )
+
+
+register(
+    "sample_k_per_group",
+    engine_fn=_group_sample_fn,
+    oracle=(
+        "SELECT lang, doc_id, rn FROM (\n"
+        "  SELECT lang, doc_id, ROW_NUMBER() OVER (\n"
+        "    PARTITION BY lang\n"
+        "    ORDER BY ('0x' || SUBSTR(MD5('pick' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT\n"
+        "             / 4294967296.0, doc_id) AS rn\n"
+        "  FROM documents)\n"
+        "WHERE rn <= 5 ORDER BY lang, rn"
+    ),
+    category="llm-sampling",
+    suite="extension",
+    doc=(
+        "deterministic k-per-key sample (salted-hash order + key-local "
+        "row_number) — reproducible, no RNG, no global stage"
+    ),
+)
