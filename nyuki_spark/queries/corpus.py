@@ -634,3 +634,55 @@ register(
         "position-keyed sorted collect"
     ),
 )
+
+
+# -- document chunking (overlapping token windows) ---------------------------
+
+
+def _chunk_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk documents into overlapping token windows (len 16, stride 8) —
+    the preprocessing in front of embedding/RAG pipelines. The start
+    offsets come from ``sequence`` and one ``posexplode``: output size is
+    chunks, input is scanned once, no shuffle before the final order."""
+    from nyuki_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = tokens("text")
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size(t) - 1, F.lit(0)), F.lit(8)
+    )
+    return (
+        docs.select(
+            "doc_id",
+            F.size(t).alias("n_tok"),
+            F.col("text"),
+            F.posexplode(starts).alias("chunk_idx", "start"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.least(F.lit(16), F.col("n_tok") - F.col("start")).alias("chunk_len"),
+            F.element_at(tokens("text"), F.col("start") + 1).alias("head_token"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+register(
+    "llm_doc_chunks",
+    engine_fn=_chunk_fn,
+    oracle=(
+        "SELECT doc_id, CAST((s - 1) // 8 AS INT) AS chunk_idx,\n"
+        "       LEAST(16, LEN(arr) - s + 1) AS chunk_len,\n"
+        "       arr[s] AS head_token\n"
+        "FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS arr FROM documents),\n"
+        "     UNNEST(RANGE(1, GREATEST(LEN(arr), 1) + 1, 8)) AS t(s)\n"
+        "ORDER BY doc_id, chunk_idx"
+    ),
+    category="llm-text",
+    suite="extension",
+    doc=(
+        "overlapping token-window chunking (16/8) for embedding/RAG "
+        "preprocessing — sequence + one posexplode, map-only"
+    ),
+)

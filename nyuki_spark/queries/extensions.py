@@ -843,3 +843,65 @@ register(
         "row_number) — reproducible, no RNG, no global stage"
     ),
 )
+
+
+# -- LATERAL correlated top-k join -------------------------------------------
+
+register(
+    "join_lateral_topk",
+    engine=(
+        "SELECT c.c_custkey, t.o_orderkey, t.o_totalprice\n"
+        "FROM customer c, LATERAL (\n"
+        "  SELECT o_orderkey, o_totalprice FROM orders\n"
+        "  WHERE o_custkey = c.c_custkey\n"
+        "  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t\n"
+        "WHERE c.c_custkey <= 100\n"
+        "ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey"
+    ),
+    oracle=(
+        "SELECT c.c_custkey, t.o_orderkey, t.o_totalprice\n"
+        "FROM customer c, LATERAL (\n"
+        "  SELECT o_orderkey, o_totalprice FROM orders\n"
+        "  WHERE o_custkey = c.c_custkey\n"
+        "  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t\n"
+        "WHERE c.c_custkey <= 100\n"
+        "ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey"
+    ),
+    category="join",
+    suite="extension",
+    doc=(
+        "correlated LATERAL subquery (top-2 orders per customer) — "
+        "Catalyst decorrelates to a ranked join, no per-row re-execution"
+    ),
+)
+
+
+# -- null-safe equality join --------------------------------------------------
+
+register(
+    "join_null_safe",
+    engine=(
+        "SELECT e1.event_id, e2.event_id AS other\n"
+        "FROM (SELECT event_id, NULLIF(event_type, 'error') AS et\n"
+        "      FROM events WHERE event_id < 50) e1\n"
+        "JOIN (SELECT event_id, NULLIF(event_type, 'error') AS et\n"
+        "      FROM events WHERE event_id >= 50 AND event_id < 100) e2\n"
+        "  ON e1.et <=> e2.et\n"
+        "ORDER BY e1.event_id, other"
+    ),
+    oracle=(
+        "SELECT e1.event_id, e2.event_id AS other\n"
+        "FROM (SELECT event_id, NULLIF(event_type, 'error') AS et\n"
+        "      FROM events WHERE event_id < 50) e1\n"
+        "JOIN (SELECT event_id, NULLIF(event_type, 'error') AS et\n"
+        "      FROM events WHERE event_id >= 50 AND event_id < 100) e2\n"
+        "  ON e1.et IS NOT DISTINCT FROM e2.et\n"
+        "ORDER BY e1.event_id, other"
+    ),
+    category="join",
+    suite="extension",
+    doc=(
+        "null-safe equality join (<=> vs IS NOT DISTINCT FROM): NULL keys "
+        "match each other, still hash-joinable (no nested loop)"
+    ),
+)
