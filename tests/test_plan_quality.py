@@ -80,6 +80,14 @@ def test_map_only_topk_never_shuffles(spark, sf_dir, qid):
         "ingest_corrupt_json",
         "llm_pii_redact",
         "llm_data_mix",
+        "llm_split_assign",
+        "llm_decontaminate",
+        "llm_doc_chunks",
+        "ts_gapfill_locf",
+        "sample_k_per_group",
+        "hof_array_math",
+        "join_null_safe",
+        "unpivot_stack",
     ],
 )
 def test_round2_ops_no_scale_killers(spark, sf_dir, qid):
@@ -108,3 +116,16 @@ def test_tokenize_vocab_ranks_after_topk(spark, sf_dir):
     assert "Exchange SinglePartition" not in plan, (
         "vocab rank must consume the top-k, not the full vocabulary"
     )
+
+
+def test_skew_report_single_partition_is_partial_aggregated(spark, sf_dir):
+    """skew_report's global total is a scalar aggregate: its SinglePartition
+    exchange must sit ABOVE a partial_sum (k partial rows move, not data);
+    the cross join joins 10 rows against 1 and must build broadcast."""
+    plan = _plan(spark, sf_dir, "skew_report")
+    assert "partial_sum" in plan
+    assert plan.index("Exchange SinglePartition") < plan.index("partial_sum"), (
+        "single-partition exchange must consume partial aggregates"
+    )
+    assert "TakeOrderedAndProject(limit=10" in plan
+    assert "BroadcastExchange" in plan
