@@ -905,3 +905,57 @@ register(
         "match each other, still hash-joinable (no nested loop)"
     ),
 )
+
+
+# -- NOT IN three-valued-logic semantics -------------------------------------
+
+_NOT_IN_BASE = (
+    "SELECT CASE WHEN variant = 1 THEN 'null_poisoned' ELSE 'null_free' END AS variant,\n"
+    "       n FROM (\n"
+    "  SELECT 1 AS variant, COUNT(*) AS n FROM orders\n"
+    "  WHERE o_orderkey <= 60 AND o_orderkey NOT IN (\n"
+    "    SELECT CASE WHEN event_id % 25 = 7 THEN NULL ELSE event_id END\n"
+    "    FROM events WHERE event_id < 40)\n"
+    "  UNION ALL\n"
+    "  SELECT 2, COUNT(*) FROM orders\n"
+    "  WHERE o_orderkey <= 60 AND o_orderkey NOT IN (\n"
+    "    SELECT event_id FROM events WHERE event_id < 40)\n"
+    ") ORDER BY variant"
+)
+
+register(
+    "subq_not_in_null",
+    sql=_NOT_IN_BASE,
+    category="subquery",
+    suite="extension",
+    doc=(
+        "NOT IN three-valued logic: one NULL in the subquery empties the "
+        "result (count 0) while the null-free variant anti-joins normally "
+        "— the classic SQL trap, hash-proven identical to DuckDB"
+    ),
+)
+
+
+# -- time-interval RANGE window frame ----------------------------------------
+
+register(
+    "win_range_time",
+    engine=(
+        "SELECT event_id,\n"
+        "  COUNT(*) OVER (PARTITION BY user_id ORDER BY ts\n"
+        "    RANGE BETWEEN INTERVAL '30' MINUTE PRECEDING AND CURRENT ROW) AS n_30m\n"
+        "FROM events WHERE user_id < 5 ORDER BY event_id"
+    ),
+    oracle=(
+        "SELECT event_id,\n"
+        "  COUNT(*) OVER (PARTITION BY user_id ORDER BY ts\n"
+        "    RANGE BETWEEN INTERVAL 30 MINUTE PRECEDING AND CURRENT ROW) AS n_30m\n"
+        "FROM events WHERE user_id < 5 ORDER BY event_id"
+    ),
+    category="window",
+    suite="extension",
+    doc=(
+        "event-time RANGE frame (trailing 30-minute count per key) — the "
+        "sliding-window-per-event shape, key-partitioned sort only"
+    ),
+)
