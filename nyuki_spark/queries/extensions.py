@@ -959,3 +959,97 @@ register(
         "sliding-window-per-event shape, key-partitioned sort only"
     ),
 )
+
+
+# -- time-series similarity search (activity-profile cosine) -----------------
+
+
+def _ts_similar_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral similarity search: per-user hour-of-day activity profile
+    (24-dim count vector) -> top-10 most-similar user pairs by cosine.
+
+    The scalable part is the profile build — one hash agg over events plus
+    a per-user dense grid (|users| x 24 rows, entity-sized not
+    event-sized). Pair scoring here is exact all-pairs over the profile
+    table: right for entity counts up to ~1e5; beyond that the same
+    profiles feed knn_cosine_lsh (operators/similarity.py) and this exact
+    form remains the verification pass, mirroring the dedup funnel.
+    """
+    events = load_table(spark, sf_dir, "events")
+    counts = (
+        events.select("user_id", F.hour("ts").alias("h"))
+        .groupBy("user_id", "h")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    grid = (
+        events.select("user_id")
+        .distinct()
+        .select("user_id", F.explode(F.sequence(F.lit(0), F.lit(23))).alias("h"))
+    )
+    prof = (
+        grid.join(counts, ["user_id", "h"], "left")
+        .withColumn("n", F.coalesce("n", F.lit(0)))
+        .groupBy("user_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("h", "n")))
+            .getField("n")
+            .alias("v")
+        )
+    )
+    a, b = prof.alias("a"), prof.alias("b")
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("a.v"), F.col("b.v"), lambda x, y: x.cast("double") * y
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda side: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.col(f"{side}.v"),
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    return (
+        a.join(b, F.col("a.user_id") < F.col("b.user_id"))
+        .select(
+            F.col("a.user_id").alias("ua"),
+            F.col("b.user_id").alias("ub"),
+            F.round(dot / (norm("a") * norm("b")), 4)
+            .cast("double")
+            .alias("cos"),
+        )
+        .orderBy(F.desc("cos"), "ua", "ub")
+        .limit(10)
+    )
+
+
+register(
+    "ts_similar_users",
+    engine_fn=_ts_similar_fn,
+    oracle=(
+        "WITH u AS (SELECT DISTINCT user_id FROM events),\n"
+        "g AS (SELECT user_id, t.h FROM u, UNNEST(RANGE(0, 24)) t(h)),\n"
+        "c AS (SELECT user_id, EXTRACT(hour FROM ts) AS h, COUNT(*) AS n\n"
+        "      FROM events GROUP BY 1, 2),\n"
+        "p AS (SELECT g.user_id, LIST(COALESCE(c.n, 0) ORDER BY g.h) AS v\n"
+        "      FROM g LEFT JOIN c ON c.user_id = g.user_id AND c.h = g.h GROUP BY 1),\n"
+        "pr AS (SELECT a.user_id AS ua, b.user_id AS ub,\n"
+        "  CAST(ROUND(\n"
+        "    LIST_SUM(LIST_TRANSFORM(LIST_ZIP(a.v, b.v), p -> CAST(p[1] AS DOUBLE) * p[2]))\n"
+        "    / (SQRT(LIST_SUM(LIST_TRANSFORM(a.v, x -> CAST(x AS DOUBLE) * x)))\n"
+        "       * SQRT(LIST_SUM(LIST_TRANSFORM(b.v, x -> CAST(x AS DOUBLE) * x)))), 4)\n"
+        "  AS DOUBLE) AS cos\n"
+        "  FROM p a JOIN p b ON a.user_id < b.user_id)\n"
+        "SELECT ua, ub, cos FROM pr ORDER BY cos DESC, ua, ub LIMIT 10"
+    ),
+    category="timeseries",
+    suite="extension",
+    doc=(
+        "time-series similarity search: 24-dim hour-of-day activity "
+        "profiles (entity-sized build) -> top-10 cosine pairs; exact "
+        "pairing on the small profile table, LSH path for huge entity "
+        "counts"
+    ),
+)
