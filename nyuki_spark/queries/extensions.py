@@ -1053,3 +1053,50 @@ register(
         "counts"
     ),
 )
+
+
+# -- ordered string aggregation ----------------------------------------------
+
+register(
+    "agg_string_concat",
+    engine=(
+        "SELECT r_name, CONCAT_WS(',', ARRAY_SORT(COLLECT_LIST(n_name))) AS members\n"
+        "FROM nation JOIN region ON n_regionkey = r_regionkey\n"
+        "GROUP BY r_name ORDER BY r_name"
+    ),
+    oracle=(
+        "SELECT r_name, STRING_AGG(n_name, ',' ORDER BY n_name) AS members\n"
+        "FROM nation JOIN region ON n_regionkey = r_regionkey\n"
+        "GROUP BY r_name ORDER BY r_name"
+    ),
+    category="aggregate",
+    suite="extension",
+    doc=(
+        "ordered group string concatenation (sorted collect_list + "
+        "concat_ws vs STRING_AGG ORDER BY) — deterministic member lists"
+    ),
+)
+
+
+# -- conditional/boolean aggregates ------------------------------------------
+
+register(
+    "agg_cond_bool",
+    engine=(
+        "SELECT event_type,\n"
+        "  COUNT_IF(value > 50) AS n_big,\n"
+        "  CAST(BOOL_OR(value > 99) AS INT) AS any_huge,\n"
+        "  CAST(BOOL_AND(value >= 0) AS INT) AS all_nonneg\n"
+        "FROM events GROUP BY event_type ORDER BY event_type"
+    ),
+    oracle=(
+        "SELECT event_type,\n"
+        "  COUNT(*) FILTER (value > 50) AS n_big,\n"
+        "  CAST(BOOL_OR(value > 99) AS INT) AS any_huge,\n"
+        "  CAST(BOOL_AND(value >= 0) AS INT) AS all_nonneg\n"
+        "FROM events GROUP BY event_type ORDER BY event_type"
+    ),
+    category="aggregate",
+    suite="extension",
+    doc="COUNT_IF / BOOL_OR / BOOL_AND conditional aggregates (FILTER twin)",
+)
