@@ -686,3 +686,90 @@ register(
         "preprocessing — sequence + one posexplode, map-only"
     ),
 )
+
+
+# -- multimodal plumbing, oracle-tier ----------------------------------------
+#
+# The fixture payload is the utf8-encoded text (attach_fake_payload), which
+# is pure ASCII — so byte value == codepoint and DuckDB can re-derive every
+# byte with UNICODE(SUBSTR(...)). That turns the mapInPandas batch plumbing
+# (Arrow in/out, declared schemas, per-row fan-out) into hash-checked
+# surface instead of smoke-only.
+
+
+def _byte_feat_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nyuki_spark.functions.multimodal import attach_fake_payload, byte_features
+
+    docs = attach_fake_payload(
+        load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    )
+    feats = byte_features(docs, dim=16)
+    return (
+        feats.select(
+            "doc_id", F.posexplode("features").alias("bucket", "freq")
+        )
+        .select("doc_id", "bucket", F.round("freq", 4).cast("double").alias("freq"))
+        .orderBy("doc_id", "bucket")
+    )
+
+
+register(
+    "llm_byte_features",
+    engine_fn=_byte_feat_fn,
+    oracle=(
+        "WITH b AS (\n"
+        "  SELECT doc_id, UNICODE(SUBSTR(text, i, 1)) % 16 AS bucket\n"
+        "  FROM (SELECT doc_id, text FROM documents WHERE doc_id < 20),\n"
+        "       UNNEST(RANGE(1, LENGTH(text) + 1)) AS t(i)\n"
+        "), n AS (SELECT doc_id, LENGTH(text) AS len FROM documents WHERE doc_id < 20),\n"
+        "g AS (SELECT n.doc_id, n.len, r.bucket FROM n\n"
+        "      CROSS JOIN (SELECT UNNEST(RANGE(0, 16)) AS bucket) r),\n"
+        "c AS (SELECT doc_id, bucket, COUNT(*) AS cnt FROM b GROUP BY 1, 2)\n"
+        "SELECT g.doc_id AS doc_id, g.bucket AS bucket,\n"
+        "       CAST(ROUND(CAST(COALESCE(c.cnt, 0) AS DOUBLE) / g.len, 4) AS DOUBLE) AS freq\n"
+        "FROM g LEFT JOIN c ON c.doc_id = g.doc_id AND c.bucket = g.bucket\n"
+        "ORDER BY g.doc_id, g.bucket"
+    ),
+    category="llm-multimodal",
+    suite="extension",
+    doc=(
+        "mapInPandas byte-histogram feature extraction (the embedding-"
+        "stage shape: binary in, float vector out, Arrow-batched) — "
+        "hash-checked byte-for-byte via ASCII codepoints"
+    ),
+)
+
+
+def _frame_sample_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nyuki_spark.functions.multimodal import attach_fake_payload, sample_frames
+
+    docs = attach_fake_payload(
+        load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    )
+    frames = sample_frames(docs, n_frames=4)
+    return (
+        frames.select("doc_id", "frame_no", F.octet_length("frame").alias("frame_len"))
+        .orderBy("doc_id", "frame_no")
+    )
+
+
+register(
+    "llm_frame_sample",
+    engine_fn=_frame_sample_fn,
+    oracle=(
+        "SELECT doc_id, k.k AS frame_no,\n"
+        "       LEAST(s, LENGTH(text) - k.k * s) AS frame_len\n"
+        "FROM (SELECT doc_id, text,\n"
+        "        GREATEST(LENGTH(text) // 4, 1) AS s\n"
+        "      FROM documents WHERE doc_id < 50),\n"
+        "     UNNEST(RANGE(0, 4)) AS k(k)\n"
+        "WHERE k.k * s < LENGTH(text)\n"
+        "ORDER BY doc_id, frame_no"
+    ),
+    category="llm-multimodal",
+    suite="extension",
+    doc=(
+        "mapInPandas frame sampling (per-input fan-out to 4 frames inside "
+        "the worker, no giant-array explode) — frame lengths hash-checked"
+    ),
+)
