@@ -18,7 +18,9 @@ import statistics
 import sys
 import time
 
-N_REPS = int(os.environ.get("NYUKI_BENCH_REPS", "3"))
+# 5 warm reps (round-3): r2-vs-r1 showed a uniform ~+25% drift across the
+# join family with no code change — rep-count variance; medians over 5 pin it.
+N_REPS = int(os.environ.get("NYUKI_BENCH_REPS", "5"))
 
 
 def main() -> None:

@@ -241,7 +241,7 @@ register(
         "            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum\n"
         "        FROM tok)\n"
         "SELECT lang, CAST(FLOOR((cum - n_tok) / 1000) AS BIGINT) AS shard,\n"
-        "       COUNT(*) AS n_docs, SUM(n_tok) AS tok_total\n"
+        "       COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS tok_total\n"
         "FROM cum GROUP BY lang, shard ORDER BY lang, shard"
     ),
     oracle=(
@@ -252,7 +252,7 @@ register(
         "            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum\n"
         "        FROM tok)\n"
         "SELECT lang, CAST(FLOOR((cum - n_tok) / 1000) AS BIGINT) AS shard,\n"
-        "       COUNT(*) AS n_docs, SUM(n_tok) AS tok_total\n"
+        "       COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS tok_total\n"
         "FROM cum GROUP BY lang, shard ORDER BY lang, shard"
     ),
     category="llm-sampling",
@@ -594,13 +594,12 @@ def _tok_ids_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pos",
         F.coalesce(F.col("tok_id"), F.lit(-1)).alias("tok_id"),
     )
+    ids = F.array_sort(F.collect_list(F.struct("pos", "tok_id"))).getField("tok_id")
     return (
         mapped.groupBy("doc_id")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct("pos", "tok_id"))
-            ).getField("tok_id").alias("ids")
-        )
+        # String-join the id sequence: array cells are unhashable in the
+        # driver's pandas canonicalizer (FIXTURES.md dtype rules).
+        .agg(F.array_join(ids.cast("array<string>"), ",").alias("ids"))
         .orderBy("doc_id")
         .limit(100)
     )
@@ -622,7 +621,7 @@ register(
         "       UNNEST(RANGE(1, LEAST(LEN(arr), 12) + 1)) AS t(i)\n"
         ")\n"
         "SELECT doc_id,\n"
-        "       LIST(COALESCE(v.tok_id, -1) ORDER BY pos) AS ids\n"
+        "       ARRAY_TO_STRING(LIST(COALESCE(v.tok_id, -1) ORDER BY pos), ',') AS ids\n"
         "FROM pos LEFT JOIN vocab v USING (w)\n"
         "GROUP BY doc_id ORDER BY doc_id LIMIT 100"
     ),

@@ -45,7 +45,7 @@ register("scan_count", "SELECT COUNT(*) AS n FROM lineitem", category="scan")
 
 register(
     "project_expr",
-    "SELECT o_orderkey, CAST(ROUND(o_totalprice * 1.1, 3) AS DECIMAL(18,3)) AS gross\n"
+    "SELECT o_orderkey, CAST(ROUND(o_totalprice * 1.1, 3) AS DOUBLE) AS gross\n"
     "FROM orders ORDER BY o_orderkey LIMIT 20",
     category="projection",
 )
@@ -86,7 +86,7 @@ register(
 register(
     "join_multiway",
     "SELECT r.r_name, n.n_name, COUNT(*) AS cnt,\n"
-    "CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total\n"
+    "CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total\n"
     "FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey\n"
     "JOIN customer c ON c.c_nationkey = n.n_nationkey\n"
     "JOIN orders o ON o.o_custkey = c.c_custkey\n"
@@ -195,17 +195,17 @@ register(
 register(
     "agg_basic",
     "SELECT l_returnflag, l_linestatus, COUNT(*) AS n,\n"
-    "CAST(ROUND(SUM(l_quantity), 2) AS DECIMAL(18,2)) AS sum_qty,\n"
-    "CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS DECIMAL(18,4)) AS revenue,\n"
-    "CAST(ROUND(MIN(l_extendedprice), 2) AS DECIMAL(18,2)) AS min_p,\n"
-    "CAST(ROUND(MAX(l_extendedprice), 2) AS DECIMAL(18,2)) AS max_p\n"
+    "CAST(ROUND(SUM(l_quantity), 2) AS DOUBLE) AS sum_qty,\n"
+    "CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS DOUBLE) AS revenue,\n"
+    "CAST(ROUND(MIN(l_extendedprice), 2) AS DOUBLE) AS min_p,\n"
+    "CAST(ROUND(MAX(l_extendedprice), 2) AS DOUBLE) AS max_p\n"
     "FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus",
     category="aggregate",
 )
 
 register(
     "agg_avg_decimal",
-    "SELECT o_orderpriority, CAST(AVG(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS avg_price\n"
+    "SELECT o_orderpriority, CAST(CAST(AVG(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS avg_price\n"
     "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority",
     category="aggregate",
 )
@@ -258,8 +258,8 @@ register(
 
 register(
     "agg_filter_case",
-    "SELECT user_id, SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchases,\n"
-    "SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS errors\n"
+    "SELECT user_id, CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases,\n"
+    "CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS errors\n"
     "FROM events GROUP BY user_id ORDER BY user_id",
     category="aggregate",
 )
@@ -339,7 +339,7 @@ register(
     "SELECT o_orderkey, o_custkey,\n"
     "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER\n"
     "(PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey\n"
-    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS running_total\n"
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total\n"
     "FROM orders ORDER BY o_orderkey",
     category="window",
 )
@@ -375,7 +375,7 @@ register(
 
 register(
     "topk_global",
-    "SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS p FROM orders\n"
+    "SELECT o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS p FROM orders\n"
     "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
     category="sort",
 )
@@ -470,7 +470,7 @@ register(
 register(
     "math_funcs",
     "SELECT p_partkey, ABS(p_size - 25) AS a, CAST(ROUND(SQRT(p_size), 4) AS DOUBLE) AS sq,\n"
-    "FLOOR(p_retailprice) AS fl, CEIL(p_retailprice) AS ce,\n"
+    "CAST(FLOOR(p_retailprice) AS BIGINT) AS fl, CAST(CEIL(p_retailprice) AS BIGINT) AS ce,\n"
     "MOD(p_partkey, 7) AS m, CAST(POWER(p_size, 2) AS BIGINT) AS p2,\n"
     "CAST(ROUND(LN(p_size + 1), 4) AS DOUBLE) AS lg\n"
     "FROM part ORDER BY p_partkey LIMIT 20",
@@ -574,7 +574,7 @@ register(
 register(
     "stream_tumbling",
     "SELECT CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS win_start, event_type, COUNT(*) AS n,\n"
-    "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total\n"
+    "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total\n"
     "FROM events GROUP BY 1, 2 ORDER BY 1, 2",
     category="streaming",
 )
@@ -599,9 +599,9 @@ _SESSION = (
     "OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL THEN 1 ELSE 0 END AS new_sess\n"
     "FROM events),\n"
     "sess AS (SELECT user_id, ts, event_id, SUM(new_sess) OVER\n"
-    "(PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sess_id FROM marked)\n"
-    "SELECT user_id, sess_id, COUNT(*) AS n_events, MIN(ts) AS sess_start\n"
-    "FROM sess GROUP BY user_id, sess_id ORDER BY user_id, sess_id"
+    "(PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sess_id_raw FROM marked)\n"
+    "SELECT user_id, CAST(sess_id_raw AS BIGINT) AS sess_id, COUNT(*) AS n_events, MIN(ts) AS sess_start\n"
+    "FROM sess GROUP BY user_id, sess_id_raw ORDER BY user_id, sess_id"
 )
 
 register(
@@ -631,7 +631,7 @@ register(
 
 register(
     "llm_text_stats",
-    "SELECT lang, COUNT(*) AS docs, SUM(n_chars) AS chars,\n"
+    "SELECT lang, COUNT(*) AS docs, CAST(SUM(n_chars) AS BIGINT) AS chars,\n"
     "CAST(ROUND(AVG(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1), 4) AS DOUBLE) AS avg_words\n"
     "FROM documents GROUP BY lang ORDER BY lang",
     category="llm-pipeline",
@@ -648,8 +648,8 @@ register(
     "llm_knn_cosine",
     engine_fn=_knn_fn,
     oracle=(
-        "WITH qv AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 0)\n"
-        "SELECT e.vec_id, CAST(ROUND(LIST_COSINE_SIMILARITY(e.embedding, qv.v), 4) AS DOUBLE) AS sim\n"
+        "WITH qv AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 0)\n"
+        "SELECT e.vec_id, CAST(ROUND(LIST_COSINE_SIMILARITY(CAST(e.embedding AS DOUBLE[]), qv.v), 4) AS DOUBLE) AS sim\n"
         "FROM embeddings e, qv WHERE e.vec_id <> 0 ORDER BY sim DESC, e.vec_id LIMIT 10"
     ),
     category="llm-pipeline",

@@ -59,14 +59,14 @@ register(
             [
                 F.count(F.lit(1)).alias("n"),
                 F.sum(F.col("value").cast("decimal(18,2)"))
-                .cast("decimal(18,2)")
+                .cast("double")
                 .alias("total"),
             ],
         ).orderBy("win_start", "event_type")
     ),
     oracle=(
         "SELECT CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS win_start, event_type, COUNT(*) AS n,\n"
-        "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total\n"
+        "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total\n"
         "FROM events GROUP BY 1, 2 ORDER BY 1, 2"
     ),
     category="streaming-live",
@@ -174,7 +174,7 @@ def _rollup_two_level_fn(spark, sf_dir):
         hourly.groupBy(F.date_trunc("day", "hr").alias("day"), "event_type")
         .agg(
             F.sum("n").alias("n"),
-            F.sum("total").cast("decimal(18,2)").alias("total"),
+            F.sum("total").cast("double").alias("total"),
         )
         .orderBy("day", "event_type")
     )
@@ -185,7 +185,7 @@ register(
     engine_fn=_rollup_two_level_fn,
     oracle=(
         "SELECT CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day, event_type,\n"
-        "COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total\n"
+        "COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total\n"
         "FROM events GROUP BY 1, 2 ORDER BY 1, 2"
     ),
     category="streaming",
@@ -212,7 +212,7 @@ def _salted_agg_fn(spark, sf_dir):
         n_salts=8,
     )
     return out.select(
-        "event_type", "n", F.col("total").cast("decimal(18,2)").alias("total"), "max_v"
+        "event_type", "n", F.col("total").cast("double").alias("total"), "max_v"
     ).orderBy("event_type")
 
 
@@ -221,7 +221,7 @@ register(
     engine_fn=_salted_agg_fn,
     oracle=(
         "SELECT event_type, COUNT(*) AS n,\n"
-        "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total,\n"
+        "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,\n"
         "MAX(value) AS max_v\n"
         "FROM events GROUP BY event_type ORDER BY event_type"
     ),
@@ -252,7 +252,7 @@ register(
     oracle=(
         "SELECT user_id,\n"
         + ",\n".join(
-            f"SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS {t}"
+            f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS {t}"
             for t in ["click", "error", "login", "purchase", "view"]
         )
         + "\nFROM events GROUP BY user_id ORDER BY user_id"
@@ -341,16 +341,22 @@ register(
 register(
     "agg_array_sorted",
     engine=(
-        "SELECT user_id, SORT_ARRAY(COLLECT_LIST(event_type)) AS types\n"
+        "SELECT user_id, ARRAY_JOIN(SORT_ARRAY(COLLECT_LIST(event_type)), ',') AS types\n"
         "FROM events WHERE user_id < 20 GROUP BY user_id ORDER BY user_id"
     ),
     oracle=(
-        "SELECT user_id, LIST_SORT(LIST(event_type)) AS types\n"
+        "SELECT user_id, ARRAY_TO_STRING(LIST_SORT(LIST(event_type)), ',') AS types\n"
         "FROM events WHERE user_id < 20 GROUP BY user_id ORDER BY user_id"
     ),
     category="aggregate",
     suite="extension",
-    doc="array_agg with deterministic sort (collect_list order is undefined; sorting restores determinism)",
+    doc=(
+        "array_agg with deterministic sort (collect_list order is undefined; "
+        "sorting restores determinism). Final projection string-joins the "
+        "array: array cells are unhashable in the driver's pandas "
+        "canonicalizer, so every registered query must emit scalar columns "
+        "(see FIXTURES.md dtype rules)."
+    ),
 )
 
 
@@ -378,7 +384,7 @@ register(
     "tpch_q3_like",
     sql=(
         "SELECT l.l_orderkey,\n"
-        "CAST(ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS DECIMAL(18,4)) AS revenue,\n"
+        "CAST(ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS DOUBLE) AS revenue,\n"
         "o.o_orderdate\n"
         "FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey\n"
         "JOIN lineitem l ON l.l_orderkey = o.o_orderkey\n"
@@ -394,16 +400,51 @@ register(
 
 # -- final coverage batch ----------------------------------------------------
 
+def _win_range_numeric_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric RANGE frame without the window: ``COUNT(*) OVER (ORDER BY
+    p_size RANGE 5 PRECEDING)`` depends only on the row's p_size VALUE, so
+    the unpartitioned global WindowExec (single-partition sort — the plan
+    that OOMs at scale) is unnecessary. Decompose:
+
+    1. aggregate rows per distinct p_size (bounded integer domain);
+    2. each size ``s`` contributes its count to targets ``s..s+5`` — an
+       explode to an equi-join key, no theta join;
+    3. per-target sums are the frame counts; broadcast them back onto the
+       fact rows (the distinct-size table is domain-sized, always tiny).
+
+    Every shuffle is on the bounded p_size key; nothing is ever sorted or
+    collected globally. The oracle runs the declared window form.
+    """
+    part = load_table(spark, sf_dir, "part")
+    sizes = part.groupBy("p_size").agg(F.count(F.lit(1)).alias("cnt"))
+    contrib = sizes.select(
+        F.explode(F.sequence(F.col("p_size"), F.col("p_size") + 5)).alias("t"),
+        "cnt",
+    )
+    near = contrib.groupBy("t").agg(F.sum("cnt").alias("n_near"))
+    return (
+        part.join(F.broadcast(near), part.p_size == near.t)
+        .select("p_partkey", F.col("n_near").cast("bigint").alias("n_near"))
+        .orderBy("p_partkey")
+        .limit(100)
+    )
+
+
 register(
     "win_range_numeric",
-    sql=(
+    engine_fn=_win_range_numeric_fn,
+    oracle=(
         "SELECT p_partkey,\n"
         "COUNT(*) OVER (ORDER BY p_size RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS n_near\n"
         "FROM part ORDER BY p_partkey LIMIT 100"
     ),
     category="window",
     suite="extension",
-    doc="numeric RANGE frame (peers by value distance, not row count)",
+    doc=(
+        "numeric RANGE frame (peers by value distance) — engine rewrites "
+        "the global window to a domain-sized aggregate + broadcast join "
+        "(no single-partition WindowExec); oracle runs the window form"
+    ),
 )
 
 register(
@@ -558,8 +599,8 @@ register(
     oracle=(
         "SELECT event_type, COUNT(*) AS n_total,\n"
         "  COUNT(*) FILTER (NOT JSON_VALID(payload)) AS n_bad,\n"
-        "  SUM(CASE WHEN JSON_VALID(payload)\n"
-        "      THEN CAST(payload->>'$.k' AS INT) END) AS k_sum\n"
+        "  CAST(SUM(CASE WHEN JSON_VALID(payload)\n"
+        "      THEN CAST(payload->>'$.k' AS INT) END) AS BIGINT) AS k_sum\n"
         "FROM (SELECT event_type,\n"
         "        CASE WHEN event_id % 7 = 0\n"
         "             THEN SUBSTR(props, 1, LENGTH(props) - 2)\n"
@@ -608,7 +649,7 @@ def _cdc_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
             F.round(F.sum("o_totalprice"), 4)
-            .cast("decimal(18,4)")
+            .cast("double")
             .alias("price_sum"),
         )
         .orderBy("o_orderstatus")
@@ -627,7 +668,7 @@ register(
         "snap AS (SELECT * FROM base\n"
         "         UNION ALL SELECT * FROM chg)\n"
         "SELECT o_orderstatus, COUNT(*) AS n_rows,\n"
-        "       CAST(ROUND(SUM(o_totalprice), 4) AS DECIMAL(18,4)) AS price_sum\n"
+        "       CAST(ROUND(SUM(o_totalprice), 4) AS DOUBLE) AS price_sum\n"
         "FROM snap GROUP BY o_orderstatus ORDER BY o_orderstatus"
     ),
     category="cdc",
@@ -968,12 +1009,15 @@ def _ts_similar_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Behavioral similarity search: per-user hour-of-day activity profile
     (24-dim count vector) -> top-10 most-similar user pairs by cosine.
 
-    The scalable part is the profile build — one hash agg over events plus
-    a per-user dense grid (|users| x 24 rows, entity-sized not
-    event-sized). Pair scoring here is exact all-pairs over the profile
-    table: right for entity counts up to ~1e5; beyond that the same
-    profiles feed knn_cosine_lsh (operators/similarity.py) and this exact
-    form remains the verification pass, mirroring the dedup funnel.
+    Two stages, both scale-safe: (1) profile build — one hash agg over
+    events plus a per-user dense grid (|users| x 24 rows, entity-sized not
+    event-sized); (2) pair generation via LSH candidate bucketing
+    (embedding_candidates_lsh: equi-join on hash-table/bucket keys, no
+    all-pairs join anywhere in the plan) followed by exact cosine
+    rescoring of candidates only — the llm_cosine_pairs funnel. The
+    brute-force all-pairs form survives only as the DuckDB oracle, which
+    doubles as the recall check: the registered query must reproduce the
+    exact top-10.
     """
     events = load_table(spark, sf_dir, "events")
     counts = (
@@ -996,27 +1040,49 @@ def _ts_similar_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("v")
         )
     )
-    a, b = prof.alias("a"), prof.alias("b")
+    # Pair generation goes through LSH bucketing (equi-join on hash keys),
+    # NOT an all-pairs theta join: candidate volume scales with bucket
+    # collisions, not |users|^2 — the same funnel llm_cosine_pairs uses.
+    # Profiles are unit-normalised first so the cosine floor maps exactly
+    # to a Euclidean radius inside approxSimilarityJoin.
+    from nyuki_spark.operators.similarity import embedding_candidates_lsh
+
+    sq_norm = F.aggregate(
+        F.col("v"),
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    prof = prof.withColumn("_n", F.sqrt(sq_norm)).withColumn(
+        "vn", F.transform("v", lambda x: x.cast("double") / F.col("_n"))
+    )
+    cand = embedding_candidates_lsh(
+        prof,
+        sim_floor=0.5,
+        id_col="user_id",
+        emb_col="vn",
+        num_hash_tables=8,
+    )
+    pa = prof.select(F.col("user_id").alias("id_a"), F.col("v").alias("va"))
+    pb = prof.select(F.col("user_id").alias("id_b"), F.col("v").alias("vb"))
     dot = F.aggregate(
-        F.zip_with(
-            F.col("a.v"), F.col("b.v"), lambda x, y: x.cast("double") * y
-        ),
+        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x.cast("double") * y),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    norm = lambda side: F.sqrt(  # noqa: E731
+    norm = lambda c: F.sqrt(  # noqa: E731
         F.aggregate(
-            F.col(f"{side}.v"),
+            F.col(c),
             F.lit(0.0),
             lambda acc, x: acc + x.cast("double") * x.cast("double"),
         )
     )
     return (
-        a.join(b, F.col("a.user_id") < F.col("b.user_id"))
+        cand.join(pa, "id_a")
+        .join(pb, "id_b")
         .select(
-            F.col("a.user_id").alias("ua"),
-            F.col("b.user_id").alias("ub"),
-            F.round(dot / (norm("a") * norm("b")), 4)
+            F.col("id_a").alias("ua"),
+            F.col("id_b").alias("ub"),
+            F.round(dot / (norm("va") * norm("vb")), 4)
             .cast("double")
             .alias("cos"),
         )

@@ -269,7 +269,7 @@ register(
     engine_fn=_cos_pairs_fn,
     oracle=(
         "SELECT a.vec_id AS id_a, b.vec_id AS id_b,\n"
-        "CAST(ROUND(LIST_COSINE_SIMILARITY(a.embedding, b.embedding), 4) AS DOUBLE) AS sim\n"
+        "CAST(ROUND(LIST_COSINE_SIMILARITY(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS DOUBLE) AS sim\n"
         "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id\n"
         "ORDER BY sim DESC, id_a, id_b LIMIT 10"
     ),
@@ -285,13 +285,13 @@ register(
     "llm_multimodal_bytes",
     engine=(
         "SELECT source, COUNT(*) AS n,\n"
-        "SUM(OCTET_LENGTH(CAST(text AS BINARY))) AS total_bytes,\n"
+        "CAST(SUM(OCTET_LENGTH(CAST(text AS BINARY))) AS BIGINT) AS total_bytes,\n"
         "MAX(OCTET_LENGTH(CAST(text AS BINARY))) AS max_bytes\n"
         "FROM documents GROUP BY source ORDER BY source"
     ),
     oracle=(
         "SELECT source, COUNT(*) AS n,\n"
-        "SUM(OCTET_LENGTH(ENCODE(text))) AS total_bytes,\n"
+        "CAST(SUM(OCTET_LENGTH(ENCODE(text))) AS BIGINT) AS total_bytes,\n"
         "MAX(OCTET_LENGTH(ENCODE(text))) AS max_bytes\n"
         "FROM documents GROUP BY source ORDER BY source"
     ),
