@@ -18,16 +18,24 @@ from nyuki_spark.queries import REGISTRY
 
 _PATTERNS = ("CartesianProduct", "BroadcastNestedLoopJoin", "Exchange SinglePartition")
 
+
+def _single_partition_is_scalar_collect(plan: str) -> bool:
+    """True iff EVERY ``Exchange SinglePartition`` in the plan directly
+    consumes a ``partial_`` aggregate — the legal scalar-aggregate shape
+    where one pre-aggregated row per partition moves, never data rows.
+    (tpch_q06/q14/q15/q17/q19/q22, agg_percentile, scan_count, subq_*.)"""
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" in line:
+            child = lines[i + 1] if i + 1 < len(lines) else ""
+            if "partial_" not in child:
+                return False
+    return True
+
 # qid -> (patterns allowed, reason). Every reason must describe why the
 # pattern is bounded (moves k rows / joins a constant-size side), not why
 # it is convenient.
 ALLOWLIST: dict[str, tuple[tuple[str, ...], str]] = {
-    "agg_percentile": (
-        ("Exchange SinglePartition",),
-        "exact global MEDIAN: SinglePartition consumes partial_percentile "
-        "buffers (one compressed buffer per partition, not raw rows); the "
-        "100 TB path is approx_percentile, kept as the declared exact form",
-    ),
     "join_cross": (
         ("BroadcastNestedLoopJoin",),
         "declared CROSS JOIN semantics with a 5-row broadcast side (region); "
@@ -38,24 +46,10 @@ ALLOWLIST: dict[str, tuple[tuple[str, ...], str]] = {
         "deliberately id-bounded verification pass (<150 keys per side, "
         "docstring-scoped); the scale path gates on simhash candidates",
     ),
-    "scan_count": (
-        ("Exchange SinglePartition",),
-        "global COUNT(*): SinglePartition consumes partial_count rows "
-        "(one per partition)",
-    ),
     "skew_report": (
-        ("BroadcastNestedLoopJoin", "Exchange SinglePartition"),
-        "scalar total via partial_sum (asserted in test_plan_quality) and a "
-        "10-row vs 1-row broadcast cross join",
-    ),
-    "subq_not_in_null": (
-        ("Exchange SinglePartition",),
-        "two scalar COUNT(1) branches: SinglePartition consumes "
-        "partial_count; the NOT IN itself plans as BroadcastHashJoin LeftAnti",
-    ),
-    "subq_scalar": (
-        ("Exchange SinglePartition",),
-        "scalar subquery = global aggregate over partial_avg rows",
+        ("BroadcastNestedLoopJoin",),
+        "10-row vs 1-row broadcast cross join joining the top-k table to "
+        "the scalar total (partial-aggregated, auto-allowed)",
     ),
     "win_rank": (
         ("Exchange SinglePartition",),
@@ -72,6 +66,8 @@ def test_no_scale_killers(qid, spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     allowed, _reason = ALLOWLIST.get(qid, ((), ""))
     hits = [p for p in _PATTERNS if p in plan and p not in allowed]
+    if "Exchange SinglePartition" in hits and _single_partition_is_scalar_collect(plan):
+        hits.remove("Exchange SinglePartition")
     assert not hits, f"{qid}: scale-killer pattern(s) {hits} in plan:\n{plan[:800]}"
     stale = [p for p in allowed if p not in plan]
     assert not stale, (
