@@ -12,6 +12,7 @@ from nyuki_spark.queries import corpus  # noqa: F401  (populates REGISTRY)
 from nyuki_spark.queries import declared  # noqa: F401  (populates REGISTRY)
 from nyuki_spark.queries import extensions  # noqa: F401  (populates REGISTRY)
 from nyuki_spark.queries import llm  # noqa: F401  (populates REGISTRY)
+from nyuki_spark.queries import multimodal  # noqa: F401  (populates REGISTRY)
 from nyuki_spark.queries import semantics  # noqa: F401  (populates REGISTRY)
 from nyuki_spark.queries import tpch  # noqa: F401  (populates REGISTRY)
 from nyuki_spark.queries import udf  # noqa: F401  (populates REGISTRY)
