@@ -1,13 +1,21 @@
-"""Benchmark: run the declared suite at $SPARK_GRAFT_SF_DIR, print ONE JSON line.
+"""Benchmark: run ALL query suites at $SPARK_GRAFT_SF_DIR, print ONE JSON line.
 
 Methodology mirrors BASELINE.md: warm local session, tables registered once,
 per-query wall time includes Arrow collection, median of N_REPS reps,
 excludes JVM startup and one warm-up query. The acceptance bar is the
-BASELINE.md naive-PySpark suite total (35.6 s at sf0.1; budget <= ~71 s).
+BASELINE.md naive-PySpark suite total (35.6 s at sf0.1; budget <= ~71 s)
+for the declared suite; TPC-H budgets are the DuckDB timings in BASELINE.md.
+
+Round 4 extends coverage beyond the declared suite (the r3 gap: 85/147
+queries had zero wall-time evidence): the ``tpch`` and ``extension``
+suites are timed with the same median methodology. The headline
+``metric``/``value`` pair stays ``declared_suite_total`` so BENCH_r01-r03
+remain comparable; per-suite totals ride in ``suites``.
 
 Output (stdout, single line):
-  {"metric": "declared_suite_total", "value": <sum of per-query medians, sec>,
-   "unit": "sec", "queries": {qid: sec}, "sf": <float>}
+  {"metric": "declared_suite_total", "value": <declared total, sec>,
+   "unit": "sec", "queries": {qid: sec}, "sf": <float>,
+   "suites": {"declared": s, "tpch": s, "extension": s}}
 """
 
 from __future__ import annotations
@@ -21,6 +29,12 @@ import time
 # 5 warm reps (round-3): r2-vs-r1 showed a uniform ~+25% drift across the
 # join family with no code change — rep-count variance; medians over 5 pin it.
 N_REPS = int(os.environ.get("NYUKI_BENCH_REPS", "5"))
+# Extension queries include Structured-Streaming replays and LSH model fits
+# (multi-second each); 3 reps keeps the whole bench inside the driver's
+# window while still taking a median. Override with NYUKI_BENCH_REPS_EXT.
+N_REPS_EXT = int(os.environ.get("NYUKI_BENCH_REPS_EXT", "3"))
+
+SUITES = ("declared", "tpch", "extension")
 
 
 def main() -> None:
@@ -45,15 +59,19 @@ def main() -> None:
     # Warm-up: JIT, codegen cache, parquet footer cache.
     spark.sql("SELECT COUNT(*) AS n FROM lineitem").toArrow()
 
-    # Bench times the declared suite only — the set BASELINE.md's numbers
-    # cover. Extension queries (streaming-live, LSH, ...) are correctness
-    # surface, timed separately if needed.
     per_query: dict[str, float] = {}
+    suite_of: dict[str, str] = {}
     for qid, q in sorted(REGISTRY.items()):
-        if q.suite != "declared":
-            continue
+        # TPC-H queries register as suite="extension", category="tpch";
+        # report them as their own suite so BENCH_r{N} tracks the 14
+        # adapted queries against the DuckDB budgets in BASELINE.md.
+        if q.category == "tpch":
+            suite = "tpch"
+        else:
+            suite = q.suite if q.suite in SUITES else "extension"
+        reps = N_REPS if suite in ("declared", "tpch") else N_REPS_EXT
         times = []
-        for _ in range(N_REPS):
+        for _ in range(reps):
             t0 = time.perf_counter()
             if q.engine_fn is not None:
                 df = q.engine_fn(spark, sf_dir)
@@ -62,16 +80,39 @@ def main() -> None:
             df.toArrow()  # full materialisation through Arrow, like BASELINE
             times.append(time.perf_counter() - t0)
         per_query[qid] = round(statistics.median(times), 4)
+        suite_of[qid] = suite
+        if suite != "declared":
+            # A few extension engine_fns persist intermediates (recall
+            # guards); drop them so reps stay independent and storage
+            # memory doesn't creep across the 140+ query sweep. Declared
+            # queries never persist — skipping keeps their methodology
+            # bit-identical to BENCH_r01-r03.
+            spark.catalog.clearCache()
 
-    total = round(sum(per_query.values()), 3)
+    suites = {
+        s: round(sum(t for qid, t in per_query.items() if suite_of[qid] == s), 3)
+        for s in SUITES
+    }
+    # Streaming throughput: the *_live queries replay the full events table
+    # through a real Structured Streaming query (4 micro-batches, complete
+    # mode), so input-rows / wall-time is end-to-end rows/sec through the
+    # state store — the number BASELINE.md's streaming section tracks.
+    events_n = spark.table("events").count()
+    streaming = {
+        qid: round(events_n / t, 1)
+        for qid, t in per_query.items()
+        if qid.endswith("_live") and t > 0
+    }
     print(
         json.dumps(
             {
                 "metric": "declared_suite_total",
-                "value": total,
+                "value": suites["declared"],
                 "unit": "sec",
                 "queries": per_query,
                 "sf": sf,
+                "suites": suites,
+                "streaming_rows_per_sec": streaming,
             }
         )
     )

@@ -9,8 +9,11 @@ pixel/sample arrays come out, and the pipeline stats computed from them
 are verified against a closed-form DuckDB oracle
 (``mm_image_stats``/``mm_audio_stats`` in queries/multimodal.py).
 
-Codec formats that genuinely require external libraries (JPEG/PNG/MP3/MP4)
-remain behind the honest ``NotImplementedError`` gate in
+PNG joins them in round 4: it is zlib (stdlib) + per-scanline filters,
+so 8-bit grayscale encode/decode is implementable for real — all five
+filter types (None/Sub/Up/Average/Paeth) on both sides. Codec formats
+that genuinely require external libraries (JPEG/MP3/MP4) remain behind
+the honest ``NotImplementedError`` gate in
 :func:`nyuki_spark.functions.multimodal.decode_media`.
 
 These functions run inside Arrow-batched ``mapInPandas`` workers — plain
@@ -23,19 +26,29 @@ from __future__ import annotations
 import io
 import struct
 import wave
+import zlib
 
 import numpy as np
 
 __all__ = [
     "encode_bmp_gray8",
     "decode_bmp",
+    "encode_png_gray8",
+    "decode_png",
     "encode_wav_pcm16",
     "decode_wav",
     "sniff_media_kind",
 ]
 
-_BMP_FILE_HEADER = struct.Struct("<2sIHHI")  # magic, filesize, res, res, pixel offset
-_BMP_INFO_HEADER = struct.Struct("<IiiHHIIiiII")  # BITMAPINFOHEADER
+# Format STRINGS, not struct.Struct objects: these constants are captured by
+# cloudpickle when mapInPandas closures reference the codec functions, and
+# compiled ``_struct.Struct`` instances are unpicklable (round-3 regression:
+# "PicklingError: cannot pickle '_struct.Struct' object"). Strings pickle fine
+# and struct caches compiled formats internally, so there is no perf cost.
+_BMP_FILE_HEADER_FMT = "<2sIHHI"  # magic, filesize, res, res, pixel offset
+_BMP_FILE_HEADER_SIZE = struct.calcsize(_BMP_FILE_HEADER_FMT)
+_BMP_INFO_HEADER_FMT = "<IiiHHIIiiII"  # BITMAPINFOHEADER
+_BMP_INFO_HEADER_SIZE = struct.calcsize(_BMP_INFO_HEADER_FMT)
 
 
 def encode_bmp_gray8(img: np.ndarray) -> bytes:
@@ -52,12 +65,12 @@ def encode_bmp_gray8(img: np.ndarray) -> bytes:
     palette = bytearray()
     for i in range(256):
         palette += bytes((i, i, i, 0))  # B, G, R, reserved
-    pixel_offset = _BMP_FILE_HEADER.size + _BMP_INFO_HEADER.size + len(palette)
+    pixel_offset = _BMP_FILE_HEADER_SIZE + _BMP_INFO_HEADER_SIZE + len(palette)
     image_size = row_size * h
     rows = np.zeros((h, row_size), dtype=np.uint8)
     rows[:, :w] = img[::-1]  # bottom-up storage
-    header = _BMP_FILE_HEADER.pack(b"BM", pixel_offset + image_size, 0, 0, pixel_offset)
-    info = _BMP_INFO_HEADER.pack(40, w, h, 1, 8, 0, image_size, 2835, 2835, 256, 0)
+    header = struct.pack(_BMP_FILE_HEADER_FMT, b"BM", pixel_offset + image_size, 0, 0, pixel_offset)
+    info = struct.pack(_BMP_INFO_HEADER_FMT, 40, w, h, 1, 8, 0, image_size, 2835, 2835, 256, 0)
     return header + info + bytes(palette) + rows.tobytes()
 
 
@@ -71,18 +84,18 @@ def decode_bmp(data: bytes) -> np.ndarray:
     """
     if data[:2] != b"BM":
         raise ValueError("not a BMP payload (missing 'BM' magic)")
-    _, _, _, _, pixel_offset = _BMP_FILE_HEADER.unpack_from(data, 0)
+    _, _, _, _, pixel_offset = struct.unpack_from(_BMP_FILE_HEADER_FMT, data, 0)
     (
         hdr_size, w, h, _planes, bpp, compression, _img_size,
         _xres, _yres, n_colors, _important,
-    ) = _BMP_INFO_HEADER.unpack_from(data, _BMP_FILE_HEADER.size)
+    ) = struct.unpack_from(_BMP_INFO_HEADER_FMT, data, _BMP_FILE_HEADER_SIZE)
     if compression != 0:
         raise ValueError(f"compressed BMP (method {compression}) not supported")
     top_down = h < 0
     h = abs(h)
     if bpp == 8:
         n_colors = n_colors or 256
-        pal_off = _BMP_FILE_HEADER.size + hdr_size
+        pal_off = _BMP_FILE_HEADER_SIZE + hdr_size
         pal = np.frombuffer(data, dtype=np.uint8, count=n_colors * 4, offset=pal_off)
         pal = pal.reshape(-1, 4)[:, :3]  # B, G, R
         gray_lut = pal.mean(axis=1).round().astype(np.uint8)
@@ -134,10 +147,142 @@ def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
     return rate, samples
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload))
+        + tag
+        + payload
+        + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Paeth predictor (PNG filter 4), vectorized over int16/int32 arrays."""
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def encode_png_gray8(img: np.ndarray, filter_type: int = 0) -> bytes:
+    """Encode a 2-D uint8 array as an 8-bit grayscale PNG (stdlib zlib).
+
+    ``filter_type`` selects the per-scanline filter (0=None, 1=Sub, 2=Up,
+    3=Average, 4=Paeth) applied to every row — on encode each filter is
+    computed from the ORIGINAL pixels, so all five vectorize row-at-a-time.
+    Any compliant PNG reader accepts the output regardless of the filter
+    chosen; varying it exercises every decoder unfilter path.
+    """
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim != 2:
+        raise ValueError(f"expected 2-D grayscale array, got shape {img.shape}")
+    if filter_type not in (0, 1, 2, 3, 4):
+        raise ValueError(f"PNG filter type {filter_type} not in 0-4")
+    h, w = img.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)  # 8-bit, gray, no interlace
+    rows = img.astype(np.int16)
+    left = np.zeros_like(rows)
+    left[:, 1:] = rows[:, :-1]
+    up = np.zeros_like(rows)
+    up[1:] = rows[:-1]
+    upleft = np.zeros_like(rows)
+    upleft[1:, 1:] = rows[:-1, :-1]
+    if filter_type == 0:
+        filt = rows
+    elif filter_type == 1:
+        filt = rows - left
+    elif filter_type == 2:
+        filt = rows - up
+    elif filter_type == 3:
+        filt = rows - (left + up) // 2
+    else:
+        filt = rows - _paeth(left, up, upleft)
+    filt = (filt & 0xFF).astype(np.uint8)
+    raw = np.concatenate(
+        [np.full((h, 1), filter_type, dtype=np.uint8), filt], axis=1
+    ).tobytes()
+    return (
+        _PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """Decode an 8-bit grayscale PNG to a 2-D uint8 array.
+
+    Handles all five scanline filters (None/Sub/Up/Average/Paeth),
+    multiple/fragmented IDAT chunks, and skips ancillary chunks. Color
+    types other than grayscale-8 and interlaced files raise ``ValueError``
+    (the honest gate — palette/RGB/Adam7 belong to a real imaging lib).
+    """
+    if data[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG payload (missing signature)")
+    pos, w = 8, None
+    idat = bytearray()
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack_from(">I", data, pos)
+        tag = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + tag + payload + crc
+        if tag == b"IHDR":
+            w, h, depth, color, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", payload
+            )
+            if (depth, color) != (8, 0):
+                raise ValueError(
+                    f"PNG bit-depth/color ({depth},{color}) unsupported "
+                    "(8-bit grayscale only)"
+                )
+            if interlace:
+                raise ValueError("interlaced (Adam7) PNG not supported")
+        elif tag == b"IDAT":
+            idat += payload
+        elif tag == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG missing IHDR chunk")
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    raw = raw.reshape(h, w + 1)  # leading filter byte per scanline
+    out = np.zeros((h, w), dtype=np.int32)
+    for y in range(h):
+        ft = int(raw[y, 0])
+        row = raw[y, 1:].astype(np.int32)
+        prev = out[y - 1] if y else np.zeros(w, dtype=np.int32)
+        if ft == 0:
+            out[y] = row
+        elif ft == 2:
+            out[y] = (row + prev) & 0xFF
+        elif ft in (1, 3, 4):
+            # Left-neighbour filters need the RECONSTRUCTED left pixel, so
+            # x advances sequentially (rows are short; h is the long axis).
+            cur = out[y]
+            for x in range(w):
+                left = cur[x - 1] if x else 0
+                if ft == 1:
+                    cur[x] = (row[x] + left) & 0xFF
+                elif ft == 3:
+                    cur[x] = (row[x] + (left + prev[x]) // 2) & 0xFF
+                else:
+                    ul = prev[x - 1] if x else 0
+                    p = left + prev[x] - ul
+                    pa, pb, pc = abs(p - left), abs(p - prev[x]), abs(p - ul)
+                    pred = left if pa <= pb and pa <= pc else (prev[x] if pb <= pc else ul)
+                    cur[x] = (row[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"PNG filter type {ft} invalid")
+    return out.astype(np.uint8)
+
+
 def sniff_media_kind(data: bytes) -> str:
-    """Classify a payload by magic bytes: 'bmp', 'wav', or 'unknown'."""
+    """Classify a payload by magic bytes: 'bmp', 'png', 'wav', or 'unknown'."""
     if data[:2] == b"BM":
         return "bmp"
+    if data[:8] == _PNG_MAGIC:
+        return "png"
     if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
         return "wav"
     return "unknown"

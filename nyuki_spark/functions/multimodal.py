@@ -16,7 +16,7 @@ and :func:`decode_media_stats` sniffs magic bytes and decodes them back to
 pixel/sample arrays — verified end-to-end against closed-form DuckDB
 oracles (``mm_image_stats``/``mm_audio_stats``).
 
-Formats that genuinely require codec libraries (JPEG/PNG/MP3/MP4) remain
+Formats that genuinely require codec libraries (JPEG/MP3/MP4) remain
 STUBBED: :func:`decode_media` raises ``NotImplementedError`` unless
 ``fake=True``, which substitutes a deterministic byte-statistics "decode"
 (clearly not a real codec; real deployments drop PIL/ffmpeg into the same
@@ -107,14 +107,18 @@ def attach_synthetic_media(
 
     ``kind='image'``: an 8-bit grayscale BMP, ``(16 + id%8) x (8 + id%5)``,
     pixel ``(x, y) = (3x + 7y + 11*id) % 251`` — any external BMP reader
-    decodes it. ``kind='audio'``: a mono 16 kHz PCM WAV of
-    ``400 + (id%5)*80`` samples, ``sample[t] = (t*(1 + id%13)) % 251 - 125``.
-    The closed-form definitions are what the DuckDB oracles recompute, so
-    an engine-side encode->decode round trip is verified bit-exactly end
-    to end (integer pixel sums are exact in float64, so the means match
-    to the last bit).
+    decodes it. ``kind='png'``: an 8-bit grayscale PNG, ``(12 + id%7) x
+    (6 + id%6)``, pixel ``(x, y) = (5x + 3y + 13*id) % 241``, encoded with
+    scanline filter ``id % 5`` so the corpus exercises every PNG unfilter
+    path (None/Sub/Up/Average/Paeth). ``kind='audio'``: a mono 16 kHz PCM
+    WAV of ``400 + (id%5)*80`` samples, ``sample[t] = (t*(1 + id%13)) %
+    251 - 125``. The closed-form definitions are what the DuckDB oracles
+    recompute, so an engine-side encode->decode round trip is verified
+    bit-exactly end to end (integer pixel sums are exact in float64, so
+    the means match to the last bit).
     """
     enc_bmp, enc_wav = _codecs.encode_bmp_gray8, _codecs.encode_wav_pcm16
+    enc_png = _codecs.encode_png_gray8
     out_schema = StructType(
         [StructField(id_col, LongType()), StructField("payload", BinaryType())]
     )
@@ -130,6 +134,12 @@ def attach_synthetic_media(
                     ys = np.arange(h)[:, None]
                     img = (3 * xs + 7 * ys + 11 * i) % 251
                     payloads.append(enc_bmp(img.astype(np.uint8)))
+                elif kind == "png":
+                    w, h = 12 + i % 7, 6 + i % 6
+                    xs = np.arange(w)[None, :]
+                    ys = np.arange(h)[:, None]
+                    img = (5 * xs + 3 * ys + 13 * i) % 241
+                    payloads.append(enc_png(img.astype(np.uint8), filter_type=i % 5))
                 else:
                     n = 400 + (i % 5) * 80
                     t = np.arange(n)
@@ -155,6 +165,7 @@ def decode_media_stats(
     codec formats lives in :func:`decode_media`).
     """
     dec_bmp, dec_wav, sniff = _codecs.decode_bmp, _codecs.decode_wav, _codecs.sniff_media_kind
+    dec_png = _codecs.decode_png
     out_schema = StructType(
         [
             StructField(id_col, LongType()),
@@ -174,8 +185,8 @@ def decode_media_stats(
             for i, b in zip(pdf[id_col], pdf[payload_col]):
                 b = bytes(b)
                 kind = sniff(b)
-                if kind == "bmp":
-                    img = dec_bmp(b)
+                if kind in ("bmp", "png"):
+                    img = dec_bmp(b) if kind == "bmp" else dec_png(b)
                     vals = img.astype(np.float64).ravel()
                     h, w = img.shape
                     rate = None

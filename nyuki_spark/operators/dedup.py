@@ -142,26 +142,26 @@ def minhash_neardup_pairs(
     (id_a, id_b, jaccard_est), id_a < id_b, est >= threshold.
 
     Shingles are hashed into a sparse indicator vector (2^20 dims) —
-    MinHashLSH wants Vector input. approxSimilarityJoin expands each side
-    by num_hash_tables band keys and equi-joins: candidate volume scales
-    with collisions, not with |corpus|^2.
+    MinHashLSH wants Vector input. The vector is built JVM-side by
+    ``HashingTF(binary=True)`` over the shingle set (no Python UDF in the
+    path: Arrow cannot carry VectorUDT, so a pandas_udf is impossible, and
+    a row-wise ``F.udf`` pays per-row Python dispatch — the r3 wart).
+    approxSimilarityJoin expands each side by num_hash_tables band keys
+    and equi-joins: candidate volume scales with collisions, not with
+    |corpus|^2.
     """
-    from pyspark.ml.feature import MinHashLSH
-    from pyspark.ml.linalg import Vectors, VectorUDT
+    from pyspark.ml.feature import HashingTF, MinHashLSH
 
     dims = 1 << 20
     shingled = (
         word_ngrams(df, n=n, id_col=id_col, text_col=text_col)
-        .withColumn("idx", F.abs(F.xxhash64("shingle")) % dims)
         .groupBy(id_col)
-        .agg(F.collect_set("idx").alias("idxs"))
+        .agg(F.collect_set("shingle").alias("shingles"))
     )
-
-    @F.udf(VectorUDT())
-    def to_vec(idxs):
-        return Vectors.sparse(dims, sorted(idxs), [1.0] * len(idxs))
-
-    vecs = shingled.select(F.col(id_col).alias("id"), to_vec("idxs").alias("features"))
+    htf = HashingTF(
+        inputCol="shingles", outputCol="features", numFeatures=dims, binary=True
+    )
+    vecs = htf.transform(shingled).select(F.col(id_col).alias("id"), "features")
     lsh = MinHashLSH(
         inputCol="features", outputCol="hashes", numHashTables=num_hash_tables, seed=seed
     )

@@ -414,6 +414,12 @@ def _win_range_numeric_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Every shuffle is on the bounded p_size key; nothing is ever sorted or
     collected globally. The oracle runs the declared window form.
+
+    NOT NULL assumption (ADVICE r3): the inner join on ``p_size == t``
+    drops NULL-p_size rows, while the declared RANGE window would emit
+    them as their own peer group. ``part.p_size`` is NOT NULL in the
+    fixtures (and in TPC-H), so the rewrite is exact here; admitting NULLs
+    would require unioning the NULL-size rows back with their own count.
     """
     part = load_table(spark, sf_dir, "part")
     sizes = part.groupBy("p_size").agg(F.count(F.lit(1)).alias("cnt"))
@@ -1076,19 +1082,40 @@ def _ts_similar_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x.cast("double") * x.cast("double"),
         )
     )
-    return (
-        cand.join(pa, "id_a")
-        .join(pb, "id_b")
-        .select(
-            F.col("id_a").alias("ua"),
-            F.col("id_b").alias("ub"),
-            F.round(dot / (norm("va") * norm("vb")), 4)
-            .cast("double")
-            .alias("cos"),
+    def _score(pairs: DataFrame) -> DataFrame:
+        return (
+            pairs.join(pa, "id_a")
+            .join(pb, "id_b")
+            .select(
+                F.col("id_a").alias("ua"),
+                F.col("id_b").alias("ub"),
+                F.round(dot / (norm("va") * norm("vb")), 4)
+                .cast("double")
+                .alias("cos"),
+            )
+            .orderBy(F.desc("cos"), "ua", "ub")
+            .limit(10)
         )
-        .orderBy(F.desc("cos"), "ua", "ub")
-        .limit(10)
-    )
+
+    top = _score(cand).persist()
+    # Recall guard (ADVICE r3): LSH recall is probabilistic. The oracle is
+    # an exact all-pairs top-10, so a bucket miss — or a true top-10 pair
+    # below the sim_floor=0.5 candidate cutoff — would silently hash-fail
+    # on a dataset with less-correlated hour profiles than the fixtures
+    # (where the 10th cosine is ~0.909). If the candidate tier yields
+    # fewer than 10 pairs, or the 10th rescored cosine sits within eps of
+    # the floor (meaning true pairs may hide below it), fall back to the
+    # exact pair join — safe because the profile table is entity-sized
+    # (|users| rows), not event-sized. The 10-row collect is the guard's
+    # only driver-side cost; ``persist`` keeps the LSH tier single-pass
+    # when the guard passes (the common case).
+    rows = top.collect()
+    eps = 0.05
+    if len(rows) < 10 or min(r["cos"] for r in rows) < 0.5 + eps:
+        top.unpersist()
+        exact = pa.join(pb, F.col("id_a") < F.col("id_b"))
+        return _score(exact.select("id_a", "id_b"))
+    return top
 
 
 register(

@@ -96,3 +96,43 @@ register(
         "recomputes from the closed-form sample definition"
     ),
 )
+
+
+def _mm_png_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 48)
+    decoded = decode_media_stats(attach_synthetic_media(docs, kind="png"))
+    return decoded.select(
+        "doc_id",
+        "kind",
+        "width",
+        "height",
+        "n_values",
+        F.round("mean_val", 6).alias("mean_px"),
+    ).orderBy("doc_id")
+
+
+register(
+    "mm_png_stats",
+    engine_fn=_mm_png_fn,
+    oracle=(
+        "SELECT d.doc_id, 'png' AS kind,\n"
+        "  CAST(12 + d.doc_id % 7 AS INT) AS width,\n"
+        "  CAST(6 + d.doc_id % 6 AS INT) AS height,\n"
+        "  COUNT(*) AS n_values,\n"
+        "  CAST(ROUND(AVG((5*x.i + 3*y.j + 13*d.doc_id) % 241), 6) AS DOUBLE) AS mean_px\n"
+        "FROM documents d\n"
+        "JOIN range(19) x(i) ON x.i < 12 + d.doc_id % 7\n"
+        "JOIN range(12) y(j) ON y.j < 6 + d.doc_id % 6\n"
+        "WHERE d.doc_id < 48\n"
+        "GROUP BY d.doc_id ORDER BY d.doc_id"
+    ),
+    category="llm-multimodal",
+    suite="extension",
+    doc=(
+        "REAL PNG decode round trip (stdlib zlib codec): engine encodes "
+        "8-bit grayscale PNGs with scanline filter doc_id%5 — exercising "
+        "all five unfilter paths (None/Sub/Up/Average/Paeth) — re-decodes "
+        "them, and stats the PIXELS; oracle recomputes from the "
+        "closed-form pixel definition"
+    ),
+)

@@ -199,19 +199,23 @@ register(
     "tpch_q15",
     "WITH revenue AS (\n"
     "  SELECT l_suppkey AS supplier_no,\n"
-    "         SUM(l_extendedprice * (1 - l_discount)) AS total_revenue\n"
+    "         CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS DOUBLE)\n"
+    "    AS total_revenue\n"
     "  FROM lineitem\n"
     "  WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'\n"
     "  GROUP BY l_suppkey\n"
     ")\n"
-    "SELECT s_suppkey, s_name,\n"
-    "  CAST(ROUND(total_revenue, 4) AS DOUBLE) AS total_revenue\n"
+    "SELECT s_suppkey, s_name, total_revenue\n"
     "FROM supplier JOIN revenue ON s_suppkey = supplier_no\n"
     "WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)\n"
     "ORDER BY s_suppkey",
     category="tpch",
     suite="extension",
-    doc="TPC-H Q15 top supplier (verbatim; scalar-subquery max over a CTE)",
+    doc="TPC-H Q15 top supplier. The revenue CTE rounds to 4 decimals BEFORE "
+    "the max-equality filter: a raw double SUM is order-dependent, so two "
+    "engines summing in different orders could argmax different suppliers "
+    "on a near-tie; comparing rounded values is deterministic (a genuine "
+    "4-decimal tie returns the same tied set from both engines)",
 )
 
 # Q17 — small-quantity-order revenue: correlated scalar subquery against a

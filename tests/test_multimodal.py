@@ -78,3 +78,27 @@ def test_resize_stub_shape_and_meta(media):
     for r in out:
         assert len(bytes(r.payload)) == 32
         assert r.media_meta.width == 8 and r.media_meta.height == 4
+
+
+def test_png_codec_all_filters_roundtrip():
+    """Pure codec check: every PNG scanline filter (0-4) must round-trip
+    bit-exactly, including edge shapes (1x1, single row/column)."""
+    import numpy as np
+
+    from nyuki_spark.functions.codecs import (
+        decode_png,
+        encode_png_gray8,
+        sniff_media_kind,
+    )
+
+    rng = np.random.default_rng(11)
+    for ft in range(5):
+        for shape in [(1, 1), (1, 9), (9, 1), (7, 13), (32, 17)]:
+            img = rng.integers(0, 256, shape, dtype=np.uint8)
+            enc = encode_png_gray8(img, filter_type=ft)
+            assert sniff_media_kind(enc) == "png"
+            assert (decode_png(enc) == img).all(), (ft, shape)
+    with pytest.raises(ValueError):
+        decode_png(b"\x89PNG\r\n\x1a\njunk")
+    with pytest.raises(ValueError):
+        encode_png_gray8(rng.integers(0, 256, (4, 4), dtype=np.uint8), filter_type=7)

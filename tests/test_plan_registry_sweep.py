@@ -12,24 +12,53 @@ trips the sweep must be removed, so the list can only shrink.
 
 from __future__ import annotations
 
+import re
+
 import pytest
 
 from nyuki_spark.queries import REGISTRY
 
 _PATTERNS = ("CartesianProduct", "BroadcastNestedLoopJoin", "Exchange SinglePartition")
 
+# Pass-through physical nodes that sit between an Exchange and its logical
+# producer in the plan string without changing what data moves through it.
+_WRAPPER_NODES = ("WholeStageCodegen", "InputAdapter", "ShuffleQueryStage", "AQEShuffleRead")
+
+
+def _tree_depth(line: str) -> int:
+    """Depth of a plan-string line, from its tree-drawing prefix length
+    (``+- `` / ``:- `` / ``:  `` runs, 3 chars per level)."""
+    return len(re.match(r"^[\s:+|-]*", line).group(0))
+
 
 def _single_partition_is_scalar_collect(plan: str) -> bool:
-    """True iff EVERY ``Exchange SinglePartition`` in the plan directly
-    consumes a ``partial_`` aggregate — the legal scalar-aggregate shape
-    where one pre-aggregated row per partition moves, never data rows.
-    (tpch_q06/q14/q15/q17/q19/q22, agg_percentile, scan_count, subq_*.)"""
+    """True iff EVERY ``Exchange SinglePartition`` in the plan consumes a
+    ``partial_`` aggregate — the legal scalar-aggregate shape where one
+    pre-aggregated row per partition moves, never data rows.
+    (tpch_q06/q14/q15/q17/q19/q22, agg_percentile, scan_count, subq_*.)
+
+    The child is located by tree indentation depth, not by taking the
+    literal next line (ADVICE r3): plan layout varies across Spark
+    versions / AQE re-planning, and wrapper nodes (WholeStageCodegen,
+    InputAdapter, ShuffleQueryStage) can sit between the Exchange and the
+    aggregate without changing what flows through it.
+    """
     lines = plan.splitlines()
     for i, line in enumerate(lines):
-        if "Exchange SinglePartition" in line:
-            child = lines[i + 1] if i + 1 < len(lines) else ""
-            if "partial_" not in child:
-                return False
+        if "Exchange SinglePartition" not in line:
+            continue
+        depth = _tree_depth(line)
+        child = None
+        for j in range(i + 1, len(lines)):
+            d = _tree_depth(lines[j])
+            if d <= depth:
+                break  # sibling or ancestor: Exchange has no printed child
+            if any(w in lines[j] for w in _WRAPPER_NODES):
+                continue  # descend through pass-through wrappers
+            child = lines[j]
+            break
+        if child is None or "partial_" not in child:
+            return False
     return True
 
 # qid -> (patterns allowed, reason). Every reason must describe why the

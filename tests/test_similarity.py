@@ -79,3 +79,67 @@ def test_lsh_candidate_pairs_total_recall_on_fixture(spark, sf_dir):
     cands = embedding_candidates_lsh(emb, sim_floor=0.35)
     pruned = embedding_neardup_pairs(emb, top=10, candidates=cands).collect()
     assert sorted(map(tuple, exact)) == sorted(map(tuple, pruned))
+
+
+def test_ts_profile_lsh_recall_at_floor(spark, sf_dir):
+    """ADVICE r3: assert LSH recall vs brute force for the 24-dim COUNT-
+    profile shape ts_similar_users feeds through embedding_candidates_lsh
+    (integer count vectors, unit-normalised — a much lumpier distribution
+    than the synthetic float embeddings the other recall tests use).
+
+    Every true pair with cosine >= the registered sim_floor (0.5) must
+    appear in the candidate set; a miss here is exactly the silent
+    hash-fail mode the recall guard in _ts_similar_fn defends against.
+    """
+    from pyspark.sql import functions as F
+
+    from nyuki_spark.operators.similarity import embedding_candidates_lsh
+
+    events = load_table(spark, sf_dir, "events")
+    counts = (
+        events.select("user_id", F.hour("ts").alias("h"))
+        .groupBy("user_id", "h")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    grid = (
+        events.select("user_id")
+        .distinct()
+        .select("user_id", F.explode(F.sequence(F.lit(0), F.lit(23))).alias("h"))
+    )
+    prof = (
+        grid.join(counts, ["user_id", "h"], "left")
+        .withColumn("n", F.coalesce("n", F.lit(0)))
+        .groupBy("user_id")
+        .agg(F.array_sort(F.collect_list(F.struct("h", "n"))).getField("n").alias("v"))
+    )
+    sq = F.aggregate(F.col("v"), F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double"))
+    prof = prof.withColumn("_n", F.sqrt(sq)).withColumn(
+        "vn", F.transform("v", lambda x: x.cast("double") / F.col("_n"))
+    ).where(F.col("_n") > 0)
+
+    # Brute-force truth: all pairs with cosine >= floor (profile table is
+    # entity-sized, so the all-pairs join is affordable in a test).
+    a = prof.select(F.col("user_id").alias("ua"), F.col("vn").alias("va"))
+    b = prof.select(F.col("user_id").alias("ub"), F.col("vn").alias("vb"))
+    dot = F.aggregate(
+        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    floor = 0.5
+    truth = {
+        (r.ua, r.ub)
+        for r in a.join(b, F.col("ua") < F.col("ub"))
+        .select("ua", "ub", dot.alias("cos"))
+        .where(F.col("cos") >= floor)
+        .collect()
+    }
+    cand = {
+        (r.id_a, r.id_b)
+        for r in embedding_candidates_lsh(
+            prof, sim_floor=floor, id_col="user_id", emb_col="vn", num_hash_tables=8
+        ).collect()
+    }
+    assert truth, "fixture produced no pairs above the floor — test is vacuous"
+    missed = truth - cand
+    recall = 1 - len(missed) / len(truth)
+    assert recall >= 0.9, f"count-profile LSH recall {recall:.3f}; missed {sorted(missed)[:5]}"
