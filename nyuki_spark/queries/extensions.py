@@ -11,6 +11,7 @@ applies. Approximate/nondeterministic ops carry no oracle (rows-only).
 from __future__ import annotations
 
 import shutil
+import uuid
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -34,11 +35,17 @@ def _live(build):
 
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         sdf, scratch = _replayed(spark, sf_dir)
+        name = f"nyuki_live_{uuid.uuid4().hex[:12]}"
         try:
-            out = run_to_table(build(sdf), mode="complete")
+            out = run_to_table(build(sdf), mode="complete", name=name)
             # Force materialisation before the scratch dir disappears.
             out = out.cache()
             out.count()
+            # Drop the memory-sink view: the cached DataFrame stays valid
+            # (its plan already holds the sink relation), but the catalog
+            # no longer pins the sink rows, so repeated invocations (bench
+            # reps) cannot accumulate sinks until the JVM heap dies.
+            spark.catalog.dropTempView(name)
             return out
         finally:
             shutil.rmtree(scratch, ignore_errors=True)

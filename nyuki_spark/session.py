@@ -45,6 +45,13 @@ ENGINE_CONF: dict[str, str] = {
     "spark.sql.shuffle.partitions": os.environ.get("NYUKI_SHUFFLE_PARTITIONS", "32"),
     # Self-describing UI is useless headless; saves startup time.
     "spark.ui.enabled": "false",
+    # Builder-time only (configure_session skips non-spark.sql.* keys): in
+    # local mode the driver JVM IS the executor, and Spark's 1g default
+    # heap OOMs a 32-thread run long before the 128 GiB box is busy —
+    # observed on the r4 full-suite bench (streaming sliding-window Expand
+    # at sf0.1). Sized so the sf1 (6 M-row lineitem) validation also fits;
+    # a real cluster sets executor memory through spark-submit instead.
+    "spark.driver.memory": os.environ.get("NYUKI_DRIVER_MEMORY", "24g"),
 }
 
 

@@ -35,7 +35,10 @@ def main() -> None:
         con.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     per_query = {}
     for qid, q in sorted(REGISTRY.items()):
-        if q.suite != suite or not q.oracle_sql:
+        # TPC-H registers as suite="extension", category="tpch" — match the
+        # bench.py grouping so budgets line up with BENCH_r{N} suites.
+        group = "tpch" if q.category == "tpch" else q.suite
+        if group != suite or not q.oracle_sql:
             continue
         times = []
         for _ in range(N_REPS):
