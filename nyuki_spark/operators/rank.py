@@ -33,6 +33,30 @@ from pyspark.sql import functions as F
 
 __all__ = ["global_row_number", "key_rank", "ntile_from_rn"]
 
+# One range bucket per this many input bytes when num_buckets="auto". 32 MB
+# keeps every per-bucket window sort comfortably in one task's memory.
+_BYTES_PER_BUCKET = 32 << 20
+
+
+def _auto_buckets(df: DataFrame, cap: int = 32) -> int:
+    """Bucket count from Catalyst's size estimate — no job is run.
+
+    Small inputs get 1 bucket, which degenerates the two-phase plan into
+    the plain single-partition window — at a few MB that IS the fastest
+    plan (r3 verdict: win_rank paid 2.3x over naive at sf0.1 purely in
+    bucketing machinery). The estimate comes from file sizes for scans and
+    propagated stats elsewhere; anything unknown or huge falls back to the
+    cap, which is the safe direction (over-bucketing costs a little
+    latency, under-bucketing OOMs).
+    """
+    try:
+        size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return cap
+    if size <= 0 or size >= cap * _BYTES_PER_BUCKET:
+        return cap
+    return max(1, -(-size // _BYTES_PER_BUCKET))
+
 
 def global_row_number(
     df: DataFrame,
@@ -40,7 +64,7 @@ def global_row_number(
     tiebreak_cols: list[str] | None = None,
     ascending: bool = True,
     out: str = "rn",
-    num_buckets: int = 32,
+    num_buckets: int | None = None,
     rel_err: float = 0.001,
     attach_total: str | None = None,
 ) -> DataFrame:
@@ -49,9 +73,15 @@ def global_row_number(
     ``sort_col`` must be numeric non-null (it feeds approxQuantile);
     ``tiebreak_cols`` (ascending) must make the order total for a
     deterministic result — same contract as SQL ROW_NUMBER.
+
+    ``num_buckets=None`` sizes the bucket count from Catalyst's input-size
+    estimate (see :func:`_auto_buckets`); pass an int to pin it. With one
+    bucket the approxQuantile pass is skipped entirely.
     """
+    if num_buckets is None:
+        num_buckets = _auto_buckets(df)
     probs = [i / num_buckets for i in range(1, num_buckets)]
-    splits = sorted(set(df.stat.approxQuantile(sort_col, probs, rel_err)))
+    splits = sorted(set(df.stat.approxQuantile(sort_col, probs, rel_err))) if probs else []
     sarr = F.array(*[F.lit(s) for s in splits])
     v = F.col(sort_col)
     # Deterministic bucket id = how many split points precede this value in

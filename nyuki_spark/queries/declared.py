@@ -283,17 +283,52 @@ register(
 # --------------------------------------------------------------------------
 
 def _win_rank_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two-phase execution of the declared global-window SQL (the oracle).
+    """Size-adaptive execution of the declared global-window SQL (the oracle).
 
-    The naive plan moves ALL rows into one WindowExec partition; here
-    ROW_NUMBER runs via range-repartition + local rank + offset merge,
-    RANK/DENSE_RANK over the low-cardinality segment via a broadcast
-    distinct-key table, and NTILE as arithmetic on (rn, count) — every
-    stage balanced, no single-partition window anywhere in the plan.
+    Two plans, chosen by Catalyst's input-size estimate (no job runs):
+
+    - **small input** (fits one 32 MB rank bucket): the plain windowed
+      plan. One WindowExec over a broadcast-sized input is the FASTEST
+      plan there — the r3 bench showed the decomposition paying 2.3x pure
+      stage-latency overhead at sf0.1 for rows that trivially fit one task.
+    - **at scale**: the naive plan moves ALL rows into one WindowExec
+      partition and dies; ROW_NUMBER instead runs via range-bucket + local
+      rank + offset merge, RANK/DENSE_RANK over the low-cardinality
+      segment via a broadcast distinct-key table, and NTILE as arithmetic
+      on (rn, count) — every stage balanced, nothing single-partition over
+      data rows.
+
+    Both plans compute identical values (the oracle checks whichever ran);
+    the switch is the engine making the cost-based choice a warehouse
+    optimizer would.
     """
-    from nyuki_spark.operators.rank import global_row_number, key_rank, ntile_from_rn
+    from nyuki_spark.operators.rank import (
+        _auto_buckets,
+        global_row_number,
+        key_rank,
+        ntile_from_rn,
+    )
 
     cust = load_table(spark, sf_dir, "customer")
+    if _auto_buckets(cust) == 1:
+        from pyspark.sql import Window
+
+        # lit(0) partition = deliberate single-group window on a bounded
+        # input (house style: declares the smallness is intentional).
+        w0 = Window.partitionBy(F.lit(0))
+        bal = w0.orderBy(F.desc("c_acctbal"), "c_custkey")
+        seg = w0.orderBy("c_mktsegment")
+        return (
+            cust.select(
+                "c_custkey",
+                "c_acctbal",
+                F.row_number().over(bal).alias("rn"),
+                F.rank().over(seg).alias("rk"),
+                F.dense_rank().over(seg).alias("drk"),
+                F.ntile(4).over(bal).alias("quartile"),
+            )
+            .orderBy("c_custkey")
+        )
     out = global_row_number(
         cust,
         "c_acctbal",

@@ -251,17 +251,82 @@ register(
 
 
 def _cos_pairs_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 cosine pairs via the full dedup funnel.
+
+    Stage 0 (r4): **exact-duplicate collapse** — group by the embedding
+    VALUE, keep one representative per group. Real corpora are duplicate-
+    heavy, and identical vectors are LSH's worst case: every copy lands in
+    the same bucket of every hash table, so candidate volume grows with
+    the SQUARE of the duplication factor (observed on the replicated sf1
+    fixtures: 901 s before this stage). Uniques go through LSH candidate
+    bucketing + exact rescoring as before; afterwards group pairs expand
+    back to member pairs (every member of A x every member of B shares the
+    representatives' cosine, since members are bit-identical) and
+    intra-group pairs join at sim 1.0 by definition. Member lists are
+    sliced to each group's 11 smallest ids before expansion — for a top-10
+    output ordered by (sim DESC, id_a, id_b), any qualifying pair uses ids
+    within the smallest 11 of its group, so the slice is lossless for the
+    result while bounding a mega-duplicate group's expansion at 100 TB.
+
+    Duplicate-free input degenerates to exactly the r3 plan (collapse is a
+    1:1 pass, expansions are 1:1). The sim_floor sits well under the
+    fixtures' 10th-best pair (~0.45 at sf0.01); recall is asserted vs
+    brute force in tests/test_similarity.py.
+    """
     from nyuki_spark.operators.similarity import embedding_candidates_lsh
 
     emb = load_table(spark, sf_dir, "embeddings")
-    # Scale path: LSH bucketing generates candidates via an equi-join on
-    # (hash-table, bucket) keys; exact float64 sims are computed only on
-    # candidates. The sim_floor sits well under the fixtures' 10th-best
-    # pair (~0.45 at sf0.01), and recall at these parameters is total on
-    # every fixture SF (asserted vs brute force in tests/test_similarity.py)
-    # — the exact all-pairs form survives only there, as the recall oracle.
-    cands = embedding_candidates_lsh(emb, sim_floor=0.35)
-    return embedding_neardup_pairs(emb, top=10, candidates=cands)
+    groups = (
+        emb.groupBy("embedding")
+        .agg(
+            F.min("vec_id").alias("rep_id"),
+            F.slice(F.sort_array(F.collect_list("vec_id")), 1, 11).alias("members"),
+            F.count(F.lit(1)).alias("m"),
+        )
+        .persist()  # entity-sized; feeds uniq/ga/gb/intra plan branches
+    )
+    uniq = groups.select(F.col("rep_id").alias("vec_id"), "embedding")
+    # One cheap probe on the cached groups decides the plan: expansion
+    # stages only exist for duplicate-bearing corpora; dup-free input gets
+    # exactly the r3 plan (collapse is 1:1 there).
+    has_dups = groups.where(F.col("m") >= 2).limit(1).count() > 0
+    cands = embedding_candidates_lsh(uniq, sim_floor=0.35)
+    rep_pairs = embedding_neardup_pairs(uniq, candidates=cands)
+    if not has_dups:
+        return rep_pairs.orderBy(F.desc("sim"), "id_a", "id_b").limit(10)
+    # Top-100 group pairs bound the expansion (only 10 group pairs can
+    # contribute to the top-10; 100 gives tie headroom at equal rounded sim).
+    rep_top = rep_pairs.orderBy(F.desc("sim"), "id_a", "id_b").limit(100)
+    ga = groups.select(F.col("rep_id").alias("id_a"), F.col("members").alias("_ma"))
+    gb = groups.select(F.col("rep_id").alias("id_b"), F.col("members").alias("_mb"))
+    inter = (
+        rep_top.join(ga, "id_a")
+        .join(gb, "id_b")
+        .select(F.explode("_ma").alias("_u"), "_mb", "sim")
+        .select("_u", F.explode("_mb").alias("_v"), "sim")
+        .select(
+            F.least("_u", "_v").alias("id_a"),
+            F.greatest("_u", "_v").alias("id_b"),
+            "sim",
+        )
+    )
+    intra = (
+        groups.where(F.col("m") >= 2)
+        .select(F.col("members").alias("_ms"))
+        .select(F.explode("_ms").alias("_u"), "_ms")
+        .select("_u", F.explode("_ms").alias("_v"))
+        .where(F.col("_u") < F.col("_v"))
+        .select(
+            F.col("_u").alias("id_a"),
+            F.col("_v").alias("id_b"),
+            F.lit(1.0).alias("sim"),
+        )
+    )
+    return (
+        inter.unionByName(intra)
+        .orderBy(F.desc("sim"), "id_a", "id_b")
+        .limit(10)
+    )
 
 
 register(

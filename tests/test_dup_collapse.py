@@ -1,0 +1,77 @@
+"""Duplicate-collapse funnel: the expansion path must stay oracle-exact.
+
+``llm_cosine_pairs`` and ``ts_similar_users`` collapse exact-duplicate
+vectors/profiles before LSH (r4: identical vectors collide in every hash
+table, so candidates grow with the square of the duplication factor —
+901 s at replicated sf1 before the collapse) and expand group pairs back
+afterwards. The shipped fixtures are duplicate-free, so the oracle suites
+only exercise the 1:1 degenerate path; this test plants real duplicates —
+a replicated copy of the sf0.001 fixtures with offset ids, exactly the
+shape scripts/make_sf1.py produces — and checks both queries against their
+DuckDB oracles on the SAME planted data. Intra-duplicate pairs (sim 1.0),
+cross-group expansion, and ordering ties all get exercised.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from nyuki_spark.catalog import TABLES
+from nyuki_spark.queries import REGISTRY
+
+DUP_QUERIES = ("llm_cosine_pairs", "ts_similar_users")
+
+
+@pytest.fixture(scope="module")
+def dup_sf_dir(tmp_path_factory):
+    """sf0.001 replicated 3x with offset keys -> every row has 2 exact dups."""
+    src = "/root/testdata/sf0.001"
+    dst = tmp_path_factory.mktemp("dup_sf")
+    con = duckdb.connect()
+    spans = {
+        "embeddings": ("vec_id", None),
+        "events": ("event_id", "user_id"),
+    }
+    for t in TABLES:
+        if t in spans:
+            keys = [k for k in spans[t] if k]
+            cols = [
+                c[0] for c in con.execute(f"SELECT * FROM '{src}/{t}.parquet' LIMIT 0").description
+            ]
+            sel = []
+            for c in cols:
+                if c in keys:
+                    span = con.execute(
+                        f"SELECT MAX({c})+1 FROM '{src}/{t}.parquet'"
+                    ).fetchone()[0]
+                    sel.append(f"{c} + r.i * {span} AS {c}")
+                else:
+                    sel.append(c)
+            con.execute(
+                f"COPY (SELECT {', '.join(sel)} FROM '{src}/{t}.parquet', range(3) r(i)) "
+                f"TO '{dst}/{t}.parquet' (FORMAT PARQUET)"
+            )
+        else:
+            con.execute(
+                f"COPY (SELECT * FROM '{src}/{t}.parquet') TO '{dst}/{t}.parquet' (FORMAT PARQUET)"
+            )
+    return str(dst)
+
+
+@pytest.mark.parametrize("qid", DUP_QUERIES)
+def test_collapse_matches_oracle_on_duplicates(qid, spark, dup_sf_dir):
+    q = REGISTRY[qid]
+    engine = [tuple(r) for r in q.run(spark, dup_sf_dir).collect()]
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{dup_sf_dir}/{t}.parquet'"
+        )
+    oracle = [tuple(r) for r in con.execute(q.oracle_sql).fetchall()]
+
+    assert engine == oracle, f"{qid} diverged on planted duplicates"
+    # The planted corpus guarantees duplicate pairs exist; the top of the
+    # list must therefore be intra-duplicate pairs at sim exactly 1.0.
+    assert engine and engine[0][2] == pytest.approx(1.0)

@@ -82,9 +82,11 @@ ALLOWLIST: dict[str, tuple[tuple[str, ...], str]] = {
     ),
     "win_rank": (
         ("Exchange SinglePartition",),
-        "two-phase range-bucketed rank: SinglePartition consumes the "
-        "per-bucket count table (n_buckets rows) to compute offsets, never "
-        "the data rows (operators/rank.py)",
+        "size-adaptive rank (queries/declared.py): below one 32 MB bucket "
+        "the plain windowed plan runs (SinglePartition over a bounded "
+        "input — the sweep sees this branch at sf0.001); at scale the "
+        "two-phase range-bucketed plan runs and SinglePartition only ever "
+        "consumes the n_buckets-row offset table (operators/rank.py)",
     ),
 }
 

