@@ -191,7 +191,53 @@ register(
 
 def _simhash_pairs_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return simhash_pairs(docs, max_hamming=3, bands=4).orderBy("id_a", "id_b")
+    # r4: exact-duplicate collapse (the llm_cosine_pairs funnel, full
+    # member lists like llm_ngram_jaccard). Identical texts hash to the
+    # same simhash, so every copy collides in every band — the banded
+    # equi-join grows with the square of the duplication factor. Pair
+    # unique texts, then expand: cross pairs inherit the representatives'
+    # hamming (members are bit-identical), intra-duplicate pairs are
+    # hamming 0 by definition.
+    groups = (
+        docs.groupBy("text")
+        .agg(
+            F.min("doc_id").alias("rep_id"),
+            F.sort_array(F.collect_list("doc_id")).alias("members"),
+            F.count(F.lit(1)).alias("m"),
+        )
+        .persist()
+    )
+    uniq = groups.select(F.col("rep_id").alias("doc_id"), "text")
+    has_dups = groups.where(F.col("m") >= 2).limit(1).count() > 0
+    rep_pairs = simhash_pairs(uniq, max_hamming=3, bands=4)
+    if not has_dups:
+        return rep_pairs.orderBy("id_a", "id_b")
+    ga = groups.select(F.col("rep_id").alias("id_a"), F.col("members").alias("_ma"))
+    gb = groups.select(F.col("rep_id").alias("id_b"), F.col("members").alias("_mb"))
+    inter = (
+        rep_pairs.join(ga, "id_a")
+        .join(gb, "id_b")
+        .select(F.explode("_ma").alias("_u"), "_mb", "hamming")
+        .select("_u", F.explode("_mb").alias("_v"), "hamming")
+        .select(
+            F.least("_u", "_v").alias("id_a"),
+            F.greatest("_u", "_v").alias("id_b"),
+            "hamming",
+        )
+    )
+    intra = (
+        groups.where(F.col("m") >= 2)
+        .select(F.col("members").alias("_ms"))
+        .select(F.explode("_ms").alias("_u"), "_ms")
+        .select("_u", F.explode("_ms").alias("_v"))
+        .where(F.col("_u") < F.col("_v"))
+        .select(
+            F.col("_u").alias("id_a"),
+            F.col("_v").alias("id_b"),
+            F.lit(0).cast("integer").alias("hamming"),
+        )
+    )
+    return inter.unionByName(intra).orderBy("id_a", "id_b")
 
 
 register(
@@ -220,7 +266,54 @@ register(
 
 def _jaccard_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(docs, threshold=0.5, n=3).orderBy("id_a", "id_b")
+    # r4: exact-duplicate collapse (same funnel as llm_cosine_pairs, but
+    # with FULL member lists — this query emits every qualifying pair, so
+    # nothing can be sliced). Identical texts share every shingle, making
+    # the shingle self-join grow with the SQUARE of the duplication
+    # factor; pairing unique texts and expanding afterwards keeps the join
+    # proportional to unique-text overlap. Intra-duplicate pairs are
+    # jaccard 1.0 by definition; cross pairs inherit their
+    # representatives' jaccard because members are bit-identical.
+    groups = (
+        docs.groupBy("text")
+        .agg(
+            F.min("doc_id").alias("rep_id"),
+            F.sort_array(F.collect_list("doc_id")).alias("members"),
+            F.count(F.lit(1)).alias("m"),
+        )
+        .persist()
+    )
+    uniq = groups.select(F.col("rep_id").alias("doc_id"), "text")
+    has_dups = groups.where(F.col("m") >= 2).limit(1).count() > 0
+    rep_pairs = ngram_jaccard_pairs(uniq, threshold=0.5, n=3)
+    if not has_dups:
+        return rep_pairs.orderBy("id_a", "id_b")
+    ga = groups.select(F.col("rep_id").alias("id_a"), F.col("members").alias("_ma"))
+    gb = groups.select(F.col("rep_id").alias("id_b"), F.col("members").alias("_mb"))
+    inter = (
+        rep_pairs.join(ga, "id_a")
+        .join(gb, "id_b")
+        .select(F.explode("_ma").alias("_u"), "_mb", "jaccard")
+        .select("_u", F.explode("_mb").alias("_v"), "jaccard")
+        .select(
+            F.least("_u", "_v").alias("id_a"),
+            F.greatest("_u", "_v").alias("id_b"),
+            "jaccard",
+        )
+    )
+    intra = (
+        groups.where(F.col("m") >= 2)
+        .select(F.col("members").alias("_ms"))
+        .select(F.explode("_ms").alias("_u"), "_ms")
+        .select("_u", F.explode("_ms").alias("_v"))
+        .where(F.col("_u") < F.col("_v"))
+        .select(
+            F.col("_u").alias("id_a"),
+            F.col("_v").alias("id_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    return inter.unionByName(intra).orderBy("id_a", "id_b")
 
 
 register(
@@ -453,13 +546,44 @@ register(
 # -- near-dup clustering (pairs -> groups) -----------------------------------
 
 
+def _collapsed_simhash_edges(docs: DataFrame):
+    """(groups, edges): a connectivity-EQUIVALENT edge set for the
+    hamming<=3 simhash graph, built duplicate-collapsed (r4).
+
+    Identical texts form band-collision cliques that square with the
+    duplication factor; for connected components only CONNECTIVITY
+    matters, so each duplicate group contributes a star (rep -> member,
+    linear) instead of its C(m,2) clique, and the banded join runs over
+    unique texts only. Component labels are unchanged: the rep is its
+    group's min id, so min-label propagation yields the same label set
+    the full pair graph would.
+    """
+    groups = (
+        docs.groupBy("text")
+        .agg(
+            F.min("doc_id").alias("rep_id"),
+            F.sort_array(F.collect_list("doc_id")).alias("members"),
+            F.count(F.lit(1)).alias("m"),
+        )
+        .persist()
+    )
+    uniq = groups.select(F.col("rep_id").alias("doc_id"), "text")
+    rep_pairs = simhash_pairs(uniq, max_hamming=3, bands=4).select("id_a", "id_b")
+    star = (
+        groups.where(F.col("m") >= 2)
+        .select(F.col("rep_id").alias("id_a"), F.explode("members").alias("id_b"))
+        .where(F.col("id_a") != F.col("id_b"))
+    )
+    return groups, rep_pairs.unionByName(star)
+
+
 def _neardup_clusters_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nyuki_spark.operators.components import connected_components
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = simhash_pairs(docs, max_hamming=3, bands=4)
+    _, edges = _collapsed_simhash_edges(docs)
     return (
-        connected_components(pairs, id_out="doc_id", comp_out="component")
+        connected_components(edges, id_out="doc_id", comp_out="component")
         .orderBy("doc_id")
     )
 
@@ -495,9 +619,9 @@ def _dedup_groups_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nyuki_spark.operators.components import dedup_by_components
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = simhash_pairs(docs, max_hamming=3, bands=4)
+    _, edges = _collapsed_simhash_edges(docs)
     return (
-        dedup_by_components(docs, pairs)
+        dedup_by_components(docs, edges)
         .select("doc_id", "source", "n_chars")
         .orderBy("doc_id")
     )
