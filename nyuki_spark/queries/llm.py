@@ -464,7 +464,51 @@ register(
 
 def _minhash_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return minhash_neardup_pairs(docs, threshold=0.5)
+    # r4: duplicate collapse (same funnel as llm_simhash_pairs — identical
+    # texts collide in every MinHash band, squaring approxSimilarityJoin's
+    # candidate volume). Unique texts go through the LSH; expansion
+    # re-emits member pairs with the reps' jaccard_est, intra-duplicate
+    # pairs at exactly 1.0 (identical shingle sets).
+    groups = (
+        docs.groupBy("text")
+        .agg(
+            F.min("doc_id").alias("rep_id"),
+            F.sort_array(F.collect_list("doc_id")).alias("members"),
+            F.count(F.lit(1)).alias("m"),
+        )
+        .persist()
+    )
+    uniq = groups.select(F.col("rep_id").alias("doc_id"), "text")
+    has_dups = groups.where(F.col("m") >= 2).limit(1).count() > 0
+    rep_pairs = minhash_neardup_pairs(uniq, threshold=0.5)
+    if not has_dups:
+        return rep_pairs
+    ga = groups.select(F.col("rep_id").alias("id_a"), F.col("members").alias("_ma"))
+    gb = groups.select(F.col("rep_id").alias("id_b"), F.col("members").alias("_mb"))
+    inter = (
+        rep_pairs.join(ga, "id_a")
+        .join(gb, "id_b")
+        .select(F.explode("_ma").alias("_u"), "_mb", "jaccard_est")
+        .select("_u", F.explode("_mb").alias("_v"), "jaccard_est")
+        .select(
+            F.least("_u", "_v").alias("id_a"),
+            F.greatest("_u", "_v").alias("id_b"),
+            "jaccard_est",
+        )
+    )
+    intra = (
+        groups.where(F.col("m") >= 2)
+        .select(F.col("members").alias("_ms"))
+        .select(F.explode("_ms").alias("_u"), "_ms")
+        .select("_u", F.explode("_ms").alias("_v"))
+        .where(F.col("_u") < F.col("_v"))
+        .select(
+            F.col("_u").alias("id_a"),
+            F.col("_v").alias("id_b"),
+            F.lit(1.0).alias("jaccard_est"),
+        )
+    )
+    return inter.unionByName(intra).orderBy("id_a", "id_b")
 
 
 register(
