@@ -360,3 +360,162 @@ register(
     "lateness; NOT-EXISTS branch self-joins orders to keep correlation "
     "one level deep)",
 )
+
+
+# -- partsupp-shape queries (Q2/Q9/Q11/Q16/Q20) -------------------------------
+#
+# The fixture has no partsupp table, but it DOES record which supplier
+# shipped which part: the distinct (l_partkey, l_suppkey) pairs of
+# lineitem are exactly the supply relationships a partsupp table would
+# declare (~26 suppliers/part at sf0.01 vs TPC-H's fixed 4 — same
+# bridging-table role, same cardinality class: |partsupp| ~ |lineitem|/8).
+# ps_supplycost / ps_availqty are deterministic pure-integer-arithmetic
+# functions of the key pair, so both engines derive bit-identical values
+# (int % then one CAST + divide — no accumulation order anywhere), which
+# makes even the Q2 MIN-equality filter engine-stable. This turns the five
+# officially-omitted partsupp queries into faithful shape adaptations
+# instead of gaps: the planner sees the same mid-size bridging table,
+# correlated-MIN / HAVING-over-scalar-total / NOT-IN / double-nested
+# IN+correlated-aggregate shapes as the official queries.
+_PARTSUPP_CTE = (
+    "partsupp AS (\n"
+    "  SELECT ps_partkey, ps_suppkey,\n"
+    "    CAST((ps_partkey * 7 + ps_suppkey * 11) % 9000 + 1000 AS DOUBLE)"
+    " / 100.0 AS ps_supplycost,\n"
+    "    CAST((ps_partkey * 13 + ps_suppkey * 17) % 9999 + 1 AS BIGINT)"
+    " AS ps_availqty\n"
+    "  FROM (SELECT DISTINCT l_partkey AS ps_partkey,"
+    " l_suppkey AS ps_suppkey FROM lineitem) pairs\n"
+    ")"
+)
+
+# Q2 — minimum-cost supplier: the correlated-MIN-subquery-over-the-same-
+# bridging-table shape. The MIN equality compares values produced by the
+# identical deterministic formula on both engines (no FP accumulation),
+# so the argmin filter is stable — unlike a SUM-derived max (see Q15).
+register(
+    "tpch_q02",
+    f"WITH {_PARTSUPP_CTE}\n"
+    "SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, ps_supplycost\n"
+    "FROM part\n"
+    "JOIN partsupp ON p_partkey = ps_partkey\n"
+    "JOIN supplier ON s_suppkey = ps_suppkey\n"
+    "JOIN nation ON s_nationkey = n_nationkey\n"
+    "JOIN region ON n_regionkey = r_regionkey\n"
+    "WHERE p_size BETWEEN 10 AND 20 AND p_type = 'STANDARD'"
+    " AND r_name = 'EUROPE'\n"
+    "AND ps_supplycost = (\n"
+    "  SELECT MIN(ps2.ps_supplycost)\n"
+    "  FROM partsupp ps2\n"
+    "  JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey\n"
+    "  JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey\n"
+    "  JOIN region r2 ON n2.n_regionkey = r2.r_regionkey\n"
+    "  WHERE ps2.ps_partkey = p_partkey AND r2.r_name = 'EUROPE')\n"
+    "ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100",
+    category="tpch",
+    suite="extension",
+    doc="TPC-H Q2 shape: correlated per-part MIN over the derived partsupp "
+    "bridging table (region-filtered min-cost supplier); equality filter is "
+    "engine-stable because ps_supplycost is a deterministic per-row formula",
+)
+
+# Q9 — product-type profit: the biggest join tree in TPC-H (6 tables,
+# fact joined to the bridging table on BOTH keys) with a measure that
+# mixes lineitem and partsupp columns.
+register(
+    "tpch_q09",
+    f"WITH {_PARTSUPP_CTE}\n"
+    "SELECT nation, o_year, CAST(ROUND(SUM(amount), 2) AS DOUBLE)"
+    " AS sum_profit FROM (\n"
+    "  SELECT n_name AS nation,\n"
+    "    CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,\n"
+    "    l_extendedprice * (1 - l_discount) - ps_supplycost * l_quantity"
+    " AS amount\n"
+    "  FROM lineitem\n"
+    "  JOIN part ON p_partkey = l_partkey\n"
+    "  JOIN supplier ON s_suppkey = l_suppkey\n"
+    "  JOIN partsupp ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey\n"
+    "  JOIN orders ON o_orderkey = l_orderkey\n"
+    "  JOIN nation ON s_nationkey = n_nationkey\n"
+    "  WHERE p_name LIKE '%red%'\n"
+    ") profit GROUP BY nation, o_year ORDER BY nation, o_year DESC",
+    category="tpch",
+    suite="extension",
+    doc="TPC-H Q9 shape: six-table profit join with the two-key "
+    "fact-to-partsupp join and a cross-table measure",
+)
+
+# Q11 — important stock: group over the bridging table, HAVING against a
+# scalar-subquery fraction of the ungrouped total (the classic
+# "aggregate compared to global aggregate" plan).
+register(
+    "tpch_q11",
+    f"WITH {_PARTSUPP_CTE}\n"
+    "SELECT ps_partkey, CAST(ROUND(SUM(ps_supplycost * ps_availqty), 2)"
+    " AS DOUBLE) AS total_value\n"
+    "FROM partsupp\n"
+    "JOIN supplier ON ps_suppkey = s_suppkey\n"
+    "JOIN nation ON s_nationkey = n_nationkey\n"
+    "WHERE n_name = 'NATION_7'\n"
+    "GROUP BY ps_partkey\n"
+    "HAVING SUM(ps_supplycost * ps_availqty) > (\n"
+    "  SELECT SUM(ps2.ps_supplycost * ps2.ps_availqty) * 0.001\n"
+    "  FROM partsupp ps2\n"
+    "  JOIN supplier s2 ON ps2.ps_suppkey = s2.s_suppkey\n"
+    "  JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey\n"
+    "  WHERE n2.n_name = 'NATION_7')\n"
+    "ORDER BY total_value DESC, ps_partkey",
+    category="tpch",
+    suite="extension",
+    doc="TPC-H Q11 shape: per-part value vs scalar fraction of the global "
+    "total (fraction retuned to 0.001 for the fixture's ~26-supplier parts; "
+    "near-threshold FP ties are a theoretical risk as in official Q11)",
+)
+
+# Q16 — supplier count by part attributes: COUNT(DISTINCT) over the
+# bridging table with a NOT-IN anti-subquery on the supplier dim
+# (s_acctbal < 0 proxies the official comment-pattern exclusion — same
+# small-anti-join shape; s_suppkey is NOT NULL so NOT IN is safe).
+register(
+    "tpch_q16",
+    f"WITH {_PARTSUPP_CTE}\n"
+    "SELECT p_brand, p_type, p_size, COUNT(DISTINCT ps_suppkey)"
+    " AS supplier_cnt\n"
+    "FROM partsupp\n"
+    "JOIN part ON p_partkey = ps_partkey\n"
+    "WHERE p_brand <> 'Brand#13' AND p_type NOT LIKE 'PROMO%'\n"
+    "AND p_size IN (9, 14, 19, 23, 36, 45, 49, 3)\n"
+    "AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier"
+    " WHERE s_acctbal < 0)\n"
+    "GROUP BY p_brand, p_type, p_size\n"
+    "ORDER BY supplier_cnt DESC, p_brand, p_type, p_size LIMIT 100",
+    category="tpch",
+    suite="extension",
+    doc="TPC-H Q16 shape: distinct-supplier census with NOT-IN supplier "
+    "exclusion (negative balance proxies the complaint-comment filter)",
+)
+
+# Q20 — potential part promotion: IN(IN + correlated aggregate) double
+# nesting, correlating on BOTH partsupp keys against a filtered lineitem
+# aggregate. The hardest decorrelation in the official suite.
+register(
+    "tpch_q20",
+    f"WITH {_PARTSUPP_CTE}\n"
+    "SELECT s_name, s_acctbal\n"
+    "FROM supplier JOIN nation ON s_nationkey = n_nationkey\n"
+    "WHERE n_name = 'NATION_3'\n"
+    "AND s_suppkey IN (\n"
+    "  SELECT ps_suppkey FROM partsupp\n"
+    "  WHERE ps_partkey IN (SELECT p_partkey FROM part"
+    " WHERE p_name LIKE 'small%')\n"
+    "  AND ps_availqty > (\n"
+    "    SELECT 0.5 * SUM(l_quantity) FROM lineitem\n"
+    "    WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey\n"
+    "    AND l_shipdate >= DATE '1996-01-01'"
+    " AND l_shipdate < DATE '1997-01-01'))\n"
+    "ORDER BY s_name",
+    category="tpch",
+    suite="extension",
+    doc="TPC-H Q20 shape: doubly-nested IN with a two-key-correlated "
+    "filtered SUM threshold (excess-stock supplier promotion)",
+)
