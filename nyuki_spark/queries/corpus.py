@@ -772,3 +772,106 @@ register(
         "the worker, no giant-array explode) — frame lengths hash-checked"
     ),
 )
+
+
+# -- repetition stats (Gopher-style quality rules) ----------------------------
+
+
+def _repetition_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition metrics used by corpus quality filters
+    (the "repetitious document" family of rules: a document dominated by
+    one word or by repeated bigrams is boilerplate/spam, not prose).
+
+    Scale shape: the word path is explode -> two doc_id-keyed hash aggs
+    (partial combine on both; the word-count table is bounded by total
+    token count, partitioned by doc_id so no skew beyond document length).
+    The bigram path never explodes at all — duplicate fraction only needs
+    ``size`` vs ``size(array_distinct)``, both JVM array ops inside one
+    projection. No windows, no sorts, no Python.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), " ")
+
+    # Bigram duplicate fraction, computed array-side in one pass.
+    bg = F.when(
+        F.size(ws) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - 1),
+            lambda i: F.concat(
+                F.element_at(ws, i), F.lit(" "), F.element_at(ws, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    arr_stats = docs.select(
+        "doc_id",
+        F.size(ws).cast("long").alias("n_words"),
+        F.when(
+            F.size(bg) > 0,
+            F.round(
+                1.0 - F.size(F.array_distinct(bg)) / F.size(bg), 4
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .cast("double")
+        .alias("dup_bigram_frac"),
+    )
+
+    # Word-level: distinct vocabulary + share of the single most common
+    # word (no argmax word emitted, so FP/tie ambiguity cannot arise).
+    words = docs.select("doc_id", F.explode(ws).alias("w"))
+    wc = words.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
+    word_stats = wc.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("distinct_words"),
+        F.round(F.max("c") / F.sum("c"), 4)
+        .cast("double")
+        .alias("top_word_frac"),
+    )
+
+    return (
+        arr_stats.join(word_stats, "doc_id")
+        .select(
+            "doc_id",
+            "n_words",
+            "distinct_words",
+            "top_word_frac",
+            "dup_bigram_frac",
+        )
+        .orderBy("doc_id")
+    )
+
+
+register(
+    "llm_repetition_stats",
+    engine_fn=_repetition_fn,
+    oracle=(
+        "WITH base AS (\n"
+        "  SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM documents\n"
+        "), arrs AS (\n"
+        "  SELECT doc_id, LEN(ws) AS n_words,\n"
+        "    CASE WHEN LEN(ws) >= 2 THEN\n"
+        "      ROUND(1.0 - CAST(LEN(LIST_DISTINCT(LIST_TRANSFORM(\n"
+        "          RANGE(1, LEN(ws)), i -> ws[i] || ' ' || ws[i+1])))\n"
+        "        AS DOUBLE) / (LEN(ws) - 1), 4)\n"
+        "    ELSE 0.0 END AS dup_bigram_frac\n"
+        "  FROM base\n"
+        "), wc AS (\n"
+        "  SELECT doc_id, w, COUNT(*) AS c\n"
+        "  FROM (SELECT doc_id, UNNEST(ws) AS w FROM base) GROUP BY 1, 2\n"
+        "), wstats AS (\n"
+        "  SELECT doc_id, COUNT(*) AS distinct_words,\n"
+        "    ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 4) AS top_word_frac\n"
+        "  FROM wc GROUP BY doc_id)\n"
+        "SELECT a.doc_id, a.n_words, w.distinct_words,\n"
+        "  w.top_word_frac, a.dup_bigram_frac\n"
+        "FROM arrs a JOIN wstats w USING (doc_id) ORDER BY a.doc_id"
+    ),
+    category="llm-text",
+    suite="extension",
+    doc=(
+        "Gopher-style repetition metrics per document: vocabulary size, "
+        "most-common-word share, duplicate-bigram fraction — the signals "
+        "behind 'repetitious document' corpus filters; bigram dedup is a "
+        "pure JVM array expression (no explode), word stats are two "
+        "doc_id-keyed hash aggs"
+    ),
+)

@@ -157,6 +157,78 @@ register(
 )
 
 
+# -- stream-stream interval join, live ---------------------------------------
+#
+# View -> purchase attribution within one hour, as a REAL stream-stream
+# inner join: both sides carry a watermark and the join carries the
+# event-time range constraint, so Spark plans StreamingSymmetricHashJoin
+# with keyed state on user_id and watermark-driven state eviction. The
+# replay chunks are hash-partitioned (arbitrary arrival order across the
+# whole 30-day span), so parity with the batch oracle requires the
+# watermark delay to cover the full replay disorder — "35 days" here. In
+# production against a bus the same pipeline runs with the bus's real
+# lateness bound (minutes), which is when the state-eviction path earns
+# its keep; the finite-replay setting exercises the identical plan with
+# eviction never firing, keeping the batch oracle exact.
+
+
+def _stream_join_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    scratch = tempfile.mkdtemp(prefix="nyuki-live-")
+    name = f"nyuki_live_{uuid.uuid4().hex[:12]}"
+    try:
+        sdf = replay_stream(spark, events, n_chunks=4, scratch_dir=scratch)
+        # The fixture ts is TIMESTAMP_NTZ; watermarks require TIMESTAMP.
+        # The session runs UTC (configure_session), so the cast is
+        # value-identical.
+        wm = sdf.withColumn("ts", F.col("ts").cast("timestamp")).withWatermark(
+            "ts", "35 days"
+        )
+        views = wm.filter(F.col("event_type") == "view").select(
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("view_ts"),
+            F.col("event_id").alias("view_id"),
+        )
+        buys = wm.filter(F.col("event_type") == "purchase").select(
+            F.col("user_id").alias("b_user"),
+            F.col("ts").alias("buy_ts"),
+            F.col("event_id").alias("buy_id"),
+        )
+        joined = views.join(
+            buys,
+            (F.col("v_user") == F.col("b_user"))
+            & (F.col("buy_ts") >= F.col("view_ts"))
+            & (F.col("buy_ts") <= F.col("view_ts") + F.expr("INTERVAL 1 HOUR")),
+        ).select(F.col("v_user").alias("user_id"), "view_id", "buy_id")
+        out = run_to_table(joined, mode="append", name=name)
+        out = out.orderBy("user_id", "view_id", "buy_id").cache()
+        out.count()
+        spark.catalog.dropTempView(name)
+        return out
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+register(
+    "stream_join_live",
+    engine_fn=_stream_join_fn,
+    oracle=(
+        "SELECT v.user_id, v.event_id AS view_id, p.event_id AS buy_id\n"
+        "FROM events v JOIN events p ON v.user_id = p.user_id\n"
+        "AND v.event_type = 'view' AND p.event_type = 'purchase'\n"
+        "AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR\n"
+        "ORDER BY v.user_id, view_id, buy_id"
+    ),
+    category="streaming-live",
+    suite="extension",
+    doc=(
+        "stream-stream interval inner join (view->purchase attribution "
+        "within 1h) through StreamingSymmetricHashJoin with watermarked "
+        "state on both sides, checked against the batch self-join oracle"
+    ),
+)
+
+
 # -- hierarchical time rollup (hypertable-style continuous aggregate) --------
 #
 # The scale pattern behind "continuous aggregates": aggregate raw events to
@@ -327,6 +399,23 @@ register(
     category="window",
     suite="extension",
     doc="PERCENT_RANK / CUME_DIST / NTH_VALUE analytic distribution functions",
+)
+
+register(
+    "win_ntile_buckets",
+    sql=(
+        "SELECT c_custkey,\n"
+        "NTILE(10) OVER (PARTITION BY c_mktsegment"
+        " ORDER BY c_acctbal DESC, c_custkey) AS decile\n"
+        "FROM customer ORDER BY c_custkey"
+    ),
+    category="window",
+    suite="extension",
+    doc=(
+        "NTILE decile assignment per market segment (equi-depth binning "
+        "for feature bucketing); partitioned by segment so no global sort "
+        "— deterministic via the custkey tiebreak"
+    ),
 )
 
 register(
@@ -1267,4 +1356,159 @@ register(
     category="aggregate",
     suite="extension",
     doc="COUNT_IF / BOOL_OR / BOOL_AND conditional aggregates (FILTER twin)",
+)
+
+
+# -- incremental aggregate maintenance (materialized-view delta merge) -------
+#
+# The 100 TB pattern behind "refresh the dashboard without rescanning the
+# corpus": keep a per-key PARTIAL aggregate state table (count / decimal
+# sum / min / max — all mergeable), aggregate ONLY the new delta batch,
+# then merge the two small state tables. At update time the big table is
+# never touched: the shuffle is |delta| + |state|, not |base|. avg is
+# derived sum/count at read time (never stored — it does not merge).
+# Sums ride a DECIMAL(18,2) cast so partial-merge order cannot perturb
+# the result (FP sums are order-dependent; decimals are exact), which is
+# also what makes the merged answer hash-equal to the oracle's direct
+# full aggregation.
+
+
+def _mv_incremental_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "vdec", F.col("value").cast("decimal(18,2)")
+    )
+    # Deterministic split: ~1/7 of rows arrive as the "new batch".
+    base = ev.filter(F.col("event_id") % 7 != 0)
+    delta = ev.filter(F.col("event_id") % 7 == 0)
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("vdec").alias("s"),
+            F.min("vdec").alias("mn"),
+            F.max("vdec").alias("mx"),
+        )
+
+    merged = (
+        partial(base)
+        .unionByName(partial(delta))
+        .groupBy("event_type")
+        .agg(
+            F.sum("cnt").alias("n"),
+            F.sum("s").alias("s"),
+            F.min("mn").alias("mn"),
+            F.max("mx").alias("mx"),
+        )
+    )
+    return merged.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.col("s").cast("double").alias("total"),
+        F.col("mn").cast("double").alias("vmin"),
+        F.col("mx").cast("double").alias("vmax"),
+        F.round(F.col("s").cast("double") / F.col("n"), 4)
+        .cast("double")
+        .alias("vavg"),
+    ).orderBy("event_type")
+
+
+register(
+    "mv_incremental_agg",
+    engine_fn=_mv_incremental_fn,
+    oracle=(
+        "SELECT event_type, COUNT(*) AS n,\n"
+        "  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,\n"
+        "  CAST(MIN(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS vmin,\n"
+        "  CAST(MAX(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS vmax,\n"
+        "  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)\n"
+        "        / COUNT(*), 4) AS vavg\n"
+        "FROM events GROUP BY event_type ORDER BY event_type"
+    ),
+    category="aggregate",
+    suite="extension",
+    doc=(
+        "incremental materialized-view maintenance: mergeable partial "
+        "state (count/decimal-sum/min/max) per key, delta batch aggregated "
+        "alone and merged into the state table — update cost scales with "
+        "the delta, not the base; oracle recomputes the full aggregate "
+        "directly and must hash-match exactly"
+    ),
+)
+
+
+# -- point-in-interval lookup via grid bucketing -----------------------------
+#
+# The scale-safe form of "which tariff band / geo range / price bracket
+# does this reading fall into": a raw range-predicate join is a
+# BroadcastNestedLoopJoin (every point probes every interval — the exact
+# pattern the plan sweep bans). Bucketing by a grid whose cell size is >=
+# the maximum interval width turns it into an EQUI-join: each interval is
+# exploded to the <=2 cells it touches, each point hashes to exactly one
+# cell, and each true (point, interval) pair meets in exactly that one
+# cell — no dedup step needed. The residual range filter runs after the
+# hash match. At 100 TB the points side streams through a broadcast hash
+# join against the (tiny, exploded) interval table; nothing is quadratic.
+
+
+def _range_grid_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cell = 25.0  # > max interval width (21), so an interval spans <= 2 cells
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        ((F.col("s_suppkey") * 37) % 450).cast("double").alias("lo"),
+        (
+            (F.col("s_suppkey") * 37) % 450
+            + 1
+            + (F.col("s_suppkey") * 13) % 20
+        )
+        .cast("double")
+        .alias("hi"),
+    )
+    cells = sup.select(
+        "s_suppkey",
+        "lo",
+        "hi",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("lo") / cell).cast("long"),
+                F.floor(F.col("hi") / cell).cast("long"),
+            )
+        ).alias("cell"),
+    )
+    pts = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "value",
+        F.floor(F.col("value") / cell).cast("long").alias("cell"),
+    )
+    hits = pts.join(F.broadcast(cells), "cell").filter(
+        (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi"))
+    )
+    return (
+        hits.groupBy("s_suppkey", "lo", "hi")
+        .agg(F.count(F.lit(1)).alias("n_points"))
+        .orderBy("s_suppkey")
+    )
+
+
+register(
+    "lookup_range_grid",
+    engine_fn=_range_grid_fn,
+    oracle=(
+        "WITH iv AS (\n"
+        "  SELECT s_suppkey,\n"
+        "    CAST((s_suppkey * 37) % 450 AS DOUBLE) AS lo,\n"
+        "    CAST((s_suppkey * 37) % 450 + 1 + (s_suppkey * 13) % 20\n"
+        "         AS DOUBLE) AS hi\n"
+        "  FROM supplier)\n"
+        "SELECT s_suppkey, lo, hi, COUNT(*) AS n_points\n"
+        "FROM iv JOIN events e ON e.value >= iv.lo AND e.value < iv.hi\n"
+        "GROUP BY s_suppkey, lo, hi ORDER BY s_suppkey"
+    ),
+    category="join",
+    suite="extension",
+    doc=(
+        "point-in-interval lookup join rewritten as a grid-cell equi-join "
+        "(cell size >= max interval width, each pair meets in exactly one "
+        "cell) — the scale-safe replacement for the nested-loop range "
+        "probe; oracle is the direct range join"
+    ),
 )

@@ -696,3 +696,76 @@ register(
         "component loser list)"
     ),
 )
+
+
+def _survivor_pick_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection: within each near-dup component keep
+    the HIGHEST-QUALITY member (longest text, doc_id tiebreak), not the
+    min-id one — the policy real corpus dedup uses ("keep the best copy").
+
+    Scale shape: component labels come from the O(log d) distributed
+    connected components; the pick itself is one window partitioned by
+    component (bounded partitions — component size is duplicate-group
+    size, never corpus size), no global sort.
+    """
+    from pyspark.sql import Window
+
+    from nyuki_spark.operators.components import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    _, edges = _collapsed_simhash_edges(docs)
+    comp = connected_components(edges, id_out="doc_id", comp_out="component")
+    lab = (
+        docs.select("doc_id", "n_chars")
+        .join(comp, "doc_id", "left")
+        .withColumn("component", F.coalesce("component", "doc_id"))
+    )
+    wp = Window.partitionBy("component")
+    w = wp.orderBy(F.desc("n_chars"), "doc_id")
+    return (
+        lab.withColumn("rn", F.row_number().over(w))
+        .withColumn("group_size", F.count(F.lit(1)).over(wp))
+        .where(F.col("rn") == 1)
+        .select(
+            "component",
+            F.col("doc_id").alias("survivor_id"),
+            F.col("group_size").cast("long").alias("group_size"),
+        )
+        .orderBy("component")
+    )
+
+
+register(
+    "llm_survivor_pick",
+    engine_fn=_survivor_pick_fn,
+    oracle=(
+        "WITH RECURSIVE sh AS (" + _DUCK_SIMHASH + "),\n"
+        "pairs AS (SELECT a.doc_id AS s, b.doc_id AS d\n"
+        "          FROM sh a JOIN sh b ON a.doc_id < b.doc_id\n"
+        "          WHERE BIT_COUNT(XOR(a.simhash, b.simhash)) <= 3),\n"
+        "edges AS (SELECT s, d FROM pairs UNION SELECT d, s FROM pairs),\n"
+        "reach(id, comp) AS (\n"
+        "  SELECT s, s FROM edges\n"
+        "  UNION\n"
+        "  SELECT e.d, r.comp FROM reach r JOIN edges e ON e.s = r.id),\n"
+        "labels AS (SELECT id, MIN(comp) AS component FROM reach GROUP BY id),\n"
+        "allc AS (SELECT d.doc_id, COALESCE(l.component, d.doc_id) AS component,\n"
+        "                d.n_chars\n"
+        "         FROM documents d LEFT JOIN labels l ON d.doc_id = l.id),\n"
+        "rk AS (SELECT component, doc_id, \n"
+        "         ROW_NUMBER() OVER (PARTITION BY component\n"
+        "                            ORDER BY n_chars DESC, doc_id) AS rn,\n"
+        "         COUNT(*) OVER (PARTITION BY component) AS group_size\n"
+        "       FROM allc)\n"
+        "SELECT component, doc_id AS survivor_id, group_size\n"
+        "FROM rk WHERE rn = 1 ORDER BY component"
+    ),
+    category="llm-dedup",
+    suite="extension",
+    doc=(
+        "quality-policy canonical selection: per near-dup component keep "
+        "the longest member (doc_id tiebreak) — 'keep the best copy' "
+        "dedup, composed from distributed connected components + a "
+        "component-bounded window"
+    ),
+)
