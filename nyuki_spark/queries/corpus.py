@@ -790,19 +790,24 @@ def _repetition_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection. No windows, no sorts, no Python.
     """
     docs = load_table(spark, sf_dir, "documents")
-    ws = F.split(F.col("text"), " ")
+    # Materialize the split ONCE. Referencing split(text) inside a
+    # per-element lambda (element_at(split(text), i)) re-splits the whole
+    # string per element — O(words^2) per document; a named column is
+    # split a bounded number of times per row.
+    base = docs.select("doc_id", F.split(F.col("text"), " ").alias("ws"))
+    ws = F.col("ws")
 
-    # Bigram duplicate fraction, computed array-side in one pass.
+    # Bigram duplicate fraction: zip the array with its own 1-shift —
+    # two O(n) slices + one O(n) zip per row, no index arithmetic.
     bg = F.when(
         F.size(ws) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(ws) - 1),
-            lambda i: F.concat(
-                F.element_at(ws, i), F.lit(" "), F.element_at(ws, i + 1)
-            ),
+        F.zip_with(
+            F.slice(ws, 1, F.size(ws) - 1),
+            F.slice(ws, 2, F.size(ws) - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    arr_stats = docs.select(
+    arr_stats = base.select(
         "doc_id",
         F.size(ws).cast("long").alias("n_words"),
         F.when(
@@ -818,7 +823,7 @@ def _repetition_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # Word-level: distinct vocabulary + share of the single most common
     # word (no argmax word emitted, so FP/tie ambiguity cannot arise).
-    words = docs.select("doc_id", F.explode(ws).alias("w"))
+    words = base.select("doc_id", F.explode(ws).alias("w"))
     wc = words.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
     word_stats = wc.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("distinct_words"),

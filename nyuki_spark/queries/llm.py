@@ -769,3 +769,72 @@ register(
         "component-bounded window"
     ),
 )
+
+
+def _leakage_split_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: the hash draw is keyed on the
+    NEAR-DUP COMPONENT label, not the doc_id, so near-duplicate documents
+    can never straddle train and test (the eval-contamination mode a
+    plain per-doc split has). Singletons' component is their own doc_id,
+    so their assignment coincides with llm_split_assign's — adding dedup
+    awareness does not reshuffle the untangled majority of the corpus.
+    """
+    from nyuki_spark.operators.components import connected_components
+    from nyuki_spark.operators.sample import hash_fraction
+
+    docs = load_table(spark, sf_dir, "documents")
+    _, edges = _collapsed_simhash_edges(docs)
+    comp = connected_components(edges, id_out="doc_id", comp_out="component")
+    lab = (
+        docs.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .withColumn("component", F.coalesce("component", "doc_id"))
+    )
+    draw = hash_fraction("component", salt="split")
+    split = (
+        F.when(draw < 0.8, "train").when(draw < 0.9, "val").otherwise("test")
+    )
+    return (
+        lab.select(split.alias("split"), "component")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("component").alias("n_components"),
+        )
+        .orderBy("split")
+    )
+
+
+register(
+    "llm_leakage_safe_split",
+    engine_fn=_leakage_split_fn,
+    oracle=(
+        "WITH RECURSIVE sh AS (" + _DUCK_SIMHASH + "),\n"
+        "pairs AS (SELECT a.doc_id AS s, b.doc_id AS d\n"
+        "          FROM sh a JOIN sh b ON a.doc_id < b.doc_id\n"
+        "          WHERE BIT_COUNT(XOR(a.simhash, b.simhash)) <= 3),\n"
+        "edges AS (SELECT s, d FROM pairs UNION SELECT d, s FROM pairs),\n"
+        "reach(id, comp) AS (\n"
+        "  SELECT s, s FROM edges\n"
+        "  UNION\n"
+        "  SELECT e.d, r.comp FROM reach r JOIN edges e ON e.s = r.id),\n"
+        "labels AS (SELECT id, MIN(comp) AS component FROM reach GROUP BY id),\n"
+        "allc AS (SELECT d.doc_id,\n"
+        "                COALESCE(l.component, d.doc_id) AS component\n"
+        "         FROM documents d LEFT JOIN labels l ON d.doc_id = l.id),\n"
+        "drawn AS (SELECT component,\n"
+        "  ('0x' || SUBSTR(MD5('split' || CAST(component AS VARCHAR)), 1, 8))"
+        "::BIGINT / 4294967296.0 AS d FROM allc)\n"
+        "SELECT CASE WHEN d < 0.8 THEN 'train' WHEN d < 0.9 THEN 'val'\n"
+        "            ELSE 'test' END AS split,\n"
+        "  COUNT(*) AS n_docs, COUNT(DISTINCT component) AS n_components\n"
+        "FROM drawn GROUP BY split ORDER BY split"
+    ),
+    category="llm-sampling",
+    suite="extension",
+    doc=(
+        "leakage-safe split: hash-range assignment keyed on the near-dup "
+        "component, so near-duplicates never straddle train/test; "
+        "singleton assignment coincides with the plain per-doc split"
+    ),
+)

@@ -459,7 +459,8 @@ register(
     "WHERE n_name = 'NATION_7'\n"
     "GROUP BY ps_partkey\n"
     "HAVING SUM(ps_supplycost * ps_availqty) > (\n"
-    "  SELECT SUM(ps2.ps_supplycost * ps2.ps_availqty) * 0.001\n"
+    "  SELECT SUM(ps2.ps_supplycost * ps2.ps_availqty)\n"
+    "         * (SELECT 2.0 / COUNT(*) FROM part)\n"
     "  FROM partsupp ps2\n"
     "  JOIN supplier s2 ON ps2.ps_suppkey = s2.s_suppkey\n"
     "  JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey\n"
@@ -468,8 +469,10 @@ register(
     category="tpch",
     suite="extension",
     doc="TPC-H Q11 shape: per-part value vs scalar fraction of the global "
-    "total (fraction retuned to 0.001 for the fixture's ~26-supplier parts; "
-    "near-threshold FP ties are a theoretical risk as in official Q11)",
+    "total. The fraction is 2/|part| (twice the mean per-part share), the "
+    "scale-adaptive form of the official 0.0001/SF — a fixed literal empties "
+    "the result as |part| grows (verified at sf1); near-threshold FP ties "
+    "remain a theoretical risk as in official Q11",
 )
 
 # Q16 — supplier count by part attributes: COUNT(DISTINCT) over the

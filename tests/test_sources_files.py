@@ -55,3 +55,46 @@ def test_map_functions_surface(spark):
     )
     row = out.head()
     assert row.b == 20 and row.keys == ["a", "b"] and row.n == 2
+
+
+def test_orc_roundtrip_with_pushdown(spark, sf_dir, tmp_path):
+    """ORC is a first-class columnar source in Spark (no extra package):
+    schema survives a round trip and predicates reach the ORC scan
+    (searchArgument pushdown), same as parquet."""
+    orders = load_table(spark, sf_dir, "orders")
+    path = str(tmp_path / "orders_orc")
+    orders.write.orc(path)
+    back = spark.read.orc(path)
+    assert back.schema == orders.schema
+    assert back.count() == orders.count()
+    plan = (
+        back.filter(F.col("o_totalprice") > 1000.0)
+        .select("o_orderkey")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # Filter pushed to the ORC scan + column-pruned read schema.
+    assert "PushedFilters: [" in plan and "o_totalprice" in plan
+    assert "ReadSchema" in plan
+
+
+def test_text_and_binaryfile_sources(spark, tmp_path):
+    """`text` reads lines as a 1-column DataFrame (raw-corpus ingestion);
+    `binaryFile` reads whole files as (path, modificationTime, length,
+    content) — the opaque-blob entry point for multimodal payloads."""
+    p = tmp_path / "docs"
+    p.mkdir()
+    (p / "a.txt").write_text("alpha\nbeta\n")
+    (p / "b.txt").write_text("gamma\n")
+    lines = spark.read.text(str(p))
+    assert sorted(r.value for r in lines.collect()) == [
+        "alpha",
+        "beta",
+        "gamma",
+    ]
+    blobs = spark.read.format("binaryFile").load(str(p))
+    rows = {r.path.rsplit("/", 1)[-1]: bytes(r.content) for r in blobs.collect()}
+    assert rows["a.txt"] == b"alpha\nbeta\n"
+    assert rows["b.txt"] == b"gamma\n"
+    assert set(blobs.columns) == {"path", "modificationTime", "length", "content"}
