@@ -507,22 +507,62 @@ def _decontam_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shingle (never all-pairs): candidate pairs are bounded by shared
     shingles exactly like the Jaccard funnel, so at 100 TB this scales
     with the leak rate, not the corpus square. Output = (train, bench)
-    pairs with >= 3 shared 5-grams."""
+    pairs with >= 3 shared 5-grams.
+
+    Duplicate-collapsed (r4): on duplicate-heavy corpora the shingle
+    join inflates with the SQUARE of the duplication factor (every train
+    copy meets every bench copy of the same text). Shingling and the
+    overlap join run over UNIQUE texts only; the (train, bench) doc
+    pairs are expanded afterwards from the per-text member lists —
+    shared-count is a function of the two texts, so every expanded pair
+    inherits its rep pair's count exactly. 30x-replicated sf3: 177 s ->
+    ~3 s, identical output."""
     from nyuki_spark.functions.text import word_ngrams
 
     docs = load_table(spark, sf_dir, "documents")
-    grams = word_ngrams(docs, n=5)
-    bench = grams.join(
-        docs.filter(F.col("doc_id") % 50 == 0).select("doc_id"), "doc_id"
-    ).withColumnRenamed("doc_id", "bench_id")
-    train = grams.join(
-        docs.filter(F.col("doc_id") % 50 != 0).select("doc_id"), "doc_id"
-    ).withColumnRenamed("doc_id", "train_id")
-    return (
-        train.join(bench, "shingle")
-        .groupBy("train_id", "bench_id")
+    groups = (
+        docs.groupBy("text")
+        .agg(
+            F.min("doc_id").alias("rep_id"),
+            F.sort_array(
+                F.collect_list(
+                    F.when(F.col("doc_id") % 50 != 0, F.col("doc_id"))
+                )
+            ).alias("train_members"),
+            F.sort_array(
+                F.collect_list(
+                    F.when(F.col("doc_id") % 50 == 0, F.col("doc_id"))
+                )
+            ).alias("bench_members"),
+        )
+        .persist()
+    )
+    uniq = groups.select(F.col("rep_id").alias("doc_id"), "text")
+    grams = word_ngrams(uniq, n=5)
+    rep_shared = (
+        grams.withColumnRenamed("doc_id", "rep_a")
+        .join(
+            grams.withColumnRenamed("doc_id", "rep_b"), "shingle"
+        )
+        .groupBy("rep_a", "rep_b")
         .agg(F.count(F.lit(1)).alias("shared_5grams"))
         .filter(F.col("shared_5grams") >= 3)
+    )
+    ga = groups.select(F.col("rep_id").alias("rep_a"), "train_members")
+    gb = groups.select(F.col("rep_id").alias("rep_b"), "bench_members")
+    return (
+        rep_shared.join(ga, "rep_a")
+        .join(gb, "rep_b")
+        .select(
+            F.explode("train_members").alias("train_id"),
+            "bench_members",
+            "shared_5grams",
+        )
+        .select(
+            "train_id",
+            F.explode("bench_members").alias("bench_id"),
+            "shared_5grams",
+        )
         .orderBy("train_id", "bench_id")
     )
 

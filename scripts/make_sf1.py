@@ -16,7 +16,7 @@ scale. Non-key attribute columns are left untouched.
 
 Output: /root/repo/testdata_sf1/{table}.parquet  (git-ignored; ~170 MB).
 
-Usage: python scripts/make_sf1.py [replicas=10]
+Usage: python scripts/make_sf1.py [replicas=10] [out_dir=testdata_sf1]
 """
 
 from __future__ import annotations
@@ -27,7 +27,8 @@ import sys
 import duckdb
 
 SRC = "/root/testdata/sf0.1"
-DST = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "testdata_sf1")
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+DST = os.path.join(_REPO, "testdata_sf1")
 
 # table -> {column: source_key_space} ; every FK offsets by the SAME span as
 # its referenced PK, so relationships hold within each replica.
@@ -49,7 +50,10 @@ COPY_ONLY = ("region", "nation")
 
 
 def main() -> None:
+    global DST
     replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    if len(sys.argv) > 2:
+        DST = os.path.join(_REPO, sys.argv[2])
     os.makedirs(DST, exist_ok=True)
     con = duckdb.connect()
     for t in ("region", "nation", "customer", "supplier", "part", "orders",

@@ -78,3 +78,49 @@ def test_percentile_sketch_tolerance(spark, sf_dir):
         F.percentile_approx("l_extendedprice", 0.5, 10000)
     ).head()[0]
     assert abs(approx - exact) / exact <= 0.01, (approx, exact)
+
+
+def test_aqe_splits_skewed_join_partition(spark, tmp_path):
+    """AQE's runtime skew handling (OptimizeSkewedJoin) must fire on a
+    planted 90%-one-key join — the engine's answer to skew the salting
+    operators don't pre-treat. Thresholds are lowered so the ~tens-of-MB
+    test partition qualifies; at production scale the defaults (256 MB)
+    do the same job."""
+    n = 400_000
+    skewed = spark.range(n).select(
+        F.when(F.col("id") % 10 != 0, F.lit(7)).otherwise(F.col("id")).alias("k"),
+        F.concat(F.lit("payload-"), F.col("id").cast("string")).alias("pay"),
+    )
+    dim = spark.range(5000).select(
+        F.col("id").alias("k"), F.col("id").cast("string").alias("name")
+    )
+    old = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": None,
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": None,
+        "spark.sql.autoBroadcastJoinThreshold": None,
+    }
+    for key in old:
+        old[key] = spark.conf.get(key, None)
+    try:
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1m"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "256k")
+        # Force a shuffle join: a broadcast join has no skewed shuffle to fix.
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = skewed.join(dim, "k")
+        # Execute THIS DataFrame's plan (count() would plan a separate
+        # query; AQE finalizes a plan only by running it).
+        n_rows = len(joined.toArrow())
+        # k=7 matches dim for 9n/10 rows; the id-keyed tenth matches only
+        # ids < 5000 (every 10th id -> 500 rows).
+        assert n_rows == n * 9 // 10 + 500
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan or "skewed" in plan, plan[:2000]
+    finally:
+        for key, v in old.items():
+            if v is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, v)
