@@ -229,6 +229,101 @@ register(
 )
 
 
+# -- streaming CDC materialization, live -------------------------------------
+#
+# Last-write-wins upsert materialization through foreachBatch: each
+# micro-batch is reduced to one row per key (argmax by event time,
+# event_id tiebreak) and merged into a persisted state table. Because
+# the merge keeps the GLOBAL argmax per key — an associative,
+# commutative reduction — the final table is independent of how the
+# replay chunks partition the data, which is what makes the batch
+# oracle exact. Each batch writes a NEW state directory keyed by
+# batch_id (no read-modify-overwrite of the same path), the pattern an
+# exactly-once sink needs for idempotent retries; state size is
+# |distinct keys|, not |events|.
+
+
+def _stream_cdc_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    scratch = tempfile.mkdtemp(prefix="nyuki-cdc-")
+    try:
+        sdf = replay_stream(spark, events, n_chunks=4, scratch_dir=scratch)
+        w = Window.partitionBy("user_id").orderBy(
+            F.desc("ts"), F.desc("event_id")
+        )
+        state = {"path": None}
+
+        def upsert(batch: DataFrame, batch_id: int) -> None:
+            new = (
+                batch.select("user_id", "ts", "event_id", "value")
+                .withColumn("rn", F.row_number().over(w))
+                .where(F.col("rn") == 1)
+                .drop("rn")
+            )
+            if state["path"] is not None:
+                both = spark.read.parquet(state["path"]).unionByName(new)
+            else:
+                both = new
+            merged = (
+                both.withColumn("rn", F.row_number().over(w))
+                .where(F.col("rn") == 1)
+                .drop("rn")
+            )
+            out = os.path.join(scratch, f"state_{batch_id}")
+            merged.write.mode("overwrite").parquet(out)
+            state["path"] = out
+
+        q = (
+            sdf.writeStream.foreachBatch(upsert)
+            .option("checkpointLocation", os.path.join(scratch, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        final = (
+            spark.read.parquet(state["path"])
+            .select(
+                "user_id",
+                F.col("ts").alias("last_ts"),
+                F.col("event_id").alias("last_event"),
+                F.col("value").alias("last_value"),
+            )
+            .orderBy("user_id")
+            .cache()
+        )
+        final.count()
+        return final
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+register(
+    "stream_cdc_live",
+    engine_fn=_stream_cdc_fn,
+    oracle=(
+        "SELECT user_id, ts AS last_ts, event_id AS last_event,\n"
+        "       value AS last_value\n"
+        "FROM (SELECT user_id, ts, event_id, value,\n"
+        "        ROW_NUMBER() OVER (PARTITION BY user_id\n"
+        "                           ORDER BY ts DESC, event_id DESC) AS rn\n"
+        "      FROM events)\n"
+        "WHERE rn = 1 ORDER BY user_id"
+    ),
+    category="streaming-live",
+    suite="extension",
+    doc=(
+        "streaming CDC materialization: last-write-wins upsert per key "
+        "through foreachBatch into batch-id-keyed state directories "
+        "(idempotent-retry shape); merge is an associative argmax so the "
+        "final table equals the batch answer regardless of arrival order"
+    ),
+)
+
+
 # -- hierarchical time rollup (hypertable-style continuous aggregate) --------
 #
 # The scale pattern behind "continuous aggregates": aggregate raw events to
@@ -1510,5 +1605,44 @@ register(
         "(cell size >= max interval width, each pair meets in exactly one "
         "cell) — the scale-safe replacement for the nested-loop range "
         "probe; oracle is the direct range join"
+    ),
+)
+
+
+# -- bitwise aggregates ------------------------------------------------------
+
+register(
+    "agg_bitwise",
+    sql=(
+        "SELECT event_type,\n"
+        "  BIT_AND(event_id % 256) AS all_bits,\n"
+        "  BIT_OR(event_id % 256) AS any_bits,\n"
+        "  BIT_XOR(event_id % 256) AS parity_bits\n"
+        "FROM events GROUP BY event_type ORDER BY event_type"
+    ),
+    category="aggregate",
+    suite="extension",
+    doc=(
+        "bitwise reduction aggregates (BIT_AND/OR/XOR) — flag-mask "
+        "consolidation; associative/commutative so partial+final merge "
+        "is exact"
+    ),
+)
+
+
+register(
+    "agg_median_exact",
+    sql=(
+        "SELECT event_type,\n"
+        "  CAST(ROUND(MEDIAN(value), 4) AS DOUBLE) AS med_value,\n"
+        "  MEDIAN(event_id) AS med_event\n"
+        "FROM events GROUP BY event_type ORDER BY event_type"
+    ),
+    category="aggregate",
+    suite="extension",
+    doc=(
+        "exact MEDIAN (interpolating, unlike approx_percentile) — both "
+        "engines sort-and-interpolate per group; per-group sort is "
+        "bounded by group size, the percentile shuffle stays keyed"
     ),
 )
