@@ -286,3 +286,38 @@ def sniff_media_kind(data: bytes) -> str:
     if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
         return "wav"
     return "unknown"
+
+
+def _dct_matrix(n: int) -> np.ndarray:
+    """Orthonormal DCT-II basis matrix: ``T @ x`` transforms columns."""
+    k = np.arange(n)[None, :]
+    j = np.arange(n)[:, None]
+    t = np.cos(np.pi * (2 * k + 1) * j / (2 * n)) * np.sqrt(2.0 / n)
+    t[0, :] /= np.sqrt(2.0)
+    return t
+
+
+def phash64(img: np.ndarray) -> int:
+    """64-bit perceptual hash (pHash): nearest-neighbor resample to 32x32,
+    2-D DCT-II, keep the 8x8 low-frequency block, threshold each
+    coefficient against the median of the 63 non-DC coefficients.
+
+    Robust to small pixel perturbations and brightness shifts (DC is
+    excluded from the threshold); near-duplicate images land at Hamming
+    distance ~0-2, so exact-match grouping — or 16-bit band join for a
+    distance bound — replaces pairwise image comparison. Pure numpy, no
+    Spark imports (pickles by value like the codecs above)."""
+    m = np.asarray(img, dtype=np.float64)
+    if m.shape != (32, 32):
+        ys = np.arange(32) * m.shape[0] // 32
+        xs = np.arange(32) * m.shape[1] // 32
+        m = m[np.ix_(ys, xs)]
+    t = _dct_matrix(32)
+    d = t @ m @ t.T
+    block = d[:8, :8].ravel()
+    med = np.median(block[1:])
+    bits = block > med
+    h = 0
+    for b in bits:
+        h = (h << 1) | int(b)
+    return h & ((1 << 63) - 1)  # fits signed int64 for Spark LongType

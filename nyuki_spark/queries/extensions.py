@@ -1612,7 +1612,7 @@ register(
 # -- bitwise aggregates ------------------------------------------------------
 
 register(
-    "agg_bitwise",
+    "stat_agg_bitwise",
     sql=(
         "SELECT event_type,\n"
         "  BIT_AND(event_id % 256) AS all_bits,\n"
@@ -1631,7 +1631,7 @@ register(
 
 
 register(
-    "agg_median_exact",
+    "stat_agg_median",
     sql=(
         "SELECT event_type,\n"
         "  CAST(ROUND(MEDIAN(value), 4) AS DOUBLE) AS med_value,\n"

@@ -136,3 +136,79 @@ register(
         "closed-form pixel definition"
     ),
 )
+
+
+# -- perceptual-hash image near-dedup ----------------------------------------
+
+
+def _mm_phash_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dedup via 64-bit pHash: encode a corpus of REAL BMPs in
+    which each ``doc_id`` renders base pattern ``doc_id % 40`` plus a
+    per-copy single-pixel perturbation, decode, pHash, and group. The
+    DCT low-pass makes the hash invariant to the perturbation, so exact
+    hash equality clusters the near-duplicate copies — image dedup
+    without any pairwise comparison (for a Hamming-distance bound, band
+    the 64 bits into four 16-bit keys exactly like the SimHash funnel).
+
+    Rows-only tier: the DCT is float linear algebra no SQL oracle can
+    reproduce bit-exactly; grouping invariants are asserted in
+    tests/test_multimodal.py instead.
+
+    Scale shape: two Arrow-batched map-only stages (encode, decode+hash),
+    then one hash-keyed aggregate — payload bytes never shuffle, only the
+    8-byte hashes do.
+    """
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from nyuki_spark.functions.multimodal import _codecs
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    enc, dec, ph = _codecs.encode_bmp_gray8, _codecs.decode_bmp, _codecs.phash64
+
+    gen_schema = StructType(
+        [StructField("doc_id", LongType()), StructField("phash", LongType())]
+    )
+
+    def gen(batches):
+        import numpy as np
+
+        for pdf in batches:
+            ids, hashes = [], []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                base = i % 40
+                xs = np.arange(32)[None, :]
+                ys = np.arange(32)[:, None]
+                img = ((3 * xs + 7 * ys + 11 * base) % 251).astype(np.uint8)
+                # per-copy noise: one pixel nudged by +1 (no wraparound)
+                px, py = i % 32, (i * 7) % 32
+                img[py, px] = min(int(img[py, px]) + 1, 250)
+                ids.append(i)
+                hashes.append(ph(dec(enc(img))))
+            yield pd.DataFrame({"doc_id": ids, "phash": hashes})
+
+    hashed = docs.select("doc_id").mapInPandas(gen, gen_schema)
+    return (
+        hashed.groupBy("phash")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("doc_id").alias("canonical_id"),
+            F.countDistinct((F.col("doc_id") % 40)).alias("n_bases"),
+        )
+        .orderBy("canonical_id")
+    )
+
+
+register(
+    "mm_phash_groups",
+    engine_fn=_mm_phash_fn,
+    category="llm-multimodal",
+    suite="extension",
+    doc=(
+        "image near-dedup: encode->decode->64-bit pHash (DCT low-pass) "
+        "-> hash-keyed grouping collapses perturbed copies of the same "
+        "image with no pairwise comparison; grouping invariants asserted "
+        "in tests (rows-only: float DCT has no SQL oracle)"
+    ),
+)

@@ -102,3 +102,20 @@ def test_png_codec_all_filters_roundtrip():
         decode_png(b"\x89PNG\r\n\x1a\njunk")
     with pytest.raises(ValueError):
         encode_png_gray8(rng.integers(0, 256, (4, 4), dtype=np.uint8), filter_type=7)
+
+
+def test_phash_groups_collapse_noisy_copies(spark, sf_dir):
+    """mm_phash_groups invariants the rows-only tier can't check via
+    oracle: (precision) no group mixes two base images; (recall) the
+    per-copy single-pixel noise never splits a base into more than a
+    couple of hash groups."""
+    from nyuki_spark.queries.registry import REGISTRY
+
+    out = REGISTRY["mm_phash_groups"].engine_fn(spark, sf_dir).collect()
+    assert all(r.n_bases == 1 for r in out), "pHash merged distinct images"
+    n_docs = sum(r.n_copies for r in out)
+    n_bases = min(40, n_docs)
+    assert len(out) <= n_bases * 1.1 + 1, (
+        f"{len(out)} hash groups for {n_bases} base images — "
+        "noise is splitting near-duplicates"
+    )
