@@ -838,3 +838,115 @@ register(
         "singleton assignment coincides with the plain per-doc split"
     ),
 )
+
+
+def _pipeline_e2e_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone corpus-build pipeline as ONE composed Catalyst program:
+    quality filter -> near-dup survivor selection -> leakage-safe split
+    -> per-(split, lang) census. Every stage is an operator that is also
+    oracle-verified standalone (llm_quality_funnel, llm_dedup_groups,
+    llm_leakage_safe_split); composing them here proves the pieces chain
+    without materialization boundaries — the filter pushes into the scan,
+    the components run on the filtered survivors only, and the final
+    census is the only driver-visible output.
+
+    Scale: each stage keeps the prior stage's partitioning or shuffles on
+    its own bounded key (text group / component / split) — no stage
+    re-scans the raw corpus.
+    """
+    from nyuki_spark.functions.text import tokens
+    from nyuki_spark.operators.components import connected_components
+    from nyuki_spark.operators.sample import hash_fraction
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = tokens("text")
+    n_tok = F.size(t)
+    stop_ratio = (
+        F.size(F.filter(t, lambda x: x.isin("the", "a", "and", "of", "to")))
+        .cast("double")
+        / n_tok
+    )
+    kept = docs.filter((n_tok >= 40) & (stop_ratio <= 0.12))
+
+    _, edges = _collapsed_simhash_edges(kept)
+    comp = connected_components(edges, id_out="doc_id", comp_out="component")
+    lab = (
+        kept.select("doc_id", "lang")
+        .join(comp, "doc_id", "left")
+        .withColumn("component", F.coalesce("component", "doc_id"))
+    )
+    # Min-label propagation labels each component with its min doc_id, so
+    # the survivor (min-id representative) is the row whose id IS the label.
+    survivors = lab.where(F.col("doc_id") == F.col("component"))
+
+    draw = hash_fraction("component", salt="split")
+    split = (
+        F.when(draw < 0.8, "train").when(draw < 0.9, "val").otherwise("test")
+    )
+    return (
+        survivors.select(split.alias("split"), "lang")
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("split", "lang")
+    )
+
+
+register(
+    "llm_pipeline_e2e",
+    engine_fn=_pipeline_e2e_fn,
+    oracle=(
+        # Mirrors _DUCK_SIMHASH but over the quality-KEPT subset: the
+        # pipeline filters first, so dedup sees only surviving docs.
+        "WITH RECURSIVE qual AS (\n"
+        "  SELECT doc_id, lang, text FROM (\n"
+        "    SELECT doc_id, lang, text,\n"
+        "      LEN(STRING_SPLIT(text, ' ')) AS n,\n"
+        "      LEN(LIST_FILTER(STRING_SPLIT(text, ' '),\n"
+        "          x -> x IN ('the','a','and','of','to'))) AS stop\n"
+        "    FROM documents)\n"
+        "  WHERE n >= 40 AND CAST(stop AS DOUBLE) / n <= 0.12\n"
+        "), tok AS (\n"
+        "  SELECT doc_id, ('0x' || SUBSTR(MD5(u.w), 1, 15))::BIGINT AS h\n"
+        "  FROM qual, UNNEST(STRING_SPLIT(text, ' ')) AS u(w)\n"
+        "), bits AS (\n"
+        "  SELECT doc_id, r.b,\n"
+        "    SUM(CASE WHEN (h >> r.b) & 1 = 1 THEN 1 ELSE -1 END) AS v\n"
+        "  FROM tok, UNNEST(RANGE(0, 60)) AS r(b) GROUP BY doc_id, r.b\n"
+        "), sh AS (\n"
+        "  SELECT doc_id, CAST(SUM(CASE WHEN v > 0\n"
+        "    THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash\n"
+        "  FROM bits GROUP BY doc_id\n"
+        "), pairs AS (\n"
+        "  SELECT a.doc_id AS s, b.doc_id AS d FROM sh a JOIN sh b\n"
+        "  ON a.doc_id < b.doc_id\n"
+        "  WHERE BIT_COUNT(XOR(a.simhash, b.simhash)) <= 3\n"
+        "), edges AS (SELECT s, d FROM pairs UNION SELECT d, s FROM pairs),\n"
+        "reach(id, comp) AS (\n"
+        "  SELECT s, s FROM edges\n"
+        "  UNION\n"
+        "  SELECT e.d, r.comp FROM reach r JOIN edges e ON e.s = r.id),\n"
+        "labels AS (SELECT id, MIN(comp) AS component FROM reach GROUP BY id),\n"
+        "surv AS (\n"
+        "  SELECT q.doc_id, q.lang,\n"
+        "         COALESCE(l.component, q.doc_id) AS component\n"
+        "  FROM qual q LEFT JOIN labels l ON q.doc_id = l.id\n"
+        "  WHERE q.doc_id = COALESCE(l.component, q.doc_id)\n"
+        "), drawn AS (\n"
+        "  SELECT lang, CASE\n"
+        "    WHEN ('0x' || SUBSTR(MD5('split' || CAST(component AS VARCHAR)),"
+        " 1, 8))::BIGINT / 4294967296.0 < 0.8 THEN 'train'\n"
+        "    WHEN ('0x' || SUBSTR(MD5('split' || CAST(component AS VARCHAR)),"
+        " 1, 8))::BIGINT / 4294967296.0 < 0.9 THEN 'val'\n"
+        "    ELSE 'test' END AS split\n"
+        "  FROM surv)\n"
+        "SELECT split, lang, COUNT(*) AS n_docs\n"
+        "FROM drawn GROUP BY split, lang ORDER BY split, lang"
+    ),
+    category="llm-pipeline",
+    suite="extension",
+    doc=(
+        "capstone corpus pipeline in one Catalyst program: quality filter "
+        "-> near-dup survivor pick -> leakage-safe split -> census; each "
+        "stage is independently oracle-verified, the composition is too"
+    ),
+)
