@@ -41,13 +41,16 @@ def _live(build):
             # Force materialisation before the scratch dir disappears.
             out = out.cache()
             out.count()
-            # Drop the memory-sink view: the cached DataFrame stays valid
-            # (its plan already holds the sink relation), but the catalog
-            # no longer pins the sink rows, so repeated invocations (bench
-            # reps) cannot accumulate sinks until the JVM heap dies.
-            spark.catalog.dropTempView(name)
             return out
         finally:
+            # Drop the memory-sink view in ALL exits: the cached DataFrame
+            # stays valid (its plan holds the sink relation), but the
+            # catalog no longer pins the sink rows — a mid-materialisation
+            # failure must not leak a pinned sink per bench rep.
+            try:
+                spark.catalog.dropTempView(name)
+            except Exception:
+                pass
             shutil.rmtree(scratch, ignore_errors=True)
 
     return fn
@@ -203,9 +206,12 @@ def _stream_join_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = run_to_table(joined, mode="append", name=name)
         out = out.orderBy("user_id", "view_id", "buy_id").cache()
         out.count()
-        spark.catalog.dropTempView(name)
         return out
     finally:
+        try:
+            spark.catalog.dropTempView(name)
+        except Exception:
+            pass
         shutil.rmtree(scratch, ignore_errors=True)
 
 
@@ -283,7 +289,11 @@ def _stream_cdc_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        if not q.awaitTermination(300):
+            # Partial state would be silently wrong; fail loudly before
+            # the finally-block deletes files under the live query.
+            q.stop()
+            raise TimeoutError("stream_cdc_live drain exceeded 300s")
         final = (
             spark.read.parquet(state["path"])
             .select(

@@ -198,8 +198,12 @@ def _simhash_pairs_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     # unique texts, then expand: cross pairs inherit the representatives'
     # hamming (members are bit-identical), intra-duplicate pairs are
     # hamming 0 by definition.
+    # NULL-text docs have no simhash on either engine (the oracle's
+    # UNNEST emits no token rows) — exclude them before collapsing so
+    # their duplicates can't surface as fabricated hamming-0 pairs.
     groups = (
-        docs.groupBy("text")
+        docs.where(F.col("text").isNotNull())
+        .groupBy("text")
         .agg(
             F.min("doc_id").alias("rep_id"),
             F.sort_array(F.collect_list("doc_id")).alias("members"),
@@ -302,7 +306,13 @@ def _jaccard_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     intra = (
-        groups.where(F.col("m") >= 2)
+        # Gate on the group's text yielding >=1 3-gram shingle: the oracle
+        # (and the pair semantics) define jaccard only for shingle-bearing
+        # docs, so duplicates of a sub-3-word or NULL text must emit
+        # nothing — not a fabricated 1.0 (r4 code review).
+        groups.where(
+            (F.col("m") >= 2) & (F.size(F.split(F.col("text"), " ")) >= 3)
+        )
         .select(F.col("members").alias("_ms"))
         .select(F.explode("_ms").alias("_u"), "_ms")
         .select("_u", F.explode("_ms").alias("_v"))
@@ -497,7 +507,12 @@ def _minhash_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     intra = (
-        groups.where(F.col("m") >= 2)
+        # Same shingle gate as llm_ngram_jaccard: MinHashLSH never
+        # vectorizes a doc with <3 words, so its duplicates must not
+        # surface as fabricated 1.0 pairs (r4 code review).
+        groups.where(
+            (F.col("m") >= 2) & (F.size(F.split(F.col("text"), " ")) >= 3)
+        )
         .select(F.col("members").alias("_ms"))
         .select(F.explode("_ms").alias("_u"), "_ms")
         .select("_u", F.explode("_ms").alias("_v"))
@@ -603,7 +618,11 @@ def _collapsed_simhash_edges(docs: DataFrame):
     the full pair graph would.
     """
     groups = (
-        docs.groupBy("text")
+        # NULL-text docs carry no simhash on either engine; excluding them
+        # here keeps the star edges consistent with the oracle (they fall
+        # through every consumer as singletons via the LEFT JOIN).
+        docs.where(F.col("text").isNotNull())
+        .groupBy("text")
         .agg(
             F.min("doc_id").alias("rep_id"),
             F.sort_array(F.collect_list("doc_id")).alias("members"),

@@ -38,5 +38,11 @@ def run_to_table(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_sec)
+    if not q.awaitTermination(timeout_sec):
+        # Reading the sink now would return a silently-partial result;
+        # stop the query and fail loudly instead (r4 code review).
+        q.stop()
+        raise TimeoutError(
+            f"streaming drain exceeded {timeout_sec}s for sink {name}"
+        )
     return spark.table(name)

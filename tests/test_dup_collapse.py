@@ -92,3 +92,63 @@ def test_collapse_matches_oracle_on_duplicates(qid, check, spark, dup_sf_dir):
         assert any(r[2] == pytest.approx(1.0) for r in engine)
     elif check == "any0":
         assert any(r[2] == 0 for r in engine)
+
+
+@pytest.fixture(scope="module")
+def degenerate_dup_sf_dir(tmp_path_factory):
+    """documents with ADVERSARIAL duplicate groups appended: identical
+    2-word texts (no 3-gram shingle, no 5-gram), identical empty strings,
+    and NULL-text duplicates — the degenerate classes the duplicate
+    collapse must NOT fabricate pairs for (r4 code review)."""
+    src = "/root/testdata/sf0.001"
+    dst = tmp_path_factory.mktemp("degen_sf")
+    con = duckdb.connect()
+    for t in TABLES:
+        if t == "documents":
+            con.execute(
+                f"""COPY (
+                  SELECT * FROM '{src}/{t}.parquet'
+                  UNION ALL
+                  SELECT 900001 + v.k * 2 + r.i, v.txt, 'en', 'src_0',
+                         COALESCE(LEN(v.txt), 0)
+                  FROM range(2) r(i),
+                       (VALUES (0, 'hi there'), (1, ''),
+                               (2, CAST(NULL AS VARCHAR))) v(k, txt)
+                ) TO '{dst}/{t}.parquet' (FORMAT PARQUET)"""
+            )
+        else:
+            con.execute(
+                f"COPY (SELECT * FROM '{src}/{t}.parquet') "
+                f"TO '{dst}/{t}.parquet' (FORMAT PARQUET)"
+            )
+    return str(dst)
+
+
+@pytest.mark.parametrize(
+    "qid",
+    [
+        "llm_ngram_jaccard",
+        "llm_simhash_pairs",
+        "llm_minhash_neardup",
+        "llm_neardup_clusters",
+        "llm_dedup_groups",
+        "llm_decontaminate",
+    ],
+)
+def test_collapse_degenerate_duplicates(qid, spark, degenerate_dup_sf_dir):
+    q = REGISTRY[qid]
+    engine = [tuple(r) for r in q.run(spark, degenerate_dup_sf_dir).collect()]
+    if q.oracle_sql is None:
+        # minhash is recall-tier: assert only that no fabricated pair
+        # touches the shingle-less planted ids.
+        planted = set(range(900001, 900007))
+        assert not [r for r in engine if r[0] in planted or r[1] in planted]
+        return
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS "
+            f"SELECT * FROM '{degenerate_dup_sf_dir}/{t}.parquet'"
+        )
+    oracle = [tuple(r) for r in con.execute(q.oracle_sql).fetchall()]
+    assert engine == oracle, f"{qid} diverged on degenerate duplicates"

@@ -139,7 +139,7 @@ def test_stream_cdc_merge_independent_of_chunking(spark, sf_dir):
                 .trigger(availableNow=True)
                 .start()
             )
-            q.awaitTermination(300)
+            assert q.awaitTermination(300), "CDC replay drain timed out"
             rows = sorted(
                 (r.user_id, r.ts, r.event_id)
                 for r in spark.read.parquet(state["path"]).collect()
