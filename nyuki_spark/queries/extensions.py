@@ -1656,3 +1656,26 @@ register(
         "bounded by group size, the percentile shuffle stays keyed"
     ),
 )
+
+
+register(
+    "stat_agg_mode",
+    sql=(
+        "SELECT event_type, v AS modal_bucket, c AS n FROM (\n"
+        "  SELECT event_type, v, c,\n"
+        "    ROW_NUMBER() OVER (PARTITION BY event_type\n"
+        "                       ORDER BY c DESC, v) AS rn\n"
+        "  FROM (SELECT event_type, CAST(FLOOR(value) AS INT) % 10 AS v,\n"
+        "          COUNT(*) AS c\n"
+        "        FROM events GROUP BY event_type, CAST(FLOOR(value) AS INT) % 10)\n"
+        ") t WHERE rn = 1 ORDER BY event_type"
+    ),
+    category="aggregate",
+    suite="extension",
+    doc=(
+        "deterministic statistical mode per group: count sub-aggregate + "
+        "rank with an explicit value tiebreak (engines' native MODE() "
+        "breaks ties arbitrarily — this form is engine-stable); the rank "
+        "window runs on the value-domain-sized count table, not the rows"
+    ),
+)

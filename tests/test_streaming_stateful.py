@@ -47,11 +47,24 @@ def test_join_branches_complete_path(spark, tmp_path):
         Row(instance_id=2, branch="a", payload="p2a"),  # incomplete, stays parked
     ]
     sdf = _stream_from_rows(spark, tmp_path, rows, SCHEMA)
-    out = run_to_table(
-        join_branches_with_timeout(sdf, n_branches=2, timeout_ms=600_000),
-        mode="append",
+    # Instance 2 parks in state with a 10-minute timeout, so an
+    # availableNow drain cannot terminate before it fires — run_to_table
+    # (which now fails loudly on drain timeout) is the wrong harness
+    # here. Start the query, poll the sink for the complete instance's
+    # early emission, and stop.
+    name = f"join_cp_{uuid.uuid4().hex[:8]}"
+    q = (
+        join_branches_with_timeout(sdf, n_branches=2, timeout_ms=600_000)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(processingTime="500 milliseconds")
+        .start()
     )
-    got = {r.instance_id: r for r in out.collect()}
+    try:
+        got = {r.instance_id: r for r in _poll_table(spark, name, min_rows=1)}
+    finally:
+        q.stop()
     assert set(got) == {1}, "only the complete instance may emit before timeout"
     assert got[1].complete is True
     assert got[1].branches == ["a", "b"]
