@@ -27,7 +27,7 @@ aggregate), exact over all pairs or LSH-pruned.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from nyuki_spark.functions.text import fingerprint_md5, simhash60, word_ngrams
@@ -273,3 +273,84 @@ def embedding_neardup_pairs(
     if top is not None:
         pairs = pairs.orderBy(F.col("sim").desc(), "id_a", "id_b").limit(top)
     return pairs
+
+
+def collapse_text_groups(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+):
+    """Exact-duplicate collapse for the pair-search funnels: returns
+    ``(groups, uniq, has_dups)`` where ``groups`` is one row per distinct
+    text — ``(text, rep_id=min(id), members=sorted ids, m=count)`` — and
+    ``uniq`` carries only the representatives.
+
+    Identical texts collide in every simhash/minhash band and share every
+    shingle, so any pair join over the raw corpus grows with the SQUARE
+    of the duplication factor; joining unique texts and expanding member
+    pairs afterwards keeps it proportional to unique-text overlap.
+
+    NULL texts are excluded: they carry no simhash/shingles on either
+    engine (the oracles' UNNEST emits no token rows), so their
+    duplicates must not surface as fabricated pairs. ``groups`` is
+    persisted — the funnel probes it (has_dups) and expands from it;
+    callers run under the bench/driver convention of clearing the cache
+    between query invocations.
+    """
+    groups = (
+        docs.where(F.col(text_col).isNotNull())
+        .groupBy(text_col)
+        .agg(
+            F.min(id_col).alias("rep_id"),
+            F.sort_array(F.collect_list(id_col)).alias("members"),
+            F.count(F.lit(1)).alias("m"),
+        )
+        .persist()
+    )
+    uniq = groups.select(F.col("rep_id").alias(id_col), text_col)
+    has_dups = groups.where(F.col("m") >= 2).limit(1).count() > 0
+    return groups, uniq, has_dups
+
+
+def expand_collapsed_pairs(
+    rep_pairs: DataFrame,
+    groups: DataFrame,
+    score_col: str,
+    intra_score: Column,
+    intra_pred: Column | None = None,
+) -> DataFrame:
+    """Expand representative-level pairs back to member-level pairs.
+
+    Cross-group pairs inherit their representatives' score (members are
+    bit-identical texts); intra-duplicate pairs get ``intra_score`` (the
+    score of a self-comparison: hamming 0 / jaccard 1.0). ``intra_pred``
+    gates WHICH duplicate groups emit intra pairs — e.g. only texts with
+    at least one shingle, since a score is undefined for shingle-less
+    texts and the oracles emit nothing for them.
+    """
+    ga = groups.select(F.col("rep_id").alias("id_a"), F.col("members").alias("_ma"))
+    gb = groups.select(F.col("rep_id").alias("id_b"), F.col("members").alias("_mb"))
+    inter = (
+        rep_pairs.join(ga, "id_a")
+        .join(gb, "id_b")
+        .select(F.explode("_ma").alias("_u"), "_mb", score_col)
+        .select("_u", F.explode("_mb").alias("_v"), score_col)
+        .select(
+            F.least("_u", "_v").alias("id_a"),
+            F.greatest("_u", "_v").alias("id_b"),
+            score_col,
+        )
+    )
+    gsel = groups.where(F.col("m") >= 2)
+    if intra_pred is not None:
+        gsel = gsel.where(intra_pred)
+    intra = (
+        gsel.select(F.col("members").alias("_ms"))
+        .select(F.explode("_ms").alias("_u"), "_ms")
+        .select("_u", F.explode("_ms").alias("_v"))
+        .where(F.col("_u") < F.col("_v"))
+        .select(
+            F.col("_u").alias("id_a"),
+            F.col("_v").alias("id_b"),
+            intra_score.alias(score_col),
+        )
+    )
+    return inter.unionByName(intra)

@@ -22,6 +22,8 @@ from nyuki_spark.functions.text import (
     simhash60,
 )
 from nyuki_spark.operators.dedup import (
+    collapse_text_groups,
+    expand_collapsed_pairs,
     embedding_neardup_pairs,
     minhash_neardup_pairs,
     ngram_jaccard_pairs,
@@ -190,58 +192,20 @@ register(
 
 
 def _simhash_pairs_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-collapsed banded simhash pairs (r4): identical texts
+    collide in every band, so the banded equi-join runs over unique texts
+    and member pairs are expanded afterwards — cross pairs inherit the
+    reps' hamming, intra-duplicate pairs are hamming 0 by definition
+    (operators/dedup.py: collapse_text_groups / expand_collapsed_pairs).
+    """
     docs = load_table(spark, sf_dir, "documents")
-    # r4: exact-duplicate collapse (the llm_cosine_pairs funnel, full
-    # member lists like llm_ngram_jaccard). Identical texts hash to the
-    # same simhash, so every copy collides in every band — the banded
-    # equi-join grows with the square of the duplication factor. Pair
-    # unique texts, then expand: cross pairs inherit the representatives'
-    # hamming (members are bit-identical), intra-duplicate pairs are
-    # hamming 0 by definition.
-    # NULL-text docs have no simhash on either engine (the oracle's
-    # UNNEST emits no token rows) — exclude them before collapsing so
-    # their duplicates can't surface as fabricated hamming-0 pairs.
-    groups = (
-        docs.where(F.col("text").isNotNull())
-        .groupBy("text")
-        .agg(
-            F.min("doc_id").alias("rep_id"),
-            F.sort_array(F.collect_list("doc_id")).alias("members"),
-            F.count(F.lit(1)).alias("m"),
-        )
-        .persist()
-    )
-    uniq = groups.select(F.col("rep_id").alias("doc_id"), "text")
-    has_dups = groups.where(F.col("m") >= 2).limit(1).count() > 0
+    groups, uniq, has_dups = collapse_text_groups(docs)
     rep_pairs = simhash_pairs(uniq, max_hamming=3, bands=4)
     if not has_dups:
         return rep_pairs.orderBy("id_a", "id_b")
-    ga = groups.select(F.col("rep_id").alias("id_a"), F.col("members").alias("_ma"))
-    gb = groups.select(F.col("rep_id").alias("id_b"), F.col("members").alias("_mb"))
-    inter = (
-        rep_pairs.join(ga, "id_a")
-        .join(gb, "id_b")
-        .select(F.explode("_ma").alias("_u"), "_mb", "hamming")
-        .select("_u", F.explode("_mb").alias("_v"), "hamming")
-        .select(
-            F.least("_u", "_v").alias("id_a"),
-            F.greatest("_u", "_v").alias("id_b"),
-            "hamming",
-        )
-    )
-    intra = (
-        groups.where(F.col("m") >= 2)
-        .select(F.col("members").alias("_ms"))
-        .select(F.explode("_ms").alias("_u"), "_ms")
-        .select("_u", F.explode("_ms").alias("_v"))
-        .where(F.col("_u") < F.col("_v"))
-        .select(
-            F.col("_u").alias("id_a"),
-            F.col("_v").alias("id_b"),
-            F.lit(0).cast("integer").alias("hamming"),
-        )
-    )
-    return inter.unionByName(intra).orderBy("id_a", "id_b")
+    return expand_collapsed_pairs(
+        rep_pairs, groups, "hamming", F.lit(0).cast("integer")
+    ).orderBy("id_a", "id_b")
 
 
 register(
@@ -270,60 +234,21 @@ register(
 
 def _jaccard_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    # r4: exact-duplicate collapse (same funnel as llm_cosine_pairs, but
-    # with FULL member lists — this query emits every qualifying pair, so
-    # nothing can be sliced). Identical texts share every shingle, making
-    # the shingle self-join grow with the SQUARE of the duplication
-    # factor; pairing unique texts and expanding afterwards keeps the join
-    # proportional to unique-text overlap. Intra-duplicate pairs are
-    # jaccard 1.0 by definition; cross pairs inherit their
-    # representatives' jaccard because members are bit-identical.
-    groups = (
-        docs.groupBy("text")
-        .agg(
-            F.min("doc_id").alias("rep_id"),
-            F.sort_array(F.collect_list("doc_id")).alias("members"),
-            F.count(F.lit(1)).alias("m"),
-        )
-        .persist()
-    )
-    uniq = groups.select(F.col("rep_id").alias("doc_id"), "text")
-    has_dups = groups.where(F.col("m") >= 2).limit(1).count() > 0
+    # Duplicate collapse with FULL member lists (every qualifying pair is
+    # emitted, nothing sliceable). Intra pairs are gated on the text
+    # yielding >=1 3-gram shingle: jaccard is undefined for shingle-less
+    # texts and the oracle emits nothing for them (r4 code review).
+    groups, uniq, has_dups = collapse_text_groups(docs)
     rep_pairs = ngram_jaccard_pairs(uniq, threshold=0.5, n=3)
     if not has_dups:
         return rep_pairs.orderBy("id_a", "id_b")
-    ga = groups.select(F.col("rep_id").alias("id_a"), F.col("members").alias("_ma"))
-    gb = groups.select(F.col("rep_id").alias("id_b"), F.col("members").alias("_mb"))
-    inter = (
-        rep_pairs.join(ga, "id_a")
-        .join(gb, "id_b")
-        .select(F.explode("_ma").alias("_u"), "_mb", "jaccard")
-        .select("_u", F.explode("_mb").alias("_v"), "jaccard")
-        .select(
-            F.least("_u", "_v").alias("id_a"),
-            F.greatest("_u", "_v").alias("id_b"),
-            "jaccard",
-        )
-    )
-    intra = (
-        # Gate on the group's text yielding >=1 3-gram shingle: the oracle
-        # (and the pair semantics) define jaccard only for shingle-bearing
-        # docs, so duplicates of a sub-3-word or NULL text must emit
-        # nothing — not a fabricated 1.0 (r4 code review).
-        groups.where(
-            (F.col("m") >= 2) & (F.size(F.split(F.col("text"), " ")) >= 3)
-        )
-        .select(F.col("members").alias("_ms"))
-        .select(F.explode("_ms").alias("_u"), "_ms")
-        .select("_u", F.explode("_ms").alias("_v"))
-        .where(F.col("_u") < F.col("_v"))
-        .select(
-            F.col("_u").alias("id_a"),
-            F.col("_v").alias("id_b"),
-            F.lit(1.0).alias("jaccard"),
-        )
-    )
-    return inter.unionByName(intra).orderBy("id_a", "id_b")
+    return expand_collapsed_pairs(
+        rep_pairs,
+        groups,
+        "jaccard",
+        F.lit(1.0),
+        intra_pred=F.size(F.split(F.col("text"), " ")) >= 3,
+    ).orderBy("id_a", "id_b")
 
 
 register(
@@ -474,56 +399,22 @@ register(
 
 def _minhash_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    # r4: duplicate collapse (same funnel as llm_simhash_pairs — identical
-    # texts collide in every MinHash band, squaring approxSimilarityJoin's
-    # candidate volume). Unique texts go through the LSH; expansion
-    # re-emits member pairs with the reps' jaccard_est, intra-duplicate
-    # pairs at exactly 1.0 (identical shingle sets).
-    groups = (
-        docs.groupBy("text")
-        .agg(
-            F.min("doc_id").alias("rep_id"),
-            F.sort_array(F.collect_list("doc_id")).alias("members"),
-            F.count(F.lit(1)).alias("m"),
-        )
-        .persist()
-    )
-    uniq = groups.select(F.col("rep_id").alias("doc_id"), "text")
-    has_dups = groups.where(F.col("m") >= 2).limit(1).count() > 0
+    # Duplicate collapse before the LSH (identical texts collide in every
+    # MinHash band, squaring approxSimilarityJoin's candidate volume).
+    # Intra pairs carry the same >=1-shingle gate as llm_ngram_jaccard:
+    # MinHashLSH never vectorizes a doc with <3 words, so its duplicates
+    # must not surface as fabricated 1.0 pairs (r4 code review).
+    groups, uniq, has_dups = collapse_text_groups(docs)
     rep_pairs = minhash_neardup_pairs(uniq, threshold=0.5)
     if not has_dups:
         return rep_pairs
-    ga = groups.select(F.col("rep_id").alias("id_a"), F.col("members").alias("_ma"))
-    gb = groups.select(F.col("rep_id").alias("id_b"), F.col("members").alias("_mb"))
-    inter = (
-        rep_pairs.join(ga, "id_a")
-        .join(gb, "id_b")
-        .select(F.explode("_ma").alias("_u"), "_mb", "jaccard_est")
-        .select("_u", F.explode("_mb").alias("_v"), "jaccard_est")
-        .select(
-            F.least("_u", "_v").alias("id_a"),
-            F.greatest("_u", "_v").alias("id_b"),
-            "jaccard_est",
-        )
-    )
-    intra = (
-        # Same shingle gate as llm_ngram_jaccard: MinHashLSH never
-        # vectorizes a doc with <3 words, so its duplicates must not
-        # surface as fabricated 1.0 pairs (r4 code review).
-        groups.where(
-            (F.col("m") >= 2) & (F.size(F.split(F.col("text"), " ")) >= 3)
-        )
-        .select(F.col("members").alias("_ms"))
-        .select(F.explode("_ms").alias("_u"), "_ms")
-        .select("_u", F.explode("_ms").alias("_v"))
-        .where(F.col("_u") < F.col("_v"))
-        .select(
-            F.col("_u").alias("id_a"),
-            F.col("_v").alias("id_b"),
-            F.lit(1.0).alias("jaccard_est"),
-        )
-    )
-    return inter.unionByName(intra).orderBy("id_a", "id_b")
+    return expand_collapsed_pairs(
+        rep_pairs,
+        groups,
+        "jaccard_est",
+        F.lit(1.0),
+        intra_pred=F.size(F.split(F.col("text"), " ")) >= 3,
+    ).orderBy("id_a", "id_b")
 
 
 register(
@@ -617,20 +508,10 @@ def _collapsed_simhash_edges(docs: DataFrame):
     group's min id, so min-label propagation yields the same label set
     the full pair graph would.
     """
-    groups = (
-        # NULL-text docs carry no simhash on either engine; excluding them
-        # here keeps the star edges consistent with the oracle (they fall
-        # through every consumer as singletons via the LEFT JOIN).
-        docs.where(F.col("text").isNotNull())
-        .groupBy("text")
-        .agg(
-            F.min("doc_id").alias("rep_id"),
-            F.sort_array(F.collect_list("doc_id")).alias("members"),
-            F.count(F.lit(1)).alias("m"),
-        )
-        .persist()
-    )
-    uniq = groups.select(F.col("rep_id").alias("doc_id"), "text")
+    # collapse_text_groups drops NULL-text docs, keeping the star edges
+    # consistent with the oracle (NULL docs fall through every consumer
+    # as singletons via the LEFT JOIN).
+    groups, uniq, _ = collapse_text_groups(docs)
     rep_pairs = simhash_pairs(uniq, max_hamming=3, bands=4).select("id_a", "id_b")
     star = (
         groups.where(F.col("m") >= 2)
