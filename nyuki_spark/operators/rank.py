@@ -77,6 +77,13 @@ def global_row_number(
     ``num_buckets=None`` sizes the bucket count from Catalyst's input-size
     estimate (see :func:`_auto_buckets`); pass an int to pin it. With one
     bucket the approxQuantile pass is skipped entirely.
+
+    Known limitation (r4 code review): the offsets branch self-joins two
+    views of the same tagged lineage; on some non-file-backed inputs
+    (e.g. a bare ``spark.range`` projection) Catalyst's dedup of the two
+    branches can fail with INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND. All
+    registry uses are file-backed scans, which are unaffected; for
+    synthetic inputs, write to parquet first or ``localCheckpoint()``.
     """
     if num_buckets is None:
         num_buckets = _auto_buckets(df)
