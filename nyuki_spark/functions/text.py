@@ -26,6 +26,8 @@ __all__ = [
     "rolling_hash",
     "simhash60",
     "word_ngrams",
+    "word_ngram_array",
+    "minhash_from_grams",
 ]
 
 # Stopword votes per language for the heuristic language-ID. Tiny on
@@ -232,3 +234,53 @@ def pii_counts(text_col: Column | str) -> list[Column]:
         F.regexp_count(col, F.lit(pattern)).alias(f"n_{tag}")
         for tag, pattern, _repl in PII_RULES
     ]
+
+
+def word_ngram_array(
+    text_col: Column | str, n: int = 3, sep: str = " "
+) -> Column:
+    """Word ``n``-gram shingles of one text as ``array<string>`` (with
+    duplicates, in order); NULL when the text has < ``n`` tokens.
+
+    Column-valued sibling of :func:`word_ngrams` (which explodes to rows):
+    keeping the shingles as an array lets a per-document fold (MinHash)
+    consume them without any explode/shuffle.
+    """
+    t = tokens(text_col, sep)
+    return F.when(
+        F.size(t) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(t) - n),
+            lambda i: F.concat_ws(
+                sep, *[F.element_at(t, i + j + 1) for j in range(n)]
+            ),
+        ),
+    )
+
+
+def minhash_from_grams(grams: Column | str, n_perm: int = 16) -> Column:
+    """Portable MinHash signature: ``sig[p] = min over shingles of h_p``,
+    where ``h_p(s)`` is the 60-bit md5 token hash of ``'<p>|<s>'``
+    (Broder 1997 min-wise permutations, approximated by salted hashing —
+    the standard public construction).
+
+    Everything is a Column fold over the shingle array — no explode, no
+    shuffle, no UDF — and every primitive (md5, substr, base-16 to
+    decimal) is bit-identical across engines, so the signature is
+    oracle-verifiable, unlike MLlib's ``MinHashLSH`` whose hash family is
+    seeded JVM-private (that path stays as the library variant in
+    ``operators/dedup.py``). Apply to a *materialised* grams column (own
+    select) so the gram build isn't re-inlined per permutation.
+    """
+    g = F.col(grams) if isinstance(grams, str) else grams
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_perm - 1)),
+        lambda p: F.array_min(
+            F.transform(
+                g,
+                lambda s: token_hash60(
+                    F.concat(p.cast("string"), F.lit("|"), s)
+                ),
+            )
+        ),
+    )

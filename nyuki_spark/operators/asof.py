@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "last_event_asof"]
+__all__ = ["asof_join", "last_event_asof", "nearest_event_asof"]
 
 
 def last_event_asof(
@@ -114,3 +114,52 @@ def asof_join(
         *[F.col(f"{v}{suffix}") for v in right_values],
     )
     return out
+
+
+def nearest_event_asof(
+    events: DataFrame,
+    key: str,
+    ts: str,
+    ref_predicate: Column,
+    probe_predicate: Column,
+    out_col: str = "nearest_ts",
+) -> DataFrame:
+    """Nearest-in-time as-of: for each probe row, the reference row's ``ts``
+    minimising the absolute time distance per ``key`` (either direction);
+    ties break toward the EARLIER reference (the backward candidate).
+
+    Backward-only as-of is one running window (``last_event_asof``); the
+    nearest variant needs both directions, which is still one shuffle: the
+    same key-partitioned sort feeds two frames — a running max over
+    ``(unbounded preceding, current)`` and a running min over ``(current,
+    unbounded following)`` — and a scalar comparison picks the closer
+    candidate. RANGE frames (not ROWS) so a reference sharing the probe's
+    exact timestamp is seen by both frames as distance 0.
+
+    Distances compare as day-time intervals (timestamp subtraction —
+    microsecond-exact, and well-typed for TIMESTAMP_NTZ columns, which
+    Spark refuses to cast to double); the declared twin is the correlated
+    ``ORDER BY ABS(...) LIMIT 1`` form, which decorrelates to a
+    nested-loop shape — this rewrite is the plan that survives scale.
+    """
+    w_back = (
+        Window.partitionBy(key)
+        .orderBy(ts)
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy(key)
+        .orderBy(ts)
+        .rangeBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    ref_ts = F.when(ref_predicate, F.col(ts))
+    back = F.max(ref_ts).over(w_back)
+    fwd = F.min(ref_ts).over(w_fwd)
+    here = F.col(ts)
+    nearest = (
+        F.when(back.isNull(), fwd)
+        .when(fwd.isNull(), back)
+        .when(here - back <= fwd - here, back)
+        .otherwise(fwd)
+    )
+    return events.withColumn(out_col, nearest).where(probe_predicate)

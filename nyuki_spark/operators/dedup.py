@@ -30,12 +30,19 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from nyuki_spark.functions.text import fingerprint_md5, simhash60, word_ngrams
+from nyuki_spark.functions.text import (
+    fingerprint_md5,
+    minhash_from_grams,
+    simhash60,
+    word_ngram_array,
+    word_ngrams,
+)
 
 __all__ = [
     "exact_dedup_groups",
     "exact_dedup_keep_first",
     "simhash_pairs",
+    "minhash_band_pairs",
     "minhash_neardup_pairs",
     "ngram_jaccard_pairs",
     "embedding_neardup_pairs",
@@ -354,3 +361,73 @@ def expand_collapsed_pairs(
         )
     )
     return inter.unionByName(intra)
+
+
+def minhash_band_pairs(
+    docs: DataFrame,
+    n_perm: int = 16,
+    bands: int = 4,
+    shingle: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Candidate near-dup pairs from a PORTABLE MinHash (tier 3's
+    oracle-verifiable sibling): salted-md5 min-wise signatures
+    (:func:`~nyuki_spark.functions.text.minhash_from_grams`), banded into
+    ``bands`` chunks of ``n_perm // bands`` rows; docs agreeing on any
+    whole band become a pair, scored by the matching-component fraction
+    (the unbiased Jaccard estimate).
+
+    Same scale shape as :func:`simhash_pairs`: signature computed during
+    the scan (fold, no shuffle), candidate generation is an equi-join on
+    (band index, band hash) — collision volume, never all-pairs. Unlike
+    MLlib's ``MinHashLSH`` (JVM-private seeded hash family), every value
+    here is reproducible in any engine with md5, so the whole funnel —
+    signature, banding, estimate — hash-matches a DuckDB twin.
+
+    Docs with < ``shingle`` tokens carry no shingles and are excluded
+    (Jaccard is undefined for an empty set), mirroring the other tiers.
+    """
+    rows = n_perm // bands
+    assert rows * bands == n_perm, "bands must divide n_perm"
+    sig = (
+        docs.select(F.col(id_col), word_ngram_array(text_col, shingle).alias("g"))
+        .where(F.col("g").isNotNull())
+        .select(id_col, minhash_from_grams("g", n_perm).alias("sig"))
+    )
+    banded = sig.select(
+        id_col,
+        "sig",
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("b"),
+    ).select(
+        id_col,
+        "sig",
+        "b",
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.slice("sig", F.col("b") * rows + 1, rows),
+                    lambda x: x.cast("string"),
+                ),
+            )
+        ).alias("bk"),
+    )
+    a = banded.select(
+        F.col(id_col).alias("id_a"), F.col("sig").alias("sa"), "b", "bk"
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"), F.col("sig").alias("sb"), "b", "bk"
+    )
+    cand = (
+        a.join(b, ["b", "bk"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sa", "sb")
+        .distinct()
+    )
+    est = F.round(
+        F.size(F.filter(F.zip_with("sa", "sb", lambda x, y: x == y), lambda v: v))
+        / F.lit(float(n_perm)),
+        4,
+    )
+    return cand.select("id_a", "id_b", est.alias("est_jaccard"))

@@ -1679,3 +1679,75 @@ register(
         "window runs on the value-domain-sized count table, not the rows"
     ),
 )
+
+
+# -- deterministic hash sampling (round 4b) ----------------------------------
+
+register(
+    "sample_hash_fraction",
+    engine=(
+        "SELECT o_orderstatus, COUNT(*) AS n,\n"
+        "       CAST(ROUND(AVG(o_totalprice), 2) AS DOUBLE) AS avg_price\n"
+        "FROM orders\n"
+        "WHERE SUBSTR(MD5(CAST(o_orderkey AS STRING)), 1, 2) < '28'\n"
+        "GROUP BY o_orderstatus ORDER BY o_orderstatus"
+    ),
+    oracle=(
+        "SELECT o_orderstatus, COUNT(*) AS n,\n"
+        "       CAST(ROUND(AVG(o_totalprice), 2) AS DOUBLE) AS avg_price\n"
+        "FROM orders\n"
+        "WHERE SUBSTR(MD5(CAST(o_orderkey AS VARCHAR)), 1, 2) < '28'\n"
+        "GROUP BY o_orderstatus ORDER BY o_orderstatus"
+    ),
+    category="sampling",
+    suite="extension",
+    doc=(
+        "deterministic ~15.6% sample (md5(key) prefix < '28'/256): unlike "
+        "TABLESAMPLE/rand(), the sample is reproducible across engines, "
+        "runs, AND partitionings — the property a training-data pipeline "
+        "needs for auditable subsampling; the predicate is a pure Column "
+        "filter evaluated during the scan, so it composes with pushdown "
+        "and costs no shuffle"
+    ),
+)
+
+
+# -- nearest-in-time as-of join (round 4b) -----------------------------------
+
+
+def _asof_nearest_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nyuki_spark.operators.asof import nearest_event_asof
+
+    events = load_table(spark, sf_dir, "events")
+    out = nearest_event_asof(
+        events,
+        key="user_id",
+        ts="ts",
+        ref_predicate=F.col("event_type") == "signup",
+        probe_predicate=F.col("event_type") == "purchase",
+        out_col="nearest_signup_ts",
+    )
+    return out.select("event_id", "nearest_signup_ts").orderBy("event_id")
+
+
+register(
+    "ts_asof_nearest",
+    engine_fn=_asof_nearest_fn,
+    oracle=(
+        "SELECT e.event_id,\n"
+        "  (SELECT s.ts FROM events s\n"
+        "    WHERE s.user_id = e.user_id AND s.event_type = 'signup'\n"
+        "    ORDER BY ABS(EPOCH(s.ts) - EPOCH(e.ts)), s.ts LIMIT 1)\n"
+        "    AS nearest_signup_ts\n"
+        "FROM events e WHERE e.event_type = 'purchase' ORDER BY event_id"
+    ),
+    category="joins",
+    suite="extension",
+    doc=(
+        "nearest-direction as-of (operators/asof.py: nearest_event_asof): "
+        "one key-partitioned sort feeding backward-max + forward-min RANGE "
+        "frames replaces the declared correlated ORDER BY ABS() LIMIT 1 "
+        "form (nested-loop shaped after decorrelation); ties break to the "
+        "earlier reference on both sides"
+    ),
+)

@@ -17,19 +17,24 @@ from pyspark.sql import functions as F
 from nyuki_spark.catalog import load_table
 from nyuki_spark.functions.text import (
     lang_id,
+    minhash_from_grams,
     quality_features,
     rolling_hash,
     simhash60,
+    word_ngram_array,
 )
 from nyuki_spark.operators.dedup import (
     collapse_text_groups,
     expand_collapsed_pairs,
     embedding_neardup_pairs,
+    minhash_band_pairs,
     minhash_neardup_pairs,
     ngram_jaccard_pairs,
     simhash_pairs,
 )
+from nyuki_spark.operators.kmeans import kmeans_assign
 from nyuki_spark.operators.similarity import knn_cosine_lsh
+from nyuki_spark.operators.spans import duplicated_substring_spans
 from nyuki_spark.queries.registry import register
 
 # Shared DuckDB CTE: 60-bit md5-derived token hashes (matches
@@ -848,5 +853,202 @@ register(
         "capstone corpus pipeline in one Catalyst program: quality filter "
         "-> near-dup survivor pick -> leakage-safe split -> census; each "
         "stage is independently oracle-verified, the composition is too"
+    ),
+)
+
+
+# -- portable MinHash (round 4b) ---------------------------------------------
+
+# DuckDB twin of functions.text.minhash_from_grams over word-3-gram
+# shingles: salted 60-bit md5 hashes, min per permutation. Shared by the
+# signature and band-pair oracles.
+_DUCK_MINHASH_SIG = (
+    "LIST_TRANSFORM(GENERATE_SERIES(0, 15), p ->\n"
+    "  LIST_MIN(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(t) - 2), i ->\n"
+    "    ('0x' || SUBSTR(MD5(CAST(p AS VARCHAR) || '|' ||"
+    " ARRAY_TO_STRING(t[i:i+2], ' ')), 1, 15))::BIGINT)))"
+)
+
+
+def _minhash_sig_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable MinHash signatures (functions/text.py: minhash_from_grams).
+
+    Two chained selects so the gram array materialises once at a
+    projection boundary instead of being re-inlined into each of the 16
+    permutation folds.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sig_str = F.concat_ws(
+        ",", F.transform(minhash_from_grams("g", 16), lambda x: x.cast("string"))
+    )
+    return (
+        docs.select("doc_id", word_ngram_array("text", 3).alias("g"))
+        .select(
+            "doc_id",
+            F.when(F.col("g").isNotNull(), sig_str).alias("sig"),
+        )
+        .orderBy("doc_id")
+        .limit(50)
+    )
+
+
+register(
+    "llm_minhash_sig",
+    engine_fn=_minhash_sig_fn,
+    oracle=(
+        "SELECT doc_id,\n"
+        "  CASE WHEN LEN(t) >= 3 THEN ARRAY_TO_STRING(\n  "
+        + _DUCK_MINHASH_SIG + ", ',')\n"
+        "  END AS sig\n"
+        "FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents)\n"
+        "ORDER BY doc_id LIMIT 50"
+    ),
+    category="llm-dedup",
+    suite="extension",
+    doc=(
+        "16-permutation MinHash signature, bit-exact across engines "
+        "(salted-md5 min-wise hashing, Broder 1997) — the "
+        "oracle-verifiable sibling of the seeded MLlib MinHashLSH tier"
+    ),
+)
+
+
+def _minhash_bandpairs_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded portable-MinHash candidate pairs, duplicate-collapsed like
+    the simhash/jaccard funnels (operators/dedup.py: collapse_text_groups);
+    intra-duplicate pairs are est 1.0 by definition, gated on the text
+    carrying >= 1 shingle (signatures are undefined below 3 tokens).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    groups, uniq, has_dups = collapse_text_groups(docs)
+    rep_pairs = minhash_band_pairs(uniq, n_perm=16, bands=4)
+    if not has_dups:
+        return rep_pairs.orderBy("id_a", "id_b")
+    return expand_collapsed_pairs(
+        rep_pairs,
+        groups,
+        "est_jaccard",
+        F.lit(1.0),
+        intra_pred=F.size(F.split(F.col("text"), " ")) >= 3,
+    ).orderBy("id_a", "id_b")
+
+
+register(
+    "llm_minhash_bandpairs",
+    engine_fn=_minhash_bandpairs_fn,
+    oracle=(
+        "WITH t AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS t\n"
+        "           FROM documents WHERE LEN(STRING_SPLIT(text, ' ')) >= 3),\n"
+        "sig AS (SELECT doc_id, " + _DUCK_MINHASH_SIG + " AS sig FROM t),\n"
+        "band AS (SELECT doc_id, sig, u.b AS b,\n"
+        "    MD5(ARRAY_TO_STRING(sig[4*u.b+1:4*u.b+4], ',')) AS bk\n"
+        "  FROM sig, UNNEST(GENERATE_SERIES(0, 3)) AS u(b)),\n"
+        "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,\n"
+        "    a.sig AS sa, b.sig AS sb\n"
+        "  FROM band a JOIN band b\n"
+        "    ON a.b = b.b AND a.bk = b.bk AND a.doc_id < b.doc_id)\n"
+        "SELECT id_a, id_b,\n"
+        "  ROUND(LEN(LIST_FILTER(GENERATE_SERIES(1, 16), i -> sa[i] = sb[i]))"
+        " / 16.0, 4) AS est_jaccard\n"
+        "FROM cand ORDER BY id_a, id_b"
+    ),
+    category="llm-dedup",
+    suite="extension",
+    doc=(
+        "LSH candidate generation itself as the verified contract: "
+        "engine's banded equi-join over portable MinHash signatures "
+        "hash-matches a DuckDB twin of the identical banding — candidate "
+        "set AND Jaccard estimates, end to end"
+    ),
+)
+
+
+# -- cross-document duplicated substring spans (round 4b) --------------------
+
+
+def _substring_spans_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return duplicated_substring_spans(docs, l=8).orderBy("doc_id", "start_pos")
+
+
+register(
+    "llm_substring_spans",
+    engine_fn=_substring_spans_fn,
+    oracle=(
+        "WITH toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS t"
+        " FROM documents),\n"
+        "grams AS (\n"
+        "  SELECT doc_id, i - 1 AS pos,\n"
+        "         SUBSTR(MD5(ARRAY_TO_STRING(t[i:i+7], ' ')), 1, 16) AS g\n"
+        "  FROM toks, UNNEST(GENERATE_SERIES(1, LEN(t) - 7)) AS u(i)\n"
+        "  WHERE LEN(t) >= 8\n"
+        "),\n"
+        "dup AS (SELECT g FROM grams GROUP BY g"
+        " HAVING COUNT(DISTINCT doc_id) >= 2),\n"
+        "hits AS (SELECT doc_id, pos FROM grams"
+        " WHERE g IN (SELECT g FROM dup)),\n"
+        "isl AS (SELECT doc_id, pos, pos - ROW_NUMBER() OVER\n"
+        "  (PARTITION BY doc_id ORDER BY pos) AS grp FROM hits)\n"
+        "SELECT doc_id, MIN(pos) AS start_pos,\n"
+        "       CAST(MAX(pos) - MIN(pos) + 8 AS BIGINT) AS span_tokens\n"
+        "FROM isl GROUP BY doc_id, grp ORDER BY doc_id, start_pos"
+    ),
+    category="llm-dedup",
+    suite="extension",
+    doc=(
+        "substring-level dedup (Lee et al. 2022): maximal 8+-token spans "
+        "shared across documents, via distributed L-gram hashing + "
+        "gaps-and-islands merge — no suffix array, no all-pairs"
+    ),
+)
+
+
+# -- deterministic k-means over embeddings (round 4b) ------------------------
+
+
+def _kmeans_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_assign(emb, k=8, iters=2).orderBy("vec_id")
+
+
+register(
+    "llm_kmeans_assign",
+    engine_fn=_kmeans_fn,
+    oracle=(
+        "WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e"
+        " FROM embeddings),\n"
+        "c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT)"
+        " AS cid, e AS c\n"
+        "       FROM emb ORDER BY vec_id LIMIT 8),\n"
+        "a1 AS (SELECT vec_id, cid FROM (\n"
+        "    SELECT emb.vec_id, c0.cid,\n"
+        "      ROW_NUMBER() OVER (PARTITION BY emb.vec_id ORDER BY\n"
+        "        LIST_REDUCE(LIST_TRANSFORM(GENERATE_SERIES(1, 64),\n"
+        "          i -> (emb.e[i] - c0.c[i]) * (emb.e[i] - c0.c[i])),\n"
+        "          (a, b) -> a + b),\n"
+        "        c0.cid) AS rn\n"
+        "    FROM emb CROSS JOIN c0) WHERE rn = 1),\n"
+        "c1 AS (SELECT cid, LIST(v ORDER BY dim) AS c FROM (\n"
+        "    SELECT a1.cid AS cid, u.dim AS dim,"
+        " ROUND(AVG(emb.e[u.dim]), 6) AS v\n"
+        "    FROM emb JOIN a1 USING (vec_id),\n"
+        "         UNNEST(GENERATE_SERIES(1, 64)) AS u(dim)\n"
+        "    GROUP BY a1.cid, u.dim) GROUP BY cid),\n"
+        "a2 AS (SELECT vec_id, cid FROM (\n"
+        "    SELECT emb.vec_id, c1.cid,\n"
+        "      ROW_NUMBER() OVER (PARTITION BY emb.vec_id ORDER BY\n"
+        "        LIST_REDUCE(LIST_TRANSFORM(GENERATE_SERIES(1, 64),\n"
+        "          i -> (emb.e[i] - c1.c[i]) * (emb.e[i] - c1.c[i])),\n"
+        "          (a, b) -> a + b),\n"
+        "        c1.cid) AS rn\n"
+        "    FROM emb CROSS JOIN c1) WHERE rn = 1)\n"
+        "SELECT vec_id, cid AS cluster_id FROM a2 ORDER BY vec_id"
+    ),
+    category="llm-similarity",
+    suite="extension",
+    doc=(
+        "deterministic 2-iteration Lloyd k-means (k=8, id-ordered seed, "
+        "order-pinned fp folds, rounded centroid handoff) — bit-identical "
+        "assignments across engines; the SemDeDup-style clustering core"
     ),
 )

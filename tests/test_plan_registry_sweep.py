@@ -80,6 +80,13 @@ ALLOWLIST: dict[str, tuple[tuple[str, ...], str]] = {
         "10-row vs 1-row broadcast cross join joining the top-k table to "
         "the scalar total (partial-aggregated, auto-allowed)",
     ),
+    "llm_kmeans_assign": (
+        ("BroadcastNestedLoopJoin",),
+        "assignment step crossJoins each vector with the broadcast k-row "
+        "centroid table (k=8, compile-time constant); BNLJ with a "
+        "constant-size build IS the right plan — the N-row side never "
+        "shuffles",
+    ),
     "win_rank": (
         ("Exchange SinglePartition",),
         "size-adaptive rank (queries/declared.py): below one 32 MB bucket "
