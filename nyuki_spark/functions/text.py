@@ -27,6 +27,7 @@ __all__ = [
     "simhash60",
     "word_ngrams",
     "word_ngram_array",
+    "gram_hashes",
     "minhash_from_grams",
 ]
 
@@ -258,29 +259,69 @@ def word_ngram_array(
     )
 
 
-def minhash_from_grams(grams: Column | str, n_perm: int = 16) -> Column:
-    """Portable MinHash signature: ``sig[p] = min over shingles of h_p``,
-    where ``h_p(s)`` is the 60-bit md5 token hash of ``'<p>|<s>'``
-    (Broder 1997 min-wise permutations, approximated by salted hashing —
-    the standard public construction).
+# Universal-hash permutation constants for the portable MinHash: the p-th
+# permutation is h_p(x) = (A[p]*x + B[p]) mod MINHASH_P over 28-bit base
+# hashes (md5 prefix). Products stay < 2^58, inside BIGINT on every engine.
+# The constants are md5-derived (deterministic, engine-independent) so the
+# DuckDB oracle can inline the very same numbers.
+MINHASH_P = 1073741789  # largest prime < 2^30
 
-    Everything is a Column fold over the shingle array — no explode, no
+
+def _mh_const(tag: str, p: int) -> int:
+    import hashlib
+
+    return int(hashlib.md5(f"{tag}|{p}".encode()).hexdigest()[:7], 16)
+
+
+MINHASH_A = [_mh_const("a", p) | 1 for p in range(64)]
+MINHASH_B = [_mh_const("b", p) for p in range(64)]
+
+
+def minhash_from_grams(grams: Column | str, n_perm: int = 16) -> Column:
+    """Portable MinHash signature over pre-hashed shingles: ``sig[p] =
+    min over hashes h of (A[p]*h + B[p]) mod P`` — Broder 1997 min-wise
+    permutations via the standard universal-hash family. ``grams`` must be
+    the :func:`gram_hashes` column (28-bit md5 prefixes), materialised at
+    its own select boundary; the per-permutation work is then two integer
+    ops, so the fold costs O(shingles) digests total, not
+    O(perms x shingles) (the first cut salted an md5 per permutation and
+    was the slowest query in the registry's bench).
+
+    Everything is a Column fold over the hash array — no explode, no
     shuffle, no UDF — and every primitive (md5, substr, base-16 to
-    decimal) is bit-identical across engines, so the signature is
+    decimal, %) is bit-identical across engines, so the signature is
     oracle-verifiable, unlike MLlib's ``MinHashLSH`` whose hash family is
     seeded JVM-private (that path stays as the library variant in
-    ``operators/dedup.py``). Apply to a *materialised* grams column (own
-    select) so the gram build isn't re-inlined per permutation.
+    ``operators/dedup.py``).
+    """
+    hs = F.col(grams) if isinstance(grams, str) else grams
+    perms = F.array(
+        *[
+            F.struct(
+                F.lit(MINHASH_A[p]).alias("a"), F.lit(MINHASH_B[p]).alias("b")
+            )
+            for p in range(n_perm)
+        ]
+    )
+    return F.transform(
+        perms,
+        lambda ab: F.array_min(
+            F.transform(
+                hs, lambda h: (ab.getField("a") * h + ab.getField("b")) % MINHASH_P
+            )
+        ),
+    )
+
+
+def gram_hashes(grams: Column | str) -> Column:
+    """28-bit md5-prefix hash per shingle (``array<bigint>``), the input
+    contract of :func:`minhash_from_grams`. Materialise this at its OWN
+    select boundary: CollapseProject keeps a non-cheap multiply-referenced
+    projection, so the md5s evaluate once instead of once per permutation
+    fold.
     """
     g = F.col(grams) if isinstance(grams, str) else grams
     return F.transform(
-        F.sequence(F.lit(0), F.lit(n_perm - 1)),
-        lambda p: F.array_min(
-            F.transform(
-                g,
-                lambda s: token_hash60(
-                    F.concat(p.cast("string"), F.lit("|"), s)
-                ),
-            )
-        ),
+        g,
+        lambda s: F.conv(F.substring(F.md5(s), 1, 7), 16, 10).cast("bigint"),
     )

@@ -31,8 +31,10 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from nyuki_spark.functions.text import (
+    MINHASH_A,
+    MINHASH_B,
+    MINHASH_P,
     fingerprint_md5,
-    minhash_from_grams,
     simhash60,
     word_ngram_array,
     word_ngrams,
@@ -390,10 +392,35 @@ def minhash_band_pairs(
     """
     rows = n_perm // bands
     assert rows * bands == n_perm, "bands must divide n_perm"
-    sig = (
+    # Signature via explode + n_perm min-aggregates rather than the array
+    # fold of ``minhash_from_grams``: identical values (same base hash,
+    # same A/B/P arithmetic), but every expression runs in whole-stage
+    # codegen instead of interpreted higher-order-function evaluation, and
+    # the mins collapse map-side (partial agg) so the one shuffle moves a
+    # single n_perm-value row per (partition, doc). The fold form also
+    # silently re-inlines the md5 stage into each permutation when the
+    # hash array is referenced once (CollapseProject), paying
+    # n_perm x shingles digests — this shape pays exactly |shingles|.
+    h = (
         docs.select(F.col(id_col), word_ngram_array(text_col, shingle).alias("g"))
         .where(F.col("g").isNotNull())
-        .select(id_col, minhash_from_grams("g", n_perm).alias("sig"))
+        .select(id_col, F.explode("g").alias("s"))
+        .select(
+            id_col,
+            F.conv(F.substring(F.md5("s"), 1, 7), 16, 10)
+            .cast("bigint")
+            .alias("h"),
+        )
+    )
+    mins = [
+        F.min(
+            (F.lit(MINHASH_A[p]) * F.col("h") + F.lit(MINHASH_B[p]))
+            % F.lit(MINHASH_P)
+        ).alias(f"m{p}")
+        for p in range(n_perm)
+    ]
+    sig = h.groupBy(id_col).agg(*mins).select(
+        id_col, F.array(*[f"m{p}" for p in range(n_perm)]).alias("sig")
     )
     banded = sig.select(
         id_col,

@@ -16,6 +16,10 @@ from pyspark.sql import functions as F
 
 from nyuki_spark.catalog import load_table
 from nyuki_spark.functions.text import (
+    MINHASH_A,
+    MINHASH_B,
+    MINHASH_P,
+    gram_hashes,
     lang_id,
     minhash_from_grams,
     quality_features,
@@ -859,36 +863,46 @@ register(
 
 # -- portable MinHash (round 4b) ---------------------------------------------
 
-# DuckDB twin of functions.text.minhash_from_grams over word-3-gram
-# shingles: salted 60-bit md5 hashes, min per permutation. Shared by the
-# signature and band-pair oracles.
-_DUCK_MINHASH_SIG = (
-    "LIST_TRANSFORM(GENERATE_SERIES(0, 15), p ->\n"
-    "  LIST_MIN(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(t) - 2), i ->\n"
-    "    ('0x' || SUBSTR(MD5(CAST(p AS VARCHAR) || '|' ||"
-    " ARRAY_TO_STRING(t[i:i+2], ' ')), 1, 15))::BIGINT)))"
+# DuckDB twins of functions.text.gram_hashes / minhash_from_grams over
+# word-3-gram shingles: one 28-bit md5-prefix hash per shingle (expects a
+# token list ``t`` in scope), then per-permutation universal-hash mins
+# (expects the hash list ``hs`` in scope) with the SAME md5-derived
+# A/B/P constants the engine folds with — inlined so both engines run
+# literally identical arithmetic. Shared by the signature and band-pair
+# oracles.
+_DUCK_GRAM_HASHES = (
+    "LIST_TRANSFORM(GENERATE_SERIES(1, LEN(t) - 2), i ->\n"
+    "    ('0x' || SUBSTR(MD5(ARRAY_TO_STRING(t[i:i+2], ' ')), 1, 7))::BIGINT)"
 )
+_DUCK_MINHASH_SIG = "LIST_VALUE(\n  " + ",\n  ".join(
+    f"LIST_MIN(LIST_TRANSFORM(hs, h -> ({MINHASH_A[p]} * h + {MINHASH_B[p]})"
+    f" % {MINHASH_P}))"
+    for p in range(16)
+) + ")"
 
 
 def _minhash_sig_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Portable MinHash signatures (functions/text.py: minhash_from_grams).
 
-    Two chained selects so the gram array materialises once at a
-    projection boundary instead of being re-inlined into each of the 16
-    permutation folds.
+    The limit runs FIRST (TakeOrderedAndProject over the narrow id/text
+    projection) so signatures are computed for 50 docs, not all of them;
+    chained selects keep the gram and hash arrays at projection
+    boundaries instead of re-inlining them into each permutation fold.
     """
     docs = load_table(spark, sf_dir, "documents")
     sig_str = F.concat_ws(
-        ",", F.transform(minhash_from_grams("g", 16), lambda x: x.cast("string"))
+        ",", F.transform(minhash_from_grams("hs", 16), lambda x: x.cast("string"))
     )
     return (
-        docs.select("doc_id", word_ngram_array("text", 3).alias("g"))
-        .select(
-            "doc_id",
-            F.when(F.col("g").isNotNull(), sig_str).alias("sig"),
-        )
+        docs.select("doc_id", "text")
         .orderBy("doc_id")
         .limit(50)
+        .select("doc_id", word_ngram_array("text", 3).alias("g"))
+        .select("doc_id", gram_hashes("g").alias("hs"))
+        .select(
+            "doc_id",
+            F.when(F.col("hs").isNotNull(), sig_str).alias("sig"),
+        )
     )
 
 
@@ -896,12 +910,16 @@ register(
     "llm_minhash_sig",
     engine_fn=_minhash_sig_fn,
     oracle=(
+        "WITH t AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS t"
+        " FROM documents),\n"
+        "h AS (SELECT doc_id,\n"
+        "  CASE WHEN LEN(t) >= 3 THEN " + _DUCK_GRAM_HASHES + " END AS hs\n"
+        "  FROM t)\n"
         "SELECT doc_id,\n"
-        "  CASE WHEN LEN(t) >= 3 THEN ARRAY_TO_STRING(\n  "
+        "  CASE WHEN hs IS NOT NULL THEN ARRAY_TO_STRING(\n  "
         + _DUCK_MINHASH_SIG + ", ',')\n"
         "  END AS sig\n"
-        "FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents)\n"
-        "ORDER BY doc_id LIMIT 50"
+        "FROM h ORDER BY doc_id LIMIT 50"
     ),
     category="llm-dedup",
     suite="extension",
@@ -939,7 +957,8 @@ register(
     oracle=(
         "WITH t AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS t\n"
         "           FROM documents WHERE LEN(STRING_SPLIT(text, ' ')) >= 3),\n"
-        "sig AS (SELECT doc_id, " + _DUCK_MINHASH_SIG + " AS sig FROM t),\n"
+        "hh AS (SELECT doc_id, " + _DUCK_GRAM_HASHES + " AS hs FROM t),\n"
+        "sig AS (SELECT doc_id, " + _DUCK_MINHASH_SIG + " AS sig FROM hh),\n"
         "band AS (SELECT doc_id, sig, u.b AS b,\n"
         "    MD5(ARRAY_TO_STRING(sig[4*u.b+1:4*u.b+4], ',')) AS bk\n"
         "  FROM sig, UNNEST(GENERATE_SERIES(0, 3)) AS u(b)),\n"
@@ -1011,12 +1030,12 @@ def _kmeans_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_assign(emb, k=8, iters=2).orderBy("vec_id")
 
 
-register(
-    "llm_kmeans_assign",
-    engine_fn=_kmeans_fn,
-    oracle=(
-        "WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e"
-        " FROM embeddings),\n"
+# DuckDB twin of operators/kmeans.py: kmeans_assign(k=8, iters=2) — ends
+# with CTE ``a2`` holding (vec_id, cid). Shared by the assignment query
+# and the SemDeDup prune query.
+_DUCK_KMEANS_CTES = (
+    "emb AS (SELECT vec_id, embedding::DOUBLE[] AS e"
+    " FROM embeddings),\n"
         "c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT)"
         " AS cid, e AS c\n"
         "       FROM emb ORDER BY vec_id LIMIT 8),\n"
@@ -1041,7 +1060,15 @@ register(
         "          i -> (emb.e[i] - c1.c[i]) * (emb.e[i] - c1.c[i])),\n"
         "          (a, b) -> a + b),\n"
         "        c1.cid) AS rn\n"
-        "    FROM emb CROSS JOIN c1) WHERE rn = 1)\n"
+    "    FROM emb CROSS JOIN c1) WHERE rn = 1)"
+)
+
+
+register(
+    "llm_kmeans_assign",
+    engine_fn=_kmeans_fn,
+    oracle=(
+        "WITH " + _DUCK_KMEANS_CTES + "\n"
         "SELECT vec_id, cid AS cluster_id FROM a2 ORDER BY vec_id"
     ),
     category="llm-similarity",
@@ -1050,5 +1077,133 @@ register(
         "deterministic 2-iteration Lloyd k-means (k=8, id-ordered seed, "
         "order-pinned fp folds, rounded centroid handoff) — bit-identical "
         "assignments across engines; the SemDeDup-style clustering core"
+    ),
+)
+
+
+# -- TF-IDF top terms (round 4b) ---------------------------------------------
+
+
+def _tfidf_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide IDF, per-doc top-3 terms for the first 50 docs.
+
+    The tf side filters to the 50 output docs BEFORE aggregating (the
+    probe set is small; only the document-frequency aggregate must see
+    the whole corpus), so the expensive per-(doc, term) stage scales with
+    the output request, not the corpus. Scores are rounded to 6 decimals
+    BEFORE ranking so both engines rank identical values.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = (
+        tok.where(F.col("doc_id") < 50)
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = (
+        tok.distinct().groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    )
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    score = F.round(F.col("tf") * F.log(F.col("n") / F.col("df")), 6)
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .select("doc_id", "term", score.alias("tfidf"))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("doc_id", "term", "tfidf")
+        .orderBy("doc_id", "term")
+    )
+
+
+register(
+    "llm_tfidf_topterms",
+    engine_fn=_tfidf_fn,
+    oracle=(
+        "WITH tok AS (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS term"
+        " FROM documents),\n"
+        "tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok"
+        " WHERE doc_id < 50 GROUP BY doc_id, term),\n"
+        "df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok"
+        " GROUP BY term),\n"
+        "n AS (SELECT COUNT(*) AS n FROM documents)\n"
+        "SELECT doc_id, term, tfidf FROM (\n"
+        "  SELECT tf.doc_id, tf.term,\n"
+        "    ROUND(tf.tf * LN(n.n / df.df), 6) AS tfidf,\n"
+        "    ROW_NUMBER() OVER (PARTITION BY tf.doc_id ORDER BY\n"
+        "      ROUND(tf.tf * LN(n.n / df.df), 6) DESC, tf.term) AS rk\n"
+        "  FROM tf JOIN df USING (term) CROSS JOIN n)\n"
+        "WHERE rk <= 3 ORDER BY doc_id, term"
+    ),
+    category="llm-text",
+    suite="extension",
+    doc=(
+        "TF-IDF top-3 terms per document: corpus-wide document-frequency "
+        "aggregate + broadcast scalar doc count + per-doc rank window; "
+        "the tf stage prunes to the probe docs before aggregating"
+    ),
+)
+
+
+# -- SemDeDup semantic prune (round 4b) --------------------------------------
+
+
+def _semantic_prune_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster embeddings, then prune the
+    higher-id member of any within-cluster pair above a cosine threshold.
+
+    Clustering makes the pair stage an equi-join on cluster_id — candidate
+    volume is the sum of squared cluster sizes, never corpus x corpus. At
+    100 TB, k scales with N (k ~ N / target_cluster_size) so per-cluster
+    pair counts stay bounded; k=8 here matches the oracle-verified
+    ``llm_kmeans_assign`` configuration. The threshold compares the
+    ROUNDED cosine (4 dp) so both engines make identical keep/prune
+    decisions away from exact rounding boundaries.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    asg = kmeans_assign(emb, k=8, iters=2)
+    ca = asg.select(F.col("vec_id").alias("id_a"), F.col("cluster_id").alias("c"))
+    cb = asg.select(F.col("vec_id").alias("id_b"), F.col("cluster_id").alias("c"))
+    cand = ca.join(cb, "c").where(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
+    pruned = (
+        embedding_neardup_pairs(emb, threshold=0.42, candidates=cand)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+        .withColumn("hit", F.lit(True))
+    )
+    return (
+        asg.join(pruned, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster_id",
+            F.col("hit").isNull().alias("kept"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+register(
+    "llm_semantic_prune",
+    engine_fn=_semantic_prune_fn,
+    oracle=(
+        "WITH " + _DUCK_KMEANS_CTES + ",\n"
+        "m AS (SELECT a2.vec_id, a2.cid, emb.e FROM a2"
+        " JOIN emb USING (vec_id)),\n"
+        "pr AS (SELECT DISTINCT b.vec_id AS pid FROM m a JOIN m b\n"
+        "    ON a.cid = b.cid AND a.vec_id < b.vec_id\n"
+        "    WHERE ROUND(LIST_COSINE_SIMILARITY(a.e, b.e), 4) >= 0.42)\n"
+        "SELECT m.vec_id, m.cid AS cluster_id, pr.pid IS NULL AS kept\n"
+        "FROM m LEFT JOIN pr ON m.vec_id = pr.pid ORDER BY vec_id"
+    ),
+    category="llm-similarity",
+    suite="extension",
+    doc=(
+        "SemDeDup semantic pruning: deterministic k-means partition + "
+        "within-cluster cosine pairs (equi-join on cluster, rounded-"
+        "threshold decision) -> keep/prune verdict per vector, "
+        "bit-identical across engines"
     ),
 )
