@@ -1751,3 +1751,95 @@ register(
         "earlier reference on both sides"
     ),
 )
+
+
+# -- stratified deterministic sampling (round 4b) ----------------------------
+
+register(
+    "sample_stratified",
+    engine=(
+        "SELECT o_orderstatus, o_orderkey FROM (\n"
+        "  SELECT o_orderstatus, o_orderkey,\n"
+        "    ROW_NUMBER() OVER (PARTITION BY o_orderstatus\n"
+        "      ORDER BY MD5(CAST(o_orderkey AS STRING))) AS rn\n"
+        "  FROM orders)\n"
+        "WHERE rn <= 20 ORDER BY o_orderstatus, o_orderkey"
+    ),
+    oracle=(
+        "SELECT o_orderstatus, o_orderkey FROM (\n"
+        "  SELECT o_orderstatus, o_orderkey,\n"
+        "    ROW_NUMBER() OVER (PARTITION BY o_orderstatus\n"
+        "      ORDER BY MD5(CAST(o_orderkey AS VARCHAR))) AS rn\n"
+        "  FROM orders)\n"
+        "WHERE rn <= 20 ORDER BY o_orderstatus, o_orderkey"
+    ),
+    category="sampling",
+    suite="extension",
+    doc=(
+        "stratified deterministic sample: exactly 20 rows per stratum, "
+        "chosen by md5(key) rank so the draw is reproducible across "
+        "engines, runs, and partitionings (the auditable counterpart of "
+        "per-group reservoir sampling); the stratum-partitioned window "
+        "needs no global sort, and at scale the rank prune folds into the "
+        "window's running state via the WindowGroupLimit rewrite"
+    ),
+)
+
+
+# -- single-scan column profiling (round 4b) ---------------------------------
+
+register(
+    "profile_columns",
+    engine=(
+        "SELECT col_name, non_null, n_distinct, min_val, max_val FROM (\n"
+        "  SELECT stack(4,\n"
+        "    'l_extendedprice', COUNT(l_extendedprice),"
+        " COUNT(DISTINCT l_extendedprice),\n"
+        "      CAST(CAST(MIN(l_extendedprice) AS DECIMAL(18,2)) AS STRING),\n"
+        "      CAST(CAST(MAX(l_extendedprice) AS DECIMAL(18,2)) AS STRING),\n"
+        "    'l_quantity', COUNT(l_quantity), COUNT(DISTINCT l_quantity),\n"
+        "      CAST(CAST(MIN(l_quantity) AS DECIMAL(18,2)) AS STRING),\n"
+        "      CAST(CAST(MAX(l_quantity) AS DECIMAL(18,2)) AS STRING),\n"
+        "    'l_returnflag', COUNT(l_returnflag),"
+        " COUNT(DISTINCT l_returnflag),\n"
+        "      MIN(l_returnflag), MAX(l_returnflag),\n"
+        "    'l_shipdate', COUNT(l_shipdate), COUNT(DISTINCT l_shipdate),\n"
+        "      CAST(MIN(l_shipdate) AS STRING),"
+        " CAST(MAX(l_shipdate) AS STRING)\n"
+        "  ) AS (col_name, non_null, n_distinct, min_val, max_val)\n"
+        "  FROM lineitem)\n"
+        "ORDER BY col_name"
+    ),
+    oracle=(
+        "WITH a AS (SELECT\n"
+        "    COUNT(l_extendedprice) c1, COUNT(DISTINCT l_extendedprice) d1,\n"
+        "      CAST(CAST(MIN(l_extendedprice) AS DECIMAL(18,2)) AS VARCHAR) mn1,\n"
+        "      CAST(CAST(MAX(l_extendedprice) AS DECIMAL(18,2)) AS VARCHAR) mx1,\n"
+        "    COUNT(l_quantity) c2, COUNT(DISTINCT l_quantity) d2,\n"
+        "      CAST(CAST(MIN(l_quantity) AS DECIMAL(18,2)) AS VARCHAR) mn2,\n"
+        "      CAST(CAST(MAX(l_quantity) AS DECIMAL(18,2)) AS VARCHAR) mx2,\n"
+        "    COUNT(l_returnflag) c3, COUNT(DISTINCT l_returnflag) d3,\n"
+        "      MIN(l_returnflag) mn3, MAX(l_returnflag) mx3,\n"
+        "    COUNT(l_shipdate) c4, COUNT(DISTINCT l_shipdate) d4,\n"
+        "      CAST(MIN(l_shipdate) AS VARCHAR) mn4,"
+        " CAST(MAX(l_shipdate) AS VARCHAR) mx4\n"
+        "  FROM lineitem)\n"
+        "SELECT 'l_extendedprice' AS col_name, c1 AS non_null,"
+        " d1 AS n_distinct, mn1 AS min_val, mx1 AS max_val FROM a\n"
+        "UNION ALL SELECT 'l_quantity', c2, d2, mn2, mx2 FROM a\n"
+        "UNION ALL SELECT 'l_returnflag', c3, d3, mn3, mx3 FROM a\n"
+        "UNION ALL SELECT 'l_shipdate', c4, d4, mn4, mx4 FROM a\n"
+        "ORDER BY col_name"
+    ),
+    category="profiling",
+    suite="extension",
+    doc=(
+        "single-scan column profiler (null counts, exact distinct "
+        "cardinality, min/max) pivoted to long form with stack(): the "
+        "data-quality report a pipeline runs before training ingestion; "
+        "one table scan feeds every statistic (Spark expands the "
+        "multi-DISTINCT into grouping-id partial aggregates, still one "
+        "pass over the parquet), where the oracle's UNION form scans "
+        "four times"
+    ),
+)

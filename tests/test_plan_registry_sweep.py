@@ -80,6 +80,18 @@ ALLOWLIST: dict[str, tuple[tuple[str, ...], str]] = {
         "10-row vs 1-row broadcast cross join joining the top-k table to "
         "the scalar total (partial-aggregated, auto-allowed)",
     ),
+    "llm_semantic_prune": (
+        ("BroadcastNestedLoopJoin",),
+        "inherits kmeans_assign's assignment crossJoin with the broadcast "
+        "k-row centroid table (k=8, compile-time constant); the pair "
+        "stage itself is an equi-join on cluster_id",
+    ),
+    "llm_tfidf_topterms": (
+        ("BroadcastNestedLoopJoin",),
+        "1-row broadcast of the scalar corpus doc count (partial-"
+        "aggregated) onto the tf/df join — the scalar-subquery shape as "
+        "an explicit broadcast",
+    ),
     "llm_kmeans_assign": (
         ("BroadcastNestedLoopJoin",),
         "assignment step crossJoins each vector with the broadcast k-row "
