@@ -1843,3 +1843,110 @@ register(
         "four times"
     ),
 )
+
+
+# -- deterministic PageRank (round 4b) ---------------------------------------
+
+
+def _pagerank_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-iteration damped PageRank over the customer–supplier interaction
+    graph (an edge per distinct customer/supplier pair that shares an
+    order), the classic distributed iterative-algorithm shape.
+
+    Per iteration: ONE equi-join (ranks onto edge sources) + ONE hash
+    aggregate (contribution sum per destination) — both key-partitioned,
+    map-side-combinable, nothing global. Iteration count is compile-time
+    fixed, so the whole plan is 2 shuffle rounds over narrow rows; the
+    node count is the only driver scalar (bounded: one count of the
+    degree table). Ranks are rounded to 12 decimals at each handoff so
+    engine-dependent summation order cannot leak into the next
+    iteration, and to 6 in the output — the same fp-pinning discipline
+    as operators/kmeans.py.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    e1 = (
+        orders.join(
+            lineitem, orders.o_orderkey == lineitem.l_orderkey
+        )
+        .select(
+            F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+        # Edge-list-sized; referenced by the degree table and by every
+        # iteration's contribution join — persist so the orders x lineitem
+        # distinct isn't replayed once per reference.
+        .persist()
+    )
+    edges = e1.unionByName(
+        e1.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    nodes = deg.select(F.col("src").alias("node"), "deg")
+    n = nodes.count()  # bounded driver scalar: one row per graph node
+    base = F.lit(0.15) / F.lit(float(n))
+    ranks = nodes.withColumn("r", F.lit(1.0 / n))
+    for _ in range(2):
+        contrib = (
+            edges.join(
+                ranks.select(
+                    F.col("node").alias("src"),
+                    (F.col("r") / F.col("deg")).alias("c"),
+                ),
+                "src",
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes.node == contrib.dst, "left")
+            .select(
+                "node",
+                "deg",
+                F.round(
+                    base + F.lit(0.85) * F.coalesce(F.col("s"), F.lit(0.0)), 12
+                ).alias("r"),
+            )
+        )
+    return (
+        ranks.select("node", F.round("r", 6).alias("rank"))
+        .orderBy(F.col("rank").desc(), "node")
+        .limit(20)
+    )
+
+
+register(
+    "net_pagerank",
+    engine_fn=_pagerank_fn,
+    oracle=(
+        "WITH e1 AS (SELECT DISTINCT 'c:' || o_custkey AS src,"
+        " 's:' || l_suppkey AS dst\n"
+        "  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),\n"
+        "e AS (SELECT src, dst FROM e1"
+        " UNION ALL SELECT dst, src FROM e1),\n"
+        "d AS (SELECT src AS node, COUNT(*) AS deg FROM e GROUP BY src),\n"
+        "n AS (SELECT COUNT(*) AS n FROM d),\n"
+        "r0 AS (SELECT node, deg, 1.0 / n.n AS r FROM d CROSS JOIN n),\n"
+        "c1 AS (SELECT e.dst AS node, SUM(r0.r / r0.deg) AS s\n"
+        "  FROM e JOIN r0 ON e.src = r0.node GROUP BY e.dst),\n"
+        "r1 AS (SELECT d.node, d.deg,\n"
+        "    ROUND(0.15 / n.n + 0.85 * COALESCE(c1.s, 0), 12) AS r\n"
+        "  FROM d CROSS JOIN n LEFT JOIN c1 ON d.node = c1.node),\n"
+        "c2 AS (SELECT e.dst AS node, SUM(r1.r / r1.deg) AS s\n"
+        "  FROM e JOIN r1 ON e.src = r1.node GROUP BY e.dst),\n"
+        "r2 AS (SELECT d.node,\n"
+        "    ROUND(0.15 / n.n + 0.85 * COALESCE(c2.s, 0), 12) AS r\n"
+        "  FROM d CROSS JOIN n LEFT JOIN c2 ON d.node = c2.node)\n"
+        "SELECT node, CAST(ROUND(r, 6) AS DOUBLE) AS rank FROM r2\n"
+        "ORDER BY rank DESC, node LIMIT 20"
+    ),
+    category="graph",
+    suite="extension",
+    doc=(
+        "deterministic 2-iteration damped PageRank (d=0.85) over the "
+        "customer-supplier co-order graph: per iteration one key-"
+        "partitioned join + one partial-agg sum, rounded-handoff fp "
+        "pinning — top-20 nodes bit-identical across engines"
+    ),
+)

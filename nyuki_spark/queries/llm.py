@@ -1207,3 +1207,54 @@ register(
         "bit-identical across engines"
     ),
 )
+
+
+# -- reproducible global shuffle order (round 4b) ----------------------------
+
+
+def _shuffle_order_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-order permutation: every document gets a
+    global position by rank of its md5-hashed id — the reproducible
+    global shuffle a training pipeline needs so a run can be resumed or
+    replayed with the identical example order on any engine, any
+    partitioning, any cluster size (rand()-based shuffles are none of
+    those).
+
+    The rank is exact-global but never globally sorted: operators/rank.py
+    global_row_number range-buckets the numeric hash via approxQuantile,
+    ranks within balanced buckets, and merges with a broadcast
+    bucket-offset table — the plan that survives when "shuffle the
+    corpus" means 10^11 rows. The 60-bit hash makes collisions
+    negligible, and doc_id tiebreaks to a total order anyway.
+    """
+    from nyuki_spark.operators.rank import global_row_number
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+    out = global_row_number(
+        docs.withColumn("h", h), "h", tiebreak_cols=["doc_id"],
+        out="shuffle_pos",
+    )
+    return out.select("doc_id", "shuffle_pos").orderBy("shuffle_pos")
+
+
+register(
+    "llm_shuffle_order",
+    engine_fn=_shuffle_order_fn,
+    oracle=(
+        "SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY\n"
+        "    ('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,\n"
+        "    doc_id) AS INT) AS shuffle_pos\n"
+        "FROM documents ORDER BY shuffle_pos"
+    ),
+    category="llm-text",
+    suite="extension",
+    doc=(
+        "reproducible global shuffle for training order: md5(id) rank via "
+        "the two-phase range-bucketed global_row_number — exact "
+        "ROW_NUMBER semantics with no global sort and no single-partition "
+        "window over data rows"
+    ),
+)

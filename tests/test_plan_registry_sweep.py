@@ -99,6 +99,12 @@ ALLOWLIST: dict[str, tuple[tuple[str, ...], str]] = {
         "constant-size build IS the right plan — the N-row side never "
         "shuffles",
     ),
+    "llm_shuffle_order": (
+        ("Exchange SinglePartition",),
+        "global_row_number's offset merge: SinglePartition only ever "
+        "consumes the num_buckets-row bucket-size table (operators/"
+        "rank.py), never data rows — same bounded shape as win_rank",
+    ),
     "win_rank": (
         ("Exchange SinglePartition",),
         "size-adaptive rank (queries/declared.py): below one 32 MB bucket "
