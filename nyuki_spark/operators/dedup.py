@@ -43,6 +43,7 @@ from nyuki_spark.functions.text import (
 __all__ = [
     "exact_dedup_groups",
     "exact_dedup_keep_first",
+    "simhash_chunks",
     "simhash_pairs",
     "minhash_band_pairs",
     "minhash_neardup_pairs",
@@ -86,24 +87,20 @@ def exact_dedup_keep_first(
     return df.join(keep, on=id_col, how="left_semi")
 
 
-def simhash_pairs(
+def simhash_chunks(
     df: DataFrame,
-    max_hamming: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
     bands: int = 4,
 ) -> DataFrame:
-    """Candidate near-dup pairs by SimHash banding, verified by true
-    Hamming distance: (id_a, id_b, hamming), id_a < id_b.
-
-    ``bands`` must be > max_hamming for the pigeonhole guarantee (a pair
-    within max_hamming differs in <= max_hamming bands, so at least one of
-    bands > max_hamming chunks is identical).
+    """(id, sh, band, chunk) rows — ``bands`` per document — the build
+    side of every banded SimHash candidate join (within-corpus pairs,
+    cross-shard ingestion checks). Docs with NULL text carry a NULL
+    sketch and never match a band key.
     """
-    assert bands > max_hamming, "need bands > max_hamming for exact recall"
     width = 60 // bands
     sh = df.select(F.col(id_col).alias("id"), simhash60(text_col).alias("sh"))
-    chunks = sh.select(
+    return sh.select(
         "id",
         "sh",
         F.explode(
@@ -120,6 +117,24 @@ def simhash_pairs(
             )
         ).alias("bc"),
     ).select("id", "sh", "bc.band", "bc.chunk")
+
+
+def simhash_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bands: int = 4,
+) -> DataFrame:
+    """Candidate near-dup pairs by SimHash banding, verified by true
+    Hamming distance: (id_a, id_b, hamming), id_a < id_b.
+
+    ``bands`` must be > max_hamming for the pigeonhole guarantee (a pair
+    within max_hamming differs in <= max_hamming bands, so at least one of
+    bands > max_hamming chunks is identical).
+    """
+    assert bands > max_hamming, "need bands > max_hamming for exact recall"
+    chunks = simhash_chunks(df, id_col=id_col, text_col=text_col, bands=bands)
     a, b = chunks.alias("a"), chunks.alias("b")
     cand = (
         a.join(

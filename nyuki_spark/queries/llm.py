@@ -1030,38 +1030,46 @@ def _kmeans_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_assign(emb, k=8, iters=2).orderBy("vec_id")
 
 
-# DuckDB twin of operators/kmeans.py: kmeans_assign(k=8, iters=2) — ends
-# with CTE ``a2`` holding (vec_id, cid). Shared by the assignment query
-# and the SemDeDup prune query.
-_DUCK_KMEANS_CTES = (
-    "emb AS (SELECT vec_id, embedding::DOUBLE[] AS e"
-    " FROM embeddings),\n"
-        "c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT)"
-        " AS cid, e AS c\n"
-        "       FROM emb ORDER BY vec_id LIMIT 8),\n"
-        "a1 AS (SELECT vec_id, cid FROM (\n"
-        "    SELECT emb.vec_id, c0.cid,\n"
-        "      ROW_NUMBER() OVER (PARTITION BY emb.vec_id ORDER BY\n"
-        "        LIST_REDUCE(LIST_TRANSFORM(GENERATE_SERIES(1, 64),\n"
-        "          i -> (emb.e[i] - c0.c[i]) * (emb.e[i] - c0.c[i])),\n"
-        "          (a, b) -> a + b),\n"
-        "        c0.cid) AS rn\n"
-        "    FROM emb CROSS JOIN c0) WHERE rn = 1),\n"
-        "c1 AS (SELECT cid, LIST(v ORDER BY dim) AS c FROM (\n"
-        "    SELECT a1.cid AS cid, u.dim AS dim,"
-        " ROUND(AVG(emb.e[u.dim]), 6) AS v\n"
-        "    FROM emb JOIN a1 USING (vec_id),\n"
-        "         UNNEST(GENERATE_SERIES(1, 64)) AS u(dim)\n"
-        "    GROUP BY a1.cid, u.dim) GROUP BY cid),\n"
-        "a2 AS (SELECT vec_id, cid FROM (\n"
-        "    SELECT emb.vec_id, c1.cid,\n"
-        "      ROW_NUMBER() OVER (PARTITION BY emb.vec_id ORDER BY\n"
-        "        LIST_REDUCE(LIST_TRANSFORM(GENERATE_SERIES(1, 64),\n"
-        "          i -> (emb.e[i] - c1.c[i]) * (emb.e[i] - c1.c[i])),\n"
-        "          (a, b) -> a + b),\n"
-        "        c1.cid) AS rn\n"
-    "    FROM emb CROSS JOIN c1) WHERE rn = 1)"
-)
+def _duck_kmeans_ctes(p: str = "", e_expr: str = "embedding::DOUBLE[]",
+                      dims: int = 64, k: int = 8) -> str:
+    """DuckDB twin of operators/kmeans.py: kmeans_assign(k, iters=2) as a
+    CTE chain ending in ``{p}a2`` holding (vec_id, cid). ``p`` prefixes
+    every CTE name so several instances (PQ subspaces) compose in one
+    WITH; ``e_expr`` selects the (sliced) vector. Shared by the
+    assignment, SemDeDup-prune, and product-quantization oracles.
+    """
+
+    def asg(out: str, cent: str) -> str:
+        return (
+            f"{p}{out} AS (SELECT vec_id, cid FROM (\n"
+            f"    SELECT {p}emb.vec_id, {p}{cent}.cid,\n"
+            "      ROW_NUMBER() OVER (PARTITION BY"
+            f" {p}emb.vec_id ORDER BY\n"
+            f"        LIST_REDUCE(LIST_TRANSFORM(GENERATE_SERIES(1, {dims}),\n"
+            f"          i -> ({p}emb.e[i] - {p}{cent}.c[i])"
+            f" * ({p}emb.e[i] - {p}{cent}.c[i])),\n"
+            "          (a, b) -> a + b),\n"
+            f"        {p}{cent}.cid) AS rn\n"
+            f"    FROM {p}emb CROSS JOIN {p}{cent}) WHERE rn = 1)"
+        )
+
+    return (
+        f"{p}emb AS (SELECT vec_id, {e_expr} AS e FROM embeddings),\n"
+        f"{p}c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1"
+        " AS INT) AS cid, e AS c\n"
+        f"       FROM {p}emb ORDER BY vec_id LIMIT {k}),\n"
+        + asg("a1", "c0") + ",\n"
+        f"{p}c1 AS (SELECT cid, LIST(v ORDER BY dim) AS c FROM (\n"
+        f"    SELECT {p}a1.cid AS cid, u.dim AS dim,"
+        f" ROUND(AVG({p}emb.e[u.dim]), 6) AS v\n"
+        f"    FROM {p}emb JOIN {p}a1 USING (vec_id),\n"
+        f"         UNNEST(GENERATE_SERIES(1, {dims})) AS u(dim)\n"
+        f"    GROUP BY {p}a1.cid, u.dim) GROUP BY cid),\n"
+        + asg("a2", "c1")
+    )
+
+
+_DUCK_KMEANS_CTES = _duck_kmeans_ctes()
 
 
 register(
@@ -1256,5 +1264,155 @@ register(
         "the two-phase range-bucketed global_row_number — exact "
         "ROW_NUMBER semantics with no global sort and no single-partition "
         "window over data rows"
+    ),
+)
+
+
+# -- cross-shard ingestion dedup (round 4b) ----------------------------------
+
+
+def _cross_shard_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingestion dedup: classify every incoming document
+    against the EXISTING corpus (not against other incoming docs) as
+    exact_dup / near_dup / new — the nightly-batch shape of a training-
+    data pipeline, where the corpus side is orders of magnitude larger
+    than the batch. Even doc_ids stand in for the corpus, odd for the
+    batch.
+
+    Exact tier: semi-join on the md5 fingerprint (16-byte shuffle key).
+    Near tier: banded SimHash candidate equi-join (operators/dedup.py:
+    simhash_chunks) — a batch/corpus pair within Hamming 3 of a 60-bit
+    sketch split into 4 bands must share a band (pigeonhole), so the
+    banding reproduces the oracle's brute-force EXISTS exactly. Both
+    tiers shuffle only (key, sketch) rows, never document bodies, and the
+    batch side drives the join sizes.
+    """
+    from nyuki_spark.operators.dedup import simhash_chunks
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", "text", F.md5("text").alias("fp"))
+    corpus = base.where(F.col("doc_id") % 2 == 0)
+    batch = base.where(F.col("doc_id") % 2 == 1)
+    exact = (
+        batch.join(corpus.select("fp").distinct(), "fp", "left_semi")
+        .select("doc_id")
+        .withColumn("is_exact", F.lit(True))
+    )
+    ca = simhash_chunks(batch)
+    cb = simhash_chunks(corpus)
+    near = (
+        ca.join(
+            cb.select(
+                F.col("band"), F.col("chunk"), F.col("sh").alias("csh")
+            ),
+            ["band", "chunk"],
+        )
+        .where(F.bit_count(F.col("sh").bitwiseXOR(F.col("csh"))) <= 3)
+        .select(F.col("id").alias("doc_id"))
+        .distinct()
+        .withColumn("is_near", F.lit(True))
+    )
+    return (
+        batch.select("doc_id")
+        .join(exact, "doc_id", "left")
+        .join(near, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("is_exact"), "exact_dup")
+            .when(F.col("is_near"), "near_dup")
+            .otherwise("new")
+            .alias("verdict"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+register(
+    "llm_dedup_cross_shard",
+    engine_fn=_cross_shard_fn,
+    oracle=(
+        "WITH sim AS (" + _DUCK_SIMHASH + "),\n"
+        "d AS (SELECT doc_id, MD5(text) AS fp FROM documents)\n"
+        "SELECT b.doc_id,\n"
+        "  CASE WHEN EXISTS (SELECT 1 FROM d c\n"
+        "         WHERE c.doc_id % 2 = 0 AND c.fp = b.fp) THEN 'exact_dup'\n"
+        "       WHEN EXISTS (SELECT 1 FROM sim sb, sim sc\n"
+        "         WHERE sb.doc_id = b.doc_id AND sc.doc_id % 2 = 0\n"
+        "           AND BIT_COUNT(XOR(sb.simhash, sc.simhash)) <= 3)\n"
+        "         THEN 'near_dup'\n"
+        "       ELSE 'new' END AS verdict\n"
+        "FROM d b WHERE b.doc_id % 2 = 1 ORDER BY doc_id"
+    ),
+    category="llm-dedup",
+    suite="extension",
+    doc=(
+        "incremental-ingestion dedup verdicts (exact_dup / near_dup / "
+        "new) for a batch against an existing corpus: fingerprint "
+        "semi-join + banded SimHash cross-join with pigeonhole-exact "
+        "recall at Hamming <= 3; the oracle brute-forces both EXISTS"
+    ),
+)
+
+
+# -- product quantization codes (round 4b) -----------------------------------
+
+
+def _pq_codes_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (Jegou et al. 2011): split the 64-dim
+    embedding into 4 subspaces of 16 dims, learn a k=4 codebook per
+    subspace with the deterministic Lloyd operator, emit each vector's
+    4-byte code word — the compression that lets an ANN index hold
+    100 TB of embeddings in RAM-sized shards.
+
+    Each subspace run is independent (same scale shape as
+    ``llm_kmeans_assign``: broadcast k-row centroids, k-row driver
+    collects only); the final assembly is 4 equi-joins on vec_id of
+    (id, small-int) tables. Determinism (id-ordered seeds, order-pinned
+    folds, rounded centroid handoff) makes the full 4-subspace codebook
+    bit-identical across engines.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = emb.select("vec_id")
+    for s in range(4):
+        sub = emb.select(
+            "vec_id",
+            F.slice(F.col("embedding").cast("array<double>"), s * 16 + 1, 16)
+            .alias("embedding"),
+        )
+        asg = kmeans_assign(sub, k=4, iters=2).withColumnRenamed(
+            "cluster_id", f"code{s}"
+        )
+        out = out.join(asg, "vec_id")
+    return out.orderBy("vec_id")
+
+
+register(
+    "llm_pq_codes",
+    engine_fn=_pq_codes_fn,
+    oracle=(
+        "WITH "
+        + ",\n".join(
+            _duck_kmeans_ctes(
+                p=f"s{s}_",
+                e_expr=f"(embedding::DOUBLE[])[{s * 16 + 1}:{s * 16 + 16}]",
+                dims=16,
+                k=4,
+            )
+            for s in range(4)
+        )
+        + "\n"
+        "SELECT s0_a2.vec_id, s0_a2.cid AS code0, s1_a2.cid AS code1,\n"
+        "       s2_a2.cid AS code2, s3_a2.cid AS code3\n"
+        "FROM s0_a2 JOIN s1_a2 USING (vec_id) JOIN s2_a2 USING (vec_id)\n"
+        "     JOIN s3_a2 USING (vec_id)\n"
+        "ORDER BY vec_id"
+    ),
+    category="llm-similarity",
+    suite="extension",
+    doc=(
+        "product-quantization code words: 4 independent deterministic "
+        "k=4 codebooks over 16-dim subspaces (Jegou et al. 2011), "
+        "assembled by vec_id equi-joins — the embedding-compression "
+        "stage of a scale ANN index, bit-identical across engines"
     ),
 )

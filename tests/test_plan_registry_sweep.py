@@ -80,6 +80,11 @@ ALLOWLIST: dict[str, tuple[tuple[str, ...], str]] = {
         "10-row vs 1-row broadcast cross join joining the top-k table to "
         "the scalar total (partial-aggregated, auto-allowed)",
     ),
+    "llm_pq_codes": (
+        ("BroadcastNestedLoopJoin",),
+        "four kmeans_assign subspace runs, each crossJoining vectors with "
+        "its broadcast k-row centroid table (k=4, compile-time constant)",
+    ),
     "llm_semantic_prune": (
         ("BroadcastNestedLoopJoin",),
         "inherits kmeans_assign's assignment crossJoin with the broadcast "

@@ -96,3 +96,26 @@ def test_minhash_band_pairs_planted(spark):
     }
     assert set(pairs) == {(1, 2)}
     assert pairs[(1, 2)] >= 0.75
+
+
+def test_pq_codes_deterministic_and_bounded(spark, sf_dir):
+    """Per-subspace PQ codes are invariant to input partitioning (the
+    kmeans determinism contract, applied to sliced vectors) and stay
+    inside the k=4 code range."""
+    from nyuki_spark.queries import REGISTRY
+
+    a = REGISTRY["llm_pq_codes"].run(spark, sf_dir).collect()
+    emb = load_table(spark, sf_dir, "embeddings")
+    for s in range(4):
+        sub = emb.repartition(7, "vec_id").select(
+            "vec_id",
+            F.slice(F.col("embedding").cast("array<double>"), s * 16 + 1, 16)
+            .alias("embedding"),
+        )
+        got = {
+            r["vec_id"]: r["cluster_id"]
+            for r in kmeans_assign(sub, k=4, iters=2).collect()
+        }
+        for r in a:
+            assert got[r["vec_id"]] == r[f"code{s}"]
+            assert 0 <= r[f"code{s}"] < 4
