@@ -434,8 +434,14 @@ def minhash_band_pairs(
         ).alias(f"m{p}")
         for p in range(n_perm)
     ]
-    sig = h.groupBy(id_col).agg(*mins).select(
-        id_col, F.array(*[f"m{p}" for p in range(n_perm)]).alias("sig")
+    # One narrow (id, n_perm bigints) row per doc; both sides of the band
+    # self-join read it — persist so the shingle explode + digest stage
+    # runs once, not once per join side.
+    sig = (
+        h.groupBy(id_col)
+        .agg(*mins)
+        .select(id_col, F.array(*[f"m{p}" for p in range(n_perm)]).alias("sig"))
+        .persist()
     )
     banded = sig.select(
         id_col,
