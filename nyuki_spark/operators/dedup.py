@@ -92,14 +92,18 @@ def simhash_chunks(
     id_col: str = "doc_id",
     text_col: str = "text",
     bands: int = 4,
+    sketch_col: str | None = None,
 ) -> DataFrame:
     """(id, sh, band, chunk) rows — ``bands`` per document — the build
     side of every banded SimHash candidate join (within-corpus pairs,
-    cross-shard ingestion checks). Docs with NULL text carry a NULL
-    sketch and never match a band key.
+    cross-shard ingestion checks, the streaming dedup index). Docs with
+    NULL text carry a NULL sketch and never match a band key. Pass
+    ``sketch_col`` to band a precomputed 60-bit sketch instead of
+    hashing ``text_col``.
     """
     width = 60 // bands
-    sh = df.select(F.col(id_col).alias("id"), simhash60(text_col).alias("sh"))
+    sketch = F.col(sketch_col) if sketch_col else simhash60(text_col)
+    sh = df.select(F.col(id_col).alias("id"), sketch.alias("sh"))
     return sh.select(
         "id",
         "sh",
