@@ -2010,9 +2010,11 @@ def _stream_neardup_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.stop()
             raise TimeoutError("stream_neardup_live drain exceeded 300s")
         index = spark.read.parquet(state["path"])
+        # Narrow (id, fp, sh) rows, read by both verdict tiers — persist
+        # so the corpus is sketched once in the verdict pass, not twice.
         base = docs.select(
             "doc_id", F.md5("text").alias("fp"), simhash60("text").alias("sh")
-        )
+        ).persist()
         exact = (
             base.join(
                 index.groupBy("fp").agg(F.min("mid").alias("mid")), "fp"
