@@ -2099,3 +2099,99 @@ register(
         "batch brute-force oracle"
     ),
 )
+
+
+# -- linear interpolation resampling (round 4b) ------------------------------
+
+
+def _interp_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nyuki_spark.operators.timeseries import interpolate_linear
+
+    events = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    return interpolate_linear(
+        events, "user_id", "ts", "value", step="1 hour"
+    ).orderBy("user_id", "h")
+
+
+register(
+    "ts_interpolate",
+    engine_fn=_interp_fn,
+    oracle=(
+        "WITH hourly AS (\n"
+        "  SELECT user_id, DATE_TRUNC('hour', ts) AS h,\n"
+        "         CAST(ROUND(AVG(value), 4) AS DOUBLE) AS v\n"
+        "  FROM events WHERE user_id < 10 GROUP BY 1, 2\n"
+        "), bounds AS (\n"
+        "  SELECT user_id, MIN(h) AS h0, MAX(h) AS h1 FROM hourly GROUP BY 1\n"
+        "), grid AS (\n"
+        "  SELECT user_id, UNNEST(GENERATE_SERIES(h0, h1, INTERVAL 1 HOUR)) AS h\n"
+        "  FROM bounds\n"
+        "), j AS (\n"
+        "  SELECT g.user_id, g.h, hourly.v,\n"
+        "         ROW_NUMBER() OVER (PARTITION BY g.user_id ORDER BY g.h) AS i\n"
+        "  FROM grid g LEFT JOIN hourly\n"
+        "    ON hourly.user_id = g.user_id AND hourly.h = g.h\n"
+        "), w AS (\n"
+        "  SELECT user_id, h, v, i,\n"
+        "    CAST(ROUND(LAST_VALUE(v IGNORE NULLS) OVER pw * 10000, 0)"
+        " AS BIGINT) AS pv4,\n"
+        "    LAST_VALUE(CASE WHEN v IS NOT NULL THEN i END IGNORE NULLS)"
+        " OVER pw AS pi,\n"
+        "    CAST(ROUND(FIRST_VALUE(v IGNORE NULLS) OVER nw * 10000, 0)"
+        " AS BIGINT) AS nv4,\n"
+        "    FIRST_VALUE(CASE WHEN v IS NOT NULL THEN i END IGNORE NULLS)"
+        " OVER nw AS ni\n"
+        "  FROM j WINDOW\n"
+        "    pw AS (PARTITION BY user_id ORDER BY i\n"
+        "           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),\n"
+        "    nw AS (PARTITION BY user_id ORDER BY i\n"
+        "           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)\n"
+        ")\n"
+        "SELECT user_id, h, v,\n"
+        "  CAST(CASE WHEN v IS NOT NULL THEN v\n"
+        "       ELSE (pv4 * (ni - i) + nv4 * (i - pi))"
+        " / ((ni - pi) * 10000.0)\n"
+        "       END AS DOUBLE) AS v_interp\n"
+        "FROM w ORDER BY user_id, h"
+    ),
+    category="timeseries",
+    suite="extension",
+    doc=(
+        "linear-interpolation resampling (operators/timeseries.py: "
+        "interpolate_linear): dense per-key hourly grid, gaps filled by "
+        "the fraction between surrounding observations using grid row "
+        "indices (exact integer arithmetic, no epoch casts) — the "
+        "hypertable interpolate() counterpart of ts_gapfill_locf"
+    ),
+)
+
+
+# -- equi-width histogram profiling (round 4b) -------------------------------
+
+_HIST_SQL = (
+    "WITH b AS (SELECT MIN(l_extendedprice) AS mn,"
+    " MAX(l_extendedprice) AS mx FROM lineitem)\n"
+    "SELECT LEAST(CAST(FLOOR((l_extendedprice - mn) /"
+    " ((mx - mn) / 10.0)) AS INT) + 1, 10) AS bucket,\n"
+    "       COUNT(*) AS n,\n"
+    "       CAST(ROUND(MIN(l_extendedprice), 2) AS DOUBLE) AS lo,\n"
+    "       CAST(ROUND(MAX(l_extendedprice), 2) AS DOUBLE) AS hi\n"
+    "FROM lineitem CROSS JOIN b\n"
+    "GROUP BY bucket ORDER BY bucket"
+)
+
+register(
+    "profile_histogram",
+    engine=_HIST_SQL,
+    oracle=_HIST_SQL,
+    category="profiling",
+    suite="extension",
+    doc=(
+        "10-bucket equi-width value histogram with data-derived bounds: "
+        "one scalar min/max aggregate broadcast onto the scan, bucket id "
+        "by an explicit floor formula (identical fp arithmetic in both "
+        "engines — width_bucket dialects disagree at edges), one hash "
+        "aggregate; two scans total, no shuffle of data rows beyond the "
+        "10-row result"
+    ),
+)

@@ -75,6 +75,12 @@ ALLOWLIST: dict[str, tuple[tuple[str, ...], str]] = {
         "deliberately id-bounded verification pass (<150 keys per side, "
         "docstring-scoped); the scale path gates on simhash candidates",
     ),
+    "profile_histogram": (
+        ("BroadcastNestedLoopJoin",),
+        "1-row broadcast of the scalar min/max bounds (partial-"
+        "aggregated) onto the scan — the explicit-broadcast "
+        "scalar-subquery shape",
+    ),
     "skew_report": (
         ("BroadcastNestedLoopJoin",),
         "10-row vs 1-row broadcast cross join joining the top-k table to "

@@ -119,3 +119,25 @@ def test_pq_codes_deterministic_and_bounded(spark, sf_dir):
         for r in a:
             assert got[r["vec_id"]] == r[f"code{s}"]
             assert 0 <= r[f"code{s}"] < 4
+
+
+def test_minhash_bandpairs_recall_vs_exact(spark, sf_dir):
+    """Every exact-Jaccard >= 0.7 pair must be recovered by the banded
+    portable MinHash (16 perms / 4 bands: per-pair candidate probability
+    ~0.97 at J=0.7; on the fixed fixture+hash constants the result is
+    deterministic and currently exhaustive)."""
+    from nyuki_spark.operators.dedup import (
+        collapse_text_groups,
+        minhash_band_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    _, uniq, _ = collapse_text_groups(docs)
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(uniq, threshold=0.7).collect()
+    }
+    cand = {(r["id_a"], r["id_b"]) for r in minhash_band_pairs(uniq).collect()}
+    assert exact, "fixture should contain planted near-duplicates"
+    assert len(exact & cand) / len(exact) >= 0.9
