@@ -2195,3 +2195,122 @@ register(
         "10-row result"
     ),
 )
+
+
+# -- data-quality expectations report (round 4b) -----------------------------
+
+_EXPECT_SQL = (
+    "WITH li AS (SELECT COUNT(*) AS checked,\n"
+    "    SUM(CASE WHEN l_discount < 0 OR l_discount > 0.1"
+    " THEN 1 ELSE 0 END) AS v_disc,\n"
+    "    SUM(CASE WHEN l_quantity > 45 THEN 1 ELSE 0 END) AS v_qty,\n"
+    "    SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS v_ship\n"
+    "  FROM lineitem),\n"
+    "fk AS (SELECT COUNT(*) AS v FROM lineitem l WHERE NOT EXISTS\n"
+    "    (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)),\n"
+    "ord AS (SELECT COUNT(*) AS checked,\n"
+    "    SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS v"
+    " FROM orders)\n"
+    "SELECT 'lineitem.discount_in_range' AS rule, checked,\n"
+    "       CAST(v_disc AS BIGINT) AS violations FROM li\n"
+    "UNION ALL SELECT 'lineitem.fk_orderkey',\n"
+    "    (SELECT checked FROM li), (SELECT v FROM fk)\n"
+    "UNION ALL SELECT 'lineitem.quantity_le_45', checked,\n"
+    "    CAST(v_qty AS BIGINT) FROM li\n"
+    "UNION ALL SELECT 'lineitem.shipdate_not_null', checked,\n"
+    "    CAST(v_ship AS BIGINT) FROM li\n"
+    "UNION ALL SELECT 'orders.totalprice_positive', checked,\n"
+    "    CAST(v AS BIGINT) FROM ord\n"
+    "ORDER BY rule"
+)
+
+register(
+    "profile_expectations",
+    engine=_EXPECT_SQL,
+    oracle=_EXPECT_SQL,
+    category="profiling",
+    suite="extension",
+    doc=(
+        "declarative data-quality expectations report (range, not-null, "
+        "referential integrity, positivity) -> (rule, checked, "
+        "violations) rows: the in-table rules fold into ONE conditional "
+        "aggregate per table (single scan, map-side partials); the "
+        "referential rule is a null-aware anti-join, never a row-wise "
+        "lookup — the validation gate a pipeline runs before publishing "
+        "a snapshot"
+    ),
+)
+
+
+# -- SCD2 interval build (round 4b) ------------------------------------------
+
+_SCD2_SQL = (
+    "WITH e AS (SELECT user_id, ts, event_id, event_type FROM events\n"
+    "           WHERE user_id < 5),\n"
+    "s AS (SELECT user_id, ts, event_id, event_type,\n"
+    "    CASE WHEN LAG(event_type) OVER (PARTITION BY user_id\n"
+    "           ORDER BY ts, event_id) IS DISTINCT FROM event_type\n"
+    "         THEN 1 ELSE 0 END AS chg\n"
+    "  FROM e),\n"
+    "g AS (SELECT user_id, ts, event_id, event_type,\n"
+    "    SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id\n"
+    "        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg\n"
+    "  FROM s),\n"
+    "iv AS (SELECT user_id, seg, event_type, MIN(ts) AS valid_from,\n"
+    "           COUNT(*) AS n_events\n"
+    "  FROM g GROUP BY user_id, seg, event_type)\n"
+    "SELECT user_id, event_type, valid_from,\n"
+    "    LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)\n"
+    "        AS valid_to,\n"
+    "    n_events\n"
+    "FROM iv ORDER BY user_id, valid_from"
+)
+
+register(
+    "scd2_intervals",
+    engine=_SCD2_SQL,
+    oracle=_SCD2_SQL,
+    category="cdc",
+    suite="extension",
+    doc=(
+        "slowly-changing-dimension (type 2) interval build from an event "
+        "log: gaps-and-islands change detection (lag + running sum), one "
+        "aggregate per state segment, validity intervals closed by "
+        "lead() — every window key-partitioned, the warehouse-dimension "
+        "counterpart of cdc_upsert_merge"
+    ),
+)
+
+
+# -- funnel conversion (round 4b) --------------------------------------------
+
+_FUNNEL_SQL = (
+    "WITH su AS (SELECT user_id, MIN(ts) AS signup_ts FROM events\n"
+    "            WHERE event_type = 'signup' GROUP BY user_id),\n"
+    "fp AS (SELECT e.user_id, MIN(e.ts) AS fp_ts\n"
+    "  FROM events e JOIN su ON su.user_id = e.user_id\n"
+    "  WHERE e.event_type = 'purchase' AND e.ts >= su.signup_ts\n"
+    "  GROUP BY e.user_id)\n"
+    "SELECT CAST(su.signup_ts AS DATE) AS day,\n"
+    "    COUNT(*) AS signups,\n"
+    "    CAST(SUM(CASE WHEN fp.fp_ts IS NOT NULL\n"
+    "        AND fp.fp_ts <= su.signup_ts + INTERVAL 7 DAY\n"
+    "        THEN 1 ELSE 0 END) AS BIGINT) AS converted_7d\n"
+    "FROM su LEFT JOIN fp ON fp.user_id = su.user_id\n"
+    "GROUP BY day ORDER BY day"
+)
+
+register(
+    "ts_funnel_conversion",
+    engine=_FUNNEL_SQL,
+    oracle=_FUNNEL_SQL,
+    category="timeseries",
+    suite="extension",
+    doc=(
+        "event-funnel conversion: first signup per user -> first "
+        "subsequent purchase -> 7-day conversion rate by signup day; "
+        "two key-partitioned aggregates and one equi-join — the ordered-"
+        "sequence analysis pattern without any MATCH_RECOGNIZE engine "
+        "dependency"
+    ),
+)
