@@ -98,3 +98,22 @@ def test_text_and_binaryfile_sources(spark, tmp_path):
     assert rows["a.txt"] == b"alpha\nbeta\n"
     assert rows["b.txt"] == b"gamma\n"
     assert set(blobs.columns) == {"path", "modificationTime", "length", "content"}
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """A table whose newer files gained a column reads as the unified
+    schema with NULL backfill under mergeSchema — the append-only corpus
+    evolution path (new metadata columns arrive without a rewrite)."""
+    p = tmp_path / "evo"
+    spark.createDataFrame([(1, "a")], "id int, name string").write.parquet(
+        str(p / "batch=1")
+    )
+    spark.createDataFrame(
+        [(2, "b", 0.9)], "id int, name string, quality double"
+    ).write.parquet(str(p / "batch=2"))
+    df = spark.read.option("mergeSchema", "true").parquet(
+        str(p / "batch=1"), str(p / "batch=2")
+    )
+    assert set(df.columns) == {"id", "name", "quality"}
+    rows = {r["id"]: (r["name"], r["quality"]) for r in df.collect()}
+    assert rows == {1: ("a", None), 2: ("b", 0.9)}
