@@ -2314,3 +2314,154 @@ register(
         "dependency"
     ),
 )
+
+
+# -- exponentially-weighted moving average (round 4b) ------------------------
+
+
+def _ewma_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA (alpha=0.3) over the time-ordered event series.
+
+    EWMA is inherently recursive, so it runs as ONE ordered fold per key:
+    sort_array(collect_list(struct)) pins the order, F.aggregate folds
+    left-to-right — both engines execute the identical operation
+    sequence on identical operands, so the result double is bit-exact
+    with no rounding step. The per-key list is the contract's bound: the
+    series must fit a task (resample first for hot keys — ts_gapfill /
+    ts_interpolate are the upstream grid builders); the fold itself is a
+    map-side expression after one shuffle on the key.
+    """
+    events = load_table(spark, sf_dir, "events").where(F.col("user_id") < 50)
+    series = events.groupBy("user_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct("ts", "event_id", "value"))
+        ).alias("s")
+    )
+    ewma = F.aggregate(
+        "s",
+        F.lit(None).cast("double"),
+        lambda acc, x: F.when(acc.isNull(), x.getField("value")).otherwise(
+            F.lit(0.3) * x.getField("value") + F.lit(0.7) * acc
+        ),
+    )
+    return series.select(
+        "user_id", F.size("s").alias("n"), ewma.alias("ewma")
+    ).orderBy("user_id")
+
+
+register(
+    "ts_ewma",
+    engine_fn=_ewma_fn,
+    oracle=(
+        "SELECT user_id, LEN(s) AS n,\n"
+        "  LIST_REDUCE(LIST_TRANSFORM(s, x -> x.value),\n"
+        "    (acc, x) -> 0.3 * x + 0.7 * acc) AS ewma\n"
+        "FROM (SELECT user_id,\n"
+        "        LIST(struct_pack(ts := ts, event_id := event_id,"
+        " value := value)\n"
+        "             ORDER BY ts, event_id) AS s\n"
+        "      FROM events WHERE user_id < 50 GROUP BY user_id)\n"
+        "ORDER BY user_id"
+    ),
+    category="timeseries",
+    suite="extension",
+    doc=(
+        "per-key EWMA (alpha=0.3): order-pinned list fold — recursive "
+        "smoothing as one shuffle + a map-side expression, bit-exact "
+        "across engines with no rounding"
+    ),
+)
+
+
+# -- OHLC hourly resample (round 4b) -----------------------------------------
+
+_OHLC_SQL = (
+    "SELECT user_id, h,\n"
+    "       MIN(CASE WHEN rn_a = 1 THEN value END) AS open,\n"
+    "       MAX(value) AS high,\n"
+    "       MIN(value) AS low,\n"
+    "       MIN(CASE WHEN rn_d = 1 THEN value END) AS close,\n"
+    "       COUNT(*) AS n\n"
+    "FROM (SELECT user_id, DATE_TRUNC('hour', ts) AS h, value,\n"
+    "        ROW_NUMBER() OVER (PARTITION BY user_id, DATE_TRUNC('hour', ts)\n"
+    "            ORDER BY ts, event_id) AS rn_a,\n"
+    "        ROW_NUMBER() OVER (PARTITION BY user_id, DATE_TRUNC('hour', ts)\n"
+    "            ORDER BY ts DESC, event_id DESC) AS rn_d\n"
+    "      FROM events WHERE user_id < 10)\n"
+    "GROUP BY user_id, h ORDER BY user_id, h"
+)
+
+register(
+    "ts_ohlc",
+    engine=_OHLC_SQL,
+    oracle=_OHLC_SQL,
+    category="timeseries",
+    suite="extension",
+    doc=(
+        "hourly OHLC resample: open/close via deterministic first/last "
+        "rank (ts + event_id tiebreak), high/low as plain min/max — one "
+        "window pass and one aggregate, both partitioned by "
+        "(key, bucket); the market-data rollup shape"
+    ),
+)
+
+
+# -- winsorized statistics (round 4b) ----------------------------------------
+
+
+def _winsorize_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    pct = events.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.05)").alias("p05"),
+        F.expr("percentile(value, 0.95)").alias("p95"),
+    )
+    clipped = events.join(F.broadcast(pct), "event_type").select(
+        "event_type",
+        "value",
+        F.least(F.greatest(F.col("value"), F.col("p05")), F.col("p95")).alias(
+            "w"
+        ),
+    )
+    return (
+        clipped.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("value") < F.col("w")).cast("bigint")).alias(
+                "n_clipped_low"
+            ),
+            F.sum((F.col("value") > F.col("w")).cast("bigint")).alias(
+                "n_clipped_high"
+            ),
+            F.round(F.avg("w"), 4).alias("avg_winsorized"),
+        )
+        .orderBy("event_type")
+    )
+
+
+register(
+    "stat_winsorize",
+    engine_fn=_winsorize_fn,
+    oracle=(
+        "WITH pct AS (SELECT event_type,\n"
+        "    QUANTILE_CONT(value, 0.05) AS p05,\n"
+        "    QUANTILE_CONT(value, 0.95) AS p95\n"
+        "  FROM events GROUP BY event_type)\n"
+        "SELECT e.event_type, COUNT(*) AS n,\n"
+        "  CAST(SUM(CASE WHEN value < p05 THEN 1 ELSE 0 END) AS BIGINT)"
+        " AS n_clipped_low,\n"
+        "  CAST(SUM(CASE WHEN value > p95 THEN 1 ELSE 0 END) AS BIGINT)"
+        " AS n_clipped_high,\n"
+        "  CAST(ROUND(AVG(LEAST(GREATEST(value, p05), p95)), 4) AS DOUBLE)"
+        " AS avg_winsorized\n"
+        "FROM events e JOIN pct USING (event_type)\n"
+        "GROUP BY e.event_type ORDER BY e.event_type"
+    ),
+    category="stats",
+    suite="extension",
+    doc=(
+        "per-group winsorized statistics: exact interpolating p05/p95 "
+        "per group (tiny table) broadcast back onto the scan, values "
+        "clipped JVM-side, one aggregate — outlier-robust feature "
+        "normalisation without a second full shuffle"
+    ),
+)
