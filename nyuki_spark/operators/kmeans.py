@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["kmeans_assign"]
+__all__ = ["kmeans_assign", "kmeans_fit"]
 
 
 def _sq_dist(a, b):
@@ -56,6 +56,17 @@ def kmeans_assign(
     """(id_col, cluster_id) after ``iters`` Lloyd iterations from the
     deterministic seed (vectors of the ``k`` smallest ids, cid by id order).
     """
+    assigned, _cent = _kmeans_core(emb, k, iters, id_col, vec_col)
+    return assigned
+
+
+def _kmeans_core(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
     e = emb.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("e")
     )
@@ -109,4 +120,20 @@ def kmeans_assign(
             cent_rows, "cid int, c array<double>"
         )
     assert assigned is not None
-    return assigned.select(id_col, "cluster_id")
+    return assigned.select(id_col, "cluster_id"), cent
+
+
+def kmeans_fit(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """(assignments, centroids): like :func:`kmeans_assign` but also
+    returns the codebook the final assignment used — the (cid,
+    c array<double>) table of the last centroid update (rounded to 6
+    decimals, k rows). This is what a product-quantization ADC search
+    needs: distances are computed against the codebook, not the data.
+    """
+    return _kmeans_core(emb, k, iters, id_col, vec_col)

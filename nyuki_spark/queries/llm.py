@@ -1416,3 +1416,106 @@ register(
         "stage of a scale ANN index, bit-identical across engines"
     ),
 )
+
+
+# -- PQ asymmetric-distance search (round 4b) --------------------------------
+
+
+def _pq_adc_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC top-10 (Jegou et al. 2011): the query vector is compared to
+    each subspace CODEBOOK once (k rows), and every database vector's
+    approximate distance is the sum of 4 table lookups through its PQ
+    codes — the search never touches the raw vectors. The per-subspace
+    distance tables are k-row broadcasts; the lookups are equi-joins on
+    the code id; the final top-10 is TakeOrderedAndProject. Distances
+    are bit-exact across engines: codebook centroids are the rounded
+    6-dp handoff values, the query slice literals are the raw parquet
+    doubles, and both engines fold (0 + t1) + t2 + ... left-to-right.
+    """
+    from nyuki_spark.operators.kmeans import kmeans_fit
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = list(
+        emb.where(F.col("vec_id") == 0)
+        .select(F.col("embedding").cast("array<double>").alias("e"))
+        .head()["e"]
+    )  # bounded 1-row collect: the probe vector
+    out = emb.select("vec_id")
+    dcols = []
+    for s in range(4):
+        sub = emb.select(
+            "vec_id",
+            F.slice(F.col("embedding").cast("array<double>"), s * 16 + 1, 16)
+            .alias("embedding"),
+        )
+        asg, cent = kmeans_fit(sub, k=4, iters=2)
+        qs = F.array(*[F.lit(x) for x in q[s * 16 : s * 16 + 16]])
+        d = F.aggregate(
+            F.zip_with(qs, F.col("c"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        dist = cent.select("cid", d.alias(f"d{s}"))
+        looked = (
+            asg.withColumnRenamed("cluster_id", "cid")
+            .join(F.broadcast(dist), "cid")
+            .select("vec_id", f"d{s}")
+        )
+        out = out.join(looked, "vec_id")
+        dcols.append(F.col(f"d{s}"))
+    adc = dcols[0] + dcols[1] + dcols[2] + dcols[3]
+    return (
+        out.select("vec_id", adc.alias("adc_dist"))
+        .orderBy("adc_dist", "vec_id")
+        .limit(10)
+    )
+
+
+def _duck_adc_dist(s: int) -> str:
+    return (
+        f"d{s} AS (SELECT cid, LIST_REDUCE(LIST_TRANSFORM("
+        "GENERATE_SERIES(1, 16),\n"
+        f"    i -> (q.e[{s * 16} + i] - c.c[i]) * (q.e[{s * 16} + i]"
+        " - c.c[i])),\n"
+        f"    (a, b) -> a + b) AS d FROM s{s}_c1 c CROSS JOIN q)"
+    )
+
+
+register(
+    "llm_pq_adc",
+    engine_fn=_pq_adc_fn,
+    oracle=(
+        "WITH "
+        + ",\n".join(
+            _duck_kmeans_ctes(
+                p=f"s{s}_",
+                e_expr=f"(embedding::DOUBLE[])[{s * 16 + 1}:{s * 16 + 16}]",
+                dims=16,
+                k=4,
+            )
+            for s in range(4)
+        )
+        + ",\n"
+        "q AS (SELECT embedding::DOUBLE[] AS e FROM embeddings"
+        " WHERE vec_id = 0),\n"
+        + ",\n".join(_duck_adc_dist(s) for s in range(4))
+        + "\n"
+        "SELECT a0.vec_id, d0.d + d1.d + d2.d + d3.d AS adc_dist\n"
+        "FROM s0_a2 a0 JOIN d0 ON a0.cid = d0.cid\n"
+        "  JOIN s1_a2 a1 ON a1.vec_id = a0.vec_id"
+        " JOIN d1 ON a1.cid = d1.cid\n"
+        "  JOIN s2_a2 a2_ ON a2_.vec_id = a0.vec_id"
+        " JOIN d2 ON a2_.cid = d2.cid\n"
+        "  JOIN s3_a2 a3 ON a3.vec_id = a0.vec_id"
+        " JOIN d3 ON a3.cid = d3.cid\n"
+        "ORDER BY adc_dist, a0.vec_id LIMIT 10"
+    ),
+    category="llm-similarity",
+    suite="extension",
+    doc=(
+        "PQ asymmetric-distance search (ADC): query-to-codebook distance "
+        "tables (k-row broadcasts) + code-id equi-join lookups replace "
+        "any query-to-vector computation — the RAM-sized search path "
+        "over PQ-compressed embeddings, bit-exact top-10 across engines"
+    ),
+)

@@ -86,6 +86,12 @@ ALLOWLIST: dict[str, tuple[tuple[str, ...], str]] = {
         "10-row vs 1-row broadcast cross join joining the top-k table to "
         "the scalar total (partial-aggregated, auto-allowed)",
     ),
+    "llm_pq_adc": (
+        ("BroadcastNestedLoopJoin",),
+        "four kmeans_fit subspace runs (k=4 broadcast centroid crossJoin) "
+        "feeding k-row distance-table broadcasts; lookups are code-id "
+        "equi-joins",
+    ),
     "llm_pq_codes": (
         ("BroadcastNestedLoopJoin",),
         "four kmeans_assign subspace runs, each crossJoining vectors with "
