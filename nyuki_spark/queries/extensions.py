@@ -2465,3 +2465,45 @@ register(
         "normalisation without a second full shuffle"
     ),
 )
+
+
+# -- distribution drift (PSI) between periods (round 4b) ---------------------
+
+_PSI_SQL = (
+    "WITH b AS (SELECT MIN(value) AS mn, MAX(value) AS mx FROM events),\n"
+    "bucketed AS (SELECT\n"
+    "    LEAST(CAST(FLOOR((value - mn) / ((mx - mn) / 10.0)) AS INT) + 1,"
+    " 10) AS bucket,\n"
+    "    CASE WHEN ts < TIMESTAMP '2024-02-01 00:00:00'"
+    " THEN 'ref' ELSE 'cur' END AS period\n"
+    "  FROM events CROSS JOIN b),\n"
+    "counts AS (SELECT bucket,\n"
+    "    SUM(CASE WHEN period = 'ref' THEN 1 ELSE 0 END) AS n_ref,\n"
+    "    SUM(CASE WHEN period = 'cur' THEN 1 ELSE 0 END) AS n_cur\n"
+    "  FROM bucketed GROUP BY bucket),\n"
+    "tot AS (SELECT SUM(n_ref) AS t_ref, SUM(n_cur) AS t_cur FROM counts)\n"
+    "SELECT bucket, CAST(n_ref AS BIGINT) AS n_ref,\n"
+    "  CAST(n_cur AS BIGINT) AS n_cur,\n"
+    "  CAST(ROUND(((n_cur / t_cur) - (n_ref / t_ref))\n"
+    "      * LN((n_cur / t_cur) / (n_ref / t_ref)), 6) AS DOUBLE)"
+    " AS psi_term\n"
+    "FROM counts CROSS JOIN tot\n"
+    "WHERE n_ref > 0 AND n_cur > 0\n"
+    "ORDER BY bucket"
+)
+
+register(
+    "stat_psi_drift",
+    engine=_PSI_SQL,
+    oracle=_PSI_SQL,
+    category="stats",
+    suite="extension",
+    doc=(
+        "population-stability-index drift report between a reference and "
+        "a current period: shared equi-width buckets from global bounds, "
+        "one conditional aggregate for both periods (single scan), "
+        "per-bucket PSI terms — the distribution-shift monitor an ML "
+        "pipeline runs on every ingest; empty buckets are excluded "
+        "(standard PSI practice, and it keeps LN well-defined)"
+    ),
+)

@@ -1519,3 +1519,123 @@ register(
         "over PQ-compressed embeddings, bit-exact top-10 across engines"
     ),
 )
+
+
+# -- count-min sketch, exactly verified (round 4b) ---------------------------
+
+_CMS_PROBES = ["fast", "row", "slow", "table", "value"]
+_CMS_D = 4  # hash rows
+_CMS_W = 256  # columns per row
+
+
+def _cms_hash(j: int, word) -> "Column":
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{j}|"), word)), 1, 7), 16, 10
+        ).cast("bigint")
+        % _CMS_W
+    )
+
+
+def _countmin_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) over corpus word
+    frequencies, with the estimate verified against the exact count.
+
+    The sketch build is ONE hash aggregate over (row, column) cells —
+    d x w bounded state (1024 cells here) regardless of corpus size, and
+    the cells merge by addition, so the same plan IS the distributed /
+    streaming mergeable-sketch path. Point queries are d cell lookups
+    (min over rows). The whole construction is md5-deterministic, so the
+    oracle rebuilds the identical sketch and the driver hash-compares
+    est AND exact — est >= exact by construction, equal when the probed
+    words suffer no collisions.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(F.split("text", " ")).alias("word"))
+    cells = (
+        tok.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("r"),
+                            _cms_hash(j, F.col("word")).alias("c"),
+                        )
+                        for j in range(_CMS_D)
+                    ]
+                )
+            ).alias("rc")
+        )
+        .groupBy(F.col("rc.r").alias("r"), F.col("rc.c").alias("c"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    probes = spark.createDataFrame(
+        [(w,) for w in _CMS_PROBES], "word string"
+    )
+    probe_cells = probes.select(
+        "word",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("r"),
+                        _cms_hash(j, F.col("word")).alias("c"),
+                    )
+                    for j in range(_CMS_D)
+                ]
+            )
+        ).alias("rc"),
+    ).select("word", F.col("rc.r").alias("r"), F.col("rc.c").alias("c"))
+    est = (
+        probe_cells.join(F.broadcast(cells), ["r", "c"])
+        .groupBy("word")
+        .agg(F.min("n").alias("est"))
+    )
+    exact = (
+        tok.where(F.col("word").isin(_CMS_PROBES))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("exact"))
+    )
+    return (
+        probes.join(est, "word", "left")
+        .join(exact, "word", "left")
+        .orderBy("word")
+    )
+
+
+register(
+    "llm_countmin_est",
+    engine_fn=_countmin_fn,
+    oracle=(
+        "WITH tok AS (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS word"
+        " FROM documents),\n"
+        "cells AS (SELECT r, c, COUNT(*) AS n FROM (\n"
+        "  SELECT u.r AS r,\n"
+        "    ('0x' || SUBSTR(MD5(CAST(u.r AS VARCHAR) || '|' || word),"
+        " 1, 7))::BIGINT % 256 AS c\n"
+        "  FROM tok, UNNEST(GENERATE_SERIES(0, 3)) AS u(r)) GROUP BY r, c),\n"
+        "probes AS (SELECT UNNEST(['fast','row','slow','table','value'])"
+        " AS word),\n"
+        "pc AS (SELECT word, u.r AS r,\n"
+        "    ('0x' || SUBSTR(MD5(CAST(u.r AS VARCHAR) || '|' || word),"
+        " 1, 7))::BIGINT % 256 AS c\n"
+        "  FROM probes, UNNEST(GENERATE_SERIES(0, 3)) AS u(r)),\n"
+        "est AS (SELECT word, MIN(n) AS est FROM pc"
+        " JOIN cells USING (r, c) GROUP BY word),\n"
+        "exact AS (SELECT word, COUNT(*) AS exact FROM tok\n"
+        "  WHERE word IN ('fast','row','slow','table','value')"
+        " GROUP BY word)\n"
+        "SELECT probes.word, est.est, exact.exact FROM probes\n"
+        "LEFT JOIN est USING (word) LEFT JOIN exact USING (word)\n"
+        "ORDER BY word"
+    ),
+    category="llm-text",
+    suite="extension",
+    doc=(
+        "exactly-verified count-min sketch: d=4 x w=256 cell aggregate "
+        "(bounded state, additive merge — the streaming/distributed "
+        "sketch shape), md5-deterministic hashing so both engines build "
+        "the identical sketch; output pairs the estimate with the exact "
+        "count"
+    ),
+)

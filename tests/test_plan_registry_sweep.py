@@ -81,6 +81,12 @@ ALLOWLIST: dict[str, tuple[tuple[str, ...], str]] = {
         "aggregated) onto the scan — the explicit-broadcast "
         "scalar-subquery shape",
     ),
+    "stat_psi_drift": (
+        ("BroadcastNestedLoopJoin",),
+        "two 1-row broadcasts (global min/max bounds; period totals), "
+        "both partial-aggregated scalars — the explicit-broadcast "
+        "scalar-subquery shape",
+    ),
     "skew_report": (
         ("BroadcastNestedLoopJoin",),
         "10-row vs 1-row broadcast cross join joining the top-k table to "
