@@ -2507,3 +2507,33 @@ register(
         "(standard PSI practice, and it keeps LN well-defined)"
     ),
 )
+
+
+# -- robust anomaly detection (median absolute deviation) (round 4b) ---------
+
+_MAD_SQL = (
+    "WITH med AS (SELECT event_type, MEDIAN(value) AS med FROM events\n"
+    "             GROUP BY event_type),\n"
+    "mad AS (SELECT e.event_type, MEDIAN(ABS(value - med)) AS mad\n"
+    "  FROM events e JOIN med USING (event_type) GROUP BY e.event_type)\n"
+    "SELECT e.event_type, COUNT(*) AS n,\n"
+    "  CAST(SUM(CASE WHEN ABS(value - med) > 3 * 1.4826 * mad\n"
+    "      THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,\n"
+    "  CAST(ROUND(MIN(3 * 1.4826 * mad), 4) AS DOUBLE) AS threshold\n"
+    "FROM events e JOIN med USING (event_type) JOIN mad USING (event_type)\n"
+    "GROUP BY e.event_type ORDER BY e.event_type"
+)
+
+register(
+    "stat_anomaly_mad",
+    engine=_MAD_SQL,
+    oracle=_MAD_SQL,
+    category="stats",
+    suite="extension",
+    doc=(
+        "robust per-group anomaly detection: median absolute deviation "
+        "(3 x 1.4826 x MAD ~ 3 sigma under normality) — two group-sized "
+        "median aggregates broadcast back onto the scan, one conditional "
+        "count; immune to the outliers it is hunting, unlike z-scores"
+    ),
+)
