@@ -2537,3 +2537,42 @@ register(
         "count; immune to the outliers it is hunting, unlike z-scores"
     ),
 )
+
+
+# -- weekly cohort retention (round 4b) --------------------------------------
+
+
+register(
+    "ts_retention_cohorts",
+    engine=(
+        "WITH f AS (SELECT user_id, DATE_TRUNC('week', MIN(ts)) AS cohort\n"
+        "           FROM events GROUP BY user_id),\n"
+        "a AS (SELECT DISTINCT e.user_id, f.cohort,\n"
+        "        CAST(FLOOR(DATEDIFF(DATE_TRUNC('week', e.ts), f.cohort)"
+        " / 7.0) AS INT) AS week_n\n"
+        "      FROM events e JOIN f USING (user_id))\n"
+        "SELECT CAST(cohort AS DATE) AS cohort, week_n,\n"
+        "       COUNT(*) AS n_active\n"
+        "FROM a GROUP BY cohort, week_n ORDER BY cohort, week_n"
+    ),
+    oracle=(
+        "WITH f AS (SELECT user_id, DATE_TRUNC('week', MIN(ts)) AS cohort\n"
+        "           FROM events GROUP BY user_id),\n"
+        "a AS (SELECT DISTINCT e.user_id, f.cohort,\n"
+        "        CAST(FLOOR(DATE_DIFF('day', f.cohort,"
+        " DATE_TRUNC('week', e.ts)) / 7.0) AS INT) AS week_n\n"
+        "      FROM events e JOIN f USING (user_id))\n"
+        "SELECT CAST(cohort AS DATE) AS cohort, week_n,\n"
+        "       COUNT(*) AS n_active\n"
+        "FROM a GROUP BY cohort, week_n ORDER BY cohort, week_n"
+    ),
+    category="timeseries",
+    suite="extension",
+    doc=(
+        "weekly cohort retention matrix: first-activity cohort per user, "
+        "distinct (user, week) activity, active-count per (cohort, "
+        "week_n) — two key-partitioned aggregates and one equi-join, "
+        "output bounded by cohorts x weeks (the product-analytics "
+        "staple); only the day-difference builtin differs by dialect"
+    ),
+)
