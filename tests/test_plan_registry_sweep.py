@@ -109,6 +109,13 @@ ALLOWLIST: dict[str, tuple[tuple[str, ...], str]] = {
         "k-row centroid table (k=8, compile-time constant); the pair "
         "stage itself is an equi-join on cluster_id",
     ),
+    "tpch_q11": (
+        ("BroadcastNestedLoopJoin",),
+        "1-row broadcast of the grand-total threshold onto the "
+        "checkpointed per-part aggregate (queries/tpch.py:_q11_engine) — "
+        "the scalar-HAVING-subquery shape as an explicit broadcast; the "
+        "N-row side never shuffles for it",
+    ),
     "llm_tfidf_topterms": (
         ("BroadcastNestedLoopJoin",),
         "1-row broadcast of the scalar corpus doc count (partial-"
