@@ -407,32 +407,38 @@ register(
 
 
 def _minhash_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup DECISION tier over the portable MinHash banding: banded
+    candidate pairs (collision-bounded equi-join, never all-pairs), kept
+    when the signature-estimated Jaccard clears the 0.5 threshold.
+
+    Until round 5 this ran MLlib's ``minhash_neardup_pairs``
+    (JVM-private seeded hash family — rows-only check by necessity); the
+    portable salted-md5 family computes the same funnel with values any
+    md5-capable engine reproduces, so the whole near-dup verdict is now
+    hash-verified against the DuckDB twin. The MLlib tier remains a
+    first-class operator with its own recall floor
+    (operators/dedup.py:minhash_neardup_pairs; tests/test_dedup.py).
+
+    Duplicate collapse before the LSH (identical texts collide in every
+    band, squaring candidate volume). Intra pairs carry the same
+    >=1-shingle gate as llm_ngram_jaccard: no signature exists below 3
+    tokens, so duplicates of shingle-less texts must not surface as
+    fabricated 1.0 pairs (r4 code review).
+    """
     docs = load_table(spark, sf_dir, "documents")
-    # Duplicate collapse before the LSH (identical texts collide in every
-    # MinHash band, squaring approxSimilarityJoin's candidate volume).
-    # Intra pairs carry the same >=1-shingle gate as llm_ngram_jaccard:
-    # MinHashLSH never vectorizes a doc with <3 words, so its duplicates
-    # must not surface as fabricated 1.0 pairs (r4 code review).
     groups, uniq, has_dups = collapse_text_groups(docs)
-    rep_pairs = minhash_neardup_pairs(uniq, threshold=0.5)
+    rep_pairs = minhash_band_pairs(uniq, n_perm=16, bands=4).where(
+        F.col("est_jaccard") >= 0.5
+    )
     if not has_dups:
-        return rep_pairs
+        return rep_pairs.orderBy("id_a", "id_b")
     return expand_collapsed_pairs(
         rep_pairs,
         groups,
-        "jaccard_est",
+        "est_jaccard",
         F.lit(1.0),
         intra_pred=F.size(F.split(F.col("text"), " ")) >= 3,
     ).orderBy("id_a", "id_b")
-
-
-register(
-    "llm_minhash_neardup",
-    engine_fn=_minhash_fn,
-    category="llm-dedup",
-    suite="extension",
-    doc="MinHashLSH near-dup pairs (approx; recall vs exact in tests)",
-)
 
 
 def _knn_lsh_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -951,26 +957,34 @@ def _minhash_bandpairs_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+# Shared CTE chain for the banded-MinHash oracles: tokenize -> shingle
+# hashes -> 16-permutation signature -> 4 banded keys -> distinct candidate
+# pairs, then the matching-component Jaccard estimate. Used verbatim by the
+# candidate-generation contract (llm_minhash_bandpairs) and, with the 0.5
+# decision threshold, by the near-dup verdict (llm_minhash_neardup).
+_DUCK_BAND_PAIRS = (
+    "WITH t AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS t\n"
+    "           FROM documents WHERE LEN(STRING_SPLIT(text, ' ')) >= 3),\n"
+    "hh AS (SELECT doc_id, " + _DUCK_GRAM_HASHES + " AS hs FROM t),\n"
+    "sig AS (SELECT doc_id, " + _DUCK_MINHASH_SIG + " AS sig FROM hh),\n"
+    "band AS (SELECT doc_id, sig, u.b AS b,\n"
+    "    MD5(ARRAY_TO_STRING(sig[4*u.b+1:4*u.b+4], ',')) AS bk\n"
+    "  FROM sig, UNNEST(GENERATE_SERIES(0, 3)) AS u(b)),\n"
+    "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,\n"
+    "    a.sig AS sa, b.sig AS sb\n"
+    "  FROM band a JOIN band b\n"
+    "    ON a.b = b.b AND a.bk = b.bk AND a.doc_id < b.doc_id),\n"
+    "est AS (SELECT id_a, id_b,\n"
+    "  ROUND(LEN(LIST_FILTER(GENERATE_SERIES(1, 16), i -> sa[i] = sb[i]))"
+    " / 16.0, 4) AS est_jaccard\n"
+    "FROM cand)\n"
+)
+
 register(
     "llm_minhash_bandpairs",
     engine_fn=_minhash_bandpairs_fn,
-    oracle=(
-        "WITH t AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS t\n"
-        "           FROM documents WHERE LEN(STRING_SPLIT(text, ' ')) >= 3),\n"
-        "hh AS (SELECT doc_id, " + _DUCK_GRAM_HASHES + " AS hs FROM t),\n"
-        "sig AS (SELECT doc_id, " + _DUCK_MINHASH_SIG + " AS sig FROM hh),\n"
-        "band AS (SELECT doc_id, sig, u.b AS b,\n"
-        "    MD5(ARRAY_TO_STRING(sig[4*u.b+1:4*u.b+4], ',')) AS bk\n"
-        "  FROM sig, UNNEST(GENERATE_SERIES(0, 3)) AS u(b)),\n"
-        "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,\n"
-        "    a.sig AS sa, b.sig AS sb\n"
-        "  FROM band a JOIN band b\n"
-        "    ON a.b = b.b AND a.bk = b.bk AND a.doc_id < b.doc_id)\n"
-        "SELECT id_a, id_b,\n"
-        "  ROUND(LEN(LIST_FILTER(GENERATE_SERIES(1, 16), i -> sa[i] = sb[i]))"
-        " / 16.0, 4) AS est_jaccard\n"
-        "FROM cand ORDER BY id_a, id_b"
-    ),
+    oracle=_DUCK_BAND_PAIRS
+    + "SELECT id_a, id_b, est_jaccard FROM est ORDER BY id_a, id_b",
     category="llm-dedup",
     suite="extension",
     doc=(
@@ -978,6 +992,23 @@ register(
         "engine's banded equi-join over portable MinHash signatures "
         "hash-matches a DuckDB twin of the identical banding — candidate "
         "set AND Jaccard estimates, end to end"
+    ),
+)
+
+register(
+    "llm_minhash_neardup",
+    engine_fn=_minhash_fn,
+    oracle=_DUCK_BAND_PAIRS
+    + "SELECT id_a, id_b, est_jaccard FROM est\n"
+    "WHERE est_jaccard >= 0.5 ORDER BY id_a, id_b",
+    category="llm-dedup",
+    suite="extension",
+    doc=(
+        "MinHash near-dup DECISION tier: banded candidates + 0.5 "
+        "estimated-Jaccard threshold, portable salted-md5 hash family -> "
+        "the verdict set hash-matches the DuckDB twin (was rows-only "
+        "under MLlib's seeded family through round 4; the MLlib tier "
+        "keeps its own recall floor in tests/test_dedup.py)"
     ),
 )
 

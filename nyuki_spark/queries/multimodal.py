@@ -143,16 +143,27 @@ register(
 
 def _mm_phash_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image near-dedup via 64-bit pHash: encode a corpus of REAL BMPs in
-    which each ``doc_id`` renders base pattern ``doc_id % 40`` plus a
-    per-copy single-pixel perturbation, decode, pHash, and group. The
-    DCT low-pass makes the hash invariant to the perturbation, so exact
-    hash equality clusters the near-duplicate copies — image dedup
-    without any pairwise comparison (for a Hamming-distance bound, band
-    the 64 bits into four 16-bit keys exactly like the SimHash funnel).
+    which each ``doc_id`` renders base pattern ``doc_id % 40`` at 64x64
+    plus dense per-copy noise, decode, pHash, and group. Exact hash
+    equality clusters the near-duplicate copies — image dedup without any
+    pairwise comparison (for a Hamming-distance bound, band the 64 bits
+    into four 16-bit keys exactly like the SimHash funnel).
 
-    Rows-only tier: the DCT is float linear algebra no SQL oracle can
-    reproduce bit-exactly; grouping invariants are asserted in
-    tests/test_multimodal.py instead.
+    The noise design makes the collapse EXACT (and thus oracle-checkable)
+    instead of merely likely: each copy perturbs only odd-coordinate
+    pixels of the 2x-oversampled render, i.e. detail strictly below the
+    Nyquist rate of pHash's 32x32 nearest-neighbor thumbnail. The hash
+    provably never sees it — the real-world robustness claim of
+    perceptual hashing (thumbnails discard sub-sample detail), made
+    bit-exact. The earlier single-pixel +1 nudge at sampled coordinates
+    occasionally flipped a DCT bit whose coefficient sat near the median
+    (42 groups for 40 bases at sf0.01), which forced a rows-only tier.
+
+    The oracle is the closed-form payload rollup: copies of base b are
+    exactly the doc_ids with ``doc_id % 40 == b``, so a GROUP BY on the
+    base reproduces the engine's hash-keyed groups IF AND ONLY IF the
+    whole encode->decode->DCT->hash pipeline neither splits a base
+    (row-count mismatch) nor merges two bases (n_bases > 1 mismatch).
 
     Scale shape: two Arrow-batched map-only stages (encode, decode+hash),
     then one hash-keyed aggregate — payload bytes never shuffle, only the
@@ -173,17 +184,18 @@ def _mm_phash_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     def gen(batches):
         import numpy as np
 
+        xs = np.arange(64)[None, :]
+        ys = np.arange(64)[:, None]
+        # Odd-coordinate mask: pixels the 32x32 nearest-neighbor resample
+        # (arange(32)*64//32 -> even indices) never reads.
+        sub = ((xs % 2) + (ys % 2)) > 0
         for pdf in batches:
             ids, hashes = [], []
             for i in pdf["doc_id"]:
                 i = int(i)
-                base = i % 40
-                xs = np.arange(32)[None, :]
-                ys = np.arange(32)[:, None]
-                img = ((3 * xs + 7 * ys + 11 * base) % 251).astype(np.uint8)
-                # per-copy noise: one pixel nudged by +1 (no wraparound)
-                px, py = i % 32, (i * 7) % 32
-                img[py, px] = min(int(img[py, px]) + 1, 250)
+                base = 2 + (3 * (xs // 2) + 7 * (ys // 2) + 11 * (i % 40)) % 251
+                noise = ((i * (xs + 3 * ys)) % 5) - 2
+                img = (base + np.where(sub, noise, 0)).astype(np.uint8)
                 ids.append(i)
                 hashes.append(ph(dec(enc(img))))
             yield pd.DataFrame({"doc_id": ids, "phash": hashes})
@@ -196,6 +208,7 @@ def _mm_phash_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("canonical_id"),
             F.countDistinct((F.col("doc_id") % 40)).alias("n_bases"),
         )
+        .select("n_copies", "canonical_id", "n_bases")
         .orderBy("canonical_id")
     )
 
@@ -203,12 +216,20 @@ def _mm_phash_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
 register(
     "mm_phash_groups",
     engine_fn=_mm_phash_fn,
+    oracle=(
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_copies,\n"
+        "  MIN(doc_id) AS canonical_id,\n"
+        "  CAST(1 AS BIGINT) AS n_bases\n"
+        "FROM documents WHERE doc_id < 400\n"
+        "GROUP BY doc_id % 40 ORDER BY canonical_id"
+    ),
     category="llm-multimodal",
     suite="extension",
     doc=(
         "image near-dedup: encode->decode->64-bit pHash (DCT low-pass) "
-        "-> hash-keyed grouping collapses perturbed copies of the same "
-        "image with no pairwise comparison; grouping invariants asserted "
-        "in tests (rows-only: float DCT has no SQL oracle)"
+        "-> hash-keyed grouping collapses noisy copies of the same image "
+        "with no pairwise comparison; the noise is sub-sample detail the "
+        "32x32 thumbnail provably discards, so the grouping is exact and "
+        "the closed-form payload rollup is a full value oracle"
     ),
 )
