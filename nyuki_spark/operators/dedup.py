@@ -440,7 +440,10 @@ def minhash_band_pairs(
     ]
     # One narrow (id, n_perm bigints) row per doc; both sides of the band
     # self-join read it — persist so the shingle explode + digest stage
-    # runs once, not once per join side.
+    # runs once, not once per join side. The cache feeds the RETURNED
+    # lazy DataFrame, so unpersisting here would defeat it; cleanup is
+    # centralized at the sweep surfaces (bench.py / correctness exporter
+    # clear per query, tests/conftest.py per module — r4 ADVICE).
     sig = (
         h.groupBy(id_col)
         .agg(*mins)

@@ -20,6 +20,26 @@ from pyspark.sql import functions as F
 __all__ = ["gapfill_locf", "interpolate_linear"]
 
 
+def _grid_unit(step: str) -> str:
+    """Validate ``step`` and return its date_trunc unit.
+
+    The grid strides with ``INTERVAL step`` but anchors buckets at
+    ``date_trunc(unit, ...)``, so only '1 <unit>' steps keep the two
+    aligned: '15 minutes' would date_trunc to a whole minute yet stride
+    15 — grid points land off the bucket lattice and the left join goes
+    silently empty ('minutes' is not even a valid date_trunc unit: NULL
+    buckets). Fail loudly instead (r4 ADVICE).
+    """
+    parts = step.split()
+    units = ("second", "minute", "hour", "day", "week", "month", "year")
+    assert len(parts) == 2 and parts[0] == "1" and parts[1] in units, (
+        f"step must be '1 <unit>' with unit in {units}, got {step!r} — "
+        "multi-unit or plural steps misalign the date_trunc bucket "
+        "lattice with the generated grid"
+    )
+    return parts[1]
+
+
 def gapfill_locf(
     df: DataFrame,
     key: str,
@@ -35,7 +55,7 @@ def gapfill_locf(
     generated rows, ``v_filled`` the LOCF value (NULL only before a key's
     first observation).
     """
-    unit = step.split()[-1]
+    unit = _grid_unit(step)
     bucket = F.date_trunc(unit, F.col(ts_col)).alias("h")
     agg_fn = getattr(F, agg)
     hourly = (
@@ -82,7 +102,7 @@ def interpolate_linear(
     TIMESTAMP_NTZ refuses double casts) and is bit-identical across
     engines. Same scale shape as gapfill: everything key-partitioned.
     """
-    unit = step.split()[-1]
+    unit = _grid_unit(step)
     bucket = F.date_trunc(unit, F.col(ts_col)).alias("h")
     agg_fn = getattr(F, agg)
     hourly = df.groupBy(F.col(key), bucket).agg(

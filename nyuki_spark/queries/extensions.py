@@ -2055,10 +2055,13 @@ def _stream_neardup_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("verdict"),
             )
             .orderBy("doc_id")
-            .cache()
         )
-        out.count()
-        return out
+        # localCheckpoint, not cache: the lineage reads parquet state under
+        # ``scratch``, which the finally block deletes. A cache survives
+        # only until eviction — any recompute would hit FileNotFound (r4
+        # ADVICE); the eager checkpoint truncates lineage to executor
+        # blocks with no file dependency.
+        return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
 
@@ -2331,7 +2334,14 @@ def _ewma_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     ts_interpolate are the upstream grid builders); the fold itself is a
     map-side expression after one shuffle on the key.
     """
-    events = load_table(spark, sf_dir, "events").where(F.col("user_id") < 50)
+    # NULL values are dropped BEFORE the fold, in both engine and oracle:
+    # without the filter the Spark fold would RESET at the next non-null
+    # (acc.isNull() branch) while DuckDB's LIST_REDUCE propagates NULL to
+    # the end — parity on arbitrary data, not just non-null fixtures
+    # (r4 ADVICE).
+    events = load_table(spark, sf_dir, "events").where(
+        (F.col("user_id") < 50) & F.col("value").isNotNull()
+    )
     series = events.groupBy("user_id").agg(
         F.sort_array(
             F.collect_list(F.struct("ts", "event_id", "value"))

@@ -1617,8 +1617,14 @@ def _countmin_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("rc"),
     ).select("word", F.col("rc.r").alias("r"), F.col("rc.c").alias("c"))
+    # LEFT join + coalesce-0: a probe word hitting an EMPTY cell must
+    # estimate from that cell's true count (0), not min over the surviving
+    # non-empty cells (overestimate), and a fully-absent word must
+    # estimate 0, not NULL — proper count-min semantics (est >= exact,
+    # 0 for empty cells; r4 ADVICE). The oracle mirrors the same join.
     est = (
-        probe_cells.join(F.broadcast(cells), ["r", "c"])
+        probe_cells.join(F.broadcast(cells), ["r", "c"], "left")
+        .select("word", F.coalesce(F.col("n"), F.lit(0)).alias("n"))
         .groupBy("word")
         .agg(F.min("n").alias("est"))
     )
@@ -1651,8 +1657,8 @@ register(
         "    ('0x' || SUBSTR(MD5(CAST(u.r AS VARCHAR) || '|' || word),"
         " 1, 7))::BIGINT % 256 AS c\n"
         "  FROM probes, UNNEST(GENERATE_SERIES(0, 3)) AS u(r)),\n"
-        "est AS (SELECT word, MIN(n) AS est FROM pc"
-        " JOIN cells USING (r, c) GROUP BY word),\n"
+        "est AS (SELECT word, MIN(COALESCE(n, 0)) AS est FROM pc"
+        " LEFT JOIN cells USING (r, c) GROUP BY word),\n"
         "exact AS (SELECT word, COUNT(*) AS exact FROM tok\n"
         "  WHERE word IN ('fast','row','slow','table','value')"
         " GROUP BY word)\n"

@@ -64,8 +64,9 @@ class Query:
         tables = self.tables
         if tables is None:
             tables = _infer_tables(self.engine_sql, self.oracle_sql)
-            if not tables and self.engine_fn is None:
-                tables = TABLES  # pure-SQL query we failed to parse: register all
+            # A pure-SQL query whose inference finds nothing is rejected at
+            # register() time, so this path only ever under-registers for
+            # engine_fn queries (which load their own tables).
         register_tables(spark, sf_dir, tables)
         if self.engine_fn is not None:
             return self.engine_fn(spark, sf_dir)
@@ -97,6 +98,16 @@ def register(
     if sql is not None:
         engine = engine if engine is not None else sql
         oracle = oracle if oracle is not None else sql
+    # Fail LOUDLY at register time (import time, so any test run catches it)
+    # if a pure-SQL query would fall through table inference: the round-4
+    # fallback silently registered ALL fixture tables, re-opening a sliver
+    # of the round-1 blast-radius bug (one unreadable table failing
+    # queries that never touch it).
+    if engine_fn is None and tables is None:
+        assert _infer_tables(engine, oracle), (
+            f"{id}: table inference found no fixture table in the SQL — "
+            "pass tables=(...) explicitly"
+        )
     q = Query(
         id=id,
         engine_sql=engine,

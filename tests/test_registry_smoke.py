@@ -29,3 +29,23 @@ def test_query_executes(qid, spark, sf_dir):
     # .limit(1).collect() still submits the job: closures pickle, the plan
     # compiles, and one partition executes — exactly what the r3 bug needed.
     df.limit(1).collect()
+
+
+def test_register_rejects_uninferrable_pure_sql():
+    """A pure-SQL registration whose text matches no fixture table must
+    fail AT REGISTER TIME (import time), not silently register all ten
+    fixture views — the round-4 fallback re-opened a sliver of the
+    round-1 blast-radius bug (one unreadable table poisoning queries
+    that never touch it)."""
+    from nyuki_spark.queries.registry import register
+
+    with pytest.raises(AssertionError, match="table inference"):
+        register("___no_table_words", "SELECT 1 AS x")
+    assert "___no_table_words" not in REGISTRY
+
+    # Explicit tables= is the sanctioned escape hatch.
+    q = register("___no_table_words", "SELECT 1 AS x", tables=())
+    try:
+        assert q.tables == ()
+    finally:
+        REGISTRY.pop("___no_table_words", None)
