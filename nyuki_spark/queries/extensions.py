@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from nyuki_spark.catalog import load_table
 from nyuki_spark.queries.registry import register
 from nyuki_spark.streaming.replay import replay_stream
-from nyuki_spark.streaming.runner import run_to_table
+from nyuki_spark.streaming.runner import run_append_foreach_batch, run_to_table
 from nyuki_spark.streaming.windows import session_agg, sliding_agg, tumbling_agg
 
 
@@ -51,6 +51,70 @@ def _live(build):
                 spark.catalog.dropTempView(name)
             except Exception:
                 pass
+            shutil.rmtree(scratch, ignore_errors=True)
+
+    return fn
+
+
+def _live_append(build, order_cols):
+    """APPEND-mode + watermark variant of :func:`_live` (r4 VERDICT ask:
+    the production path — watermark-evicted state, each result emitted
+    once — had correctness tests but no wall-time evidence).
+
+    A finite replay in append mode would hold the tail windows in state
+    forever (nothing advances the watermark past them), so the replay
+    appends ONE far-future sentinel row as a strictly-final micro-batch,
+    advancing the watermark past every real window. The sentinel must NOT
+    be filtered inside the stream: Catalyst pushes a deterministic filter
+    below the EventTimeWatermark node down to the scan, so the watermark
+    would never see the row (observed: watermark pinned at real-max-35d,
+    zero rows emitted). Instead it flows into the aggregation, where its
+    own window sits exactly ``delay`` beyond the final watermark and
+    therefore never closes and never emits; the output guard filter below
+    is purely defensive. The watermark delay (35 days) covers the
+    hash-random replay disorder exactly like the stream-stream join; the
+    emitted result then equals the batch answer and the complete-mode
+    oracles apply unchanged. Sink is foreachBatch -> parquet (files, the
+    path whose throughput matters), read back and checkpointed before the
+    scratch dir disappears.
+    """
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import datetime
+
+        events = load_table(spark, sf_dir, "events")
+        scratch = tempfile.mkdtemp(prefix="nyuki-live-")
+        try:
+            mx = events.agg(F.max("ts")).head()[0]
+            flush = spark.createDataFrame(
+                [(-1, mx + datetime.timedelta(days=80), -1, "__flush__", 0.0, "{}")],
+                events.schema,
+            )
+            sdf = replay_stream(
+                spark, events, n_chunks=4, scratch_dir=scratch, flush_df=flush
+            )
+            # Fixture ts is TIMESTAMP_NTZ; watermarks require TIMESTAMP.
+            # Session runs UTC (configure_session) so both casts below are
+            # value-identical — same pattern as stream_join_live.
+            sdf = sdf.withColumn("ts", F.col("ts").cast("timestamp")).withWatermark(
+                "ts", "35 days"
+            )
+            out = run_append_foreach_batch(
+                build(sdf), f"{scratch}/out", f"{scratch}/ckpt"
+            )
+            from pyspark.sql.types import TimestampType
+
+            for fld in out.schema.fields:
+                if isinstance(fld.dataType, TimestampType):
+                    out = out.withColumn(
+                        fld.name, F.col(fld.name).cast("timestamp_ntz")
+                    )
+            if "event_type" in out.columns:
+                out = out.where(F.col("event_type") != "__flush__")
+            if "user_id" in out.columns:
+                out = out.where(F.col("user_id") != -1)
+            return out.orderBy(*order_cols).localCheckpoint(eager=True)
+        finally:
             shutil.rmtree(scratch, ignore_errors=True)
 
     return fn
@@ -157,6 +221,122 @@ register(
     category="streaming-live",
     suite="extension",
     doc="streaming first-per-key over replay (at-least-once consumer dedup)",
+)
+
+
+# -- append-mode (watermark-evicting) variants --------------------------------
+#
+# Same pipelines through the PRODUCTION output path: append mode emits each
+# watermark-closed result exactly once into a foreachBatch parquet sink,
+# instead of rewriting the whole aggregate state per micro-batch (complete
+# mode + memory sink — the harness-bound O(state x batches) shape BASELINE.md
+# flags). The flush sentinel makes the finite replay emit everything, so the
+# complete-mode batch oracles verify these bit-for-bit too.
+
+register(
+    "stream_tumbling_live_append",
+    engine_fn=_live_append(
+        lambda sdf: tumbling_agg(
+            sdf,
+            "ts",
+            "1 hour",
+            ["event_type"],
+            [
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("value").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("total"),
+            ],
+        ),
+        ["win_start", "event_type"],
+    ),
+    oracle=(
+        "SELECT CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS win_start, event_type, COUNT(*) AS n,\n"
+        "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total\n"
+        "FROM events GROUP BY 1, 2 ORDER BY 1, 2"
+    ),
+    category="streaming-live",
+    suite="extension",
+    doc="tumbling window in APPEND mode: watermark-closed windows emitted "
+    "once into a foreachBatch parquet sink (production path, timed in bench)",
+)
+
+register(
+    "stream_sliding_live_append",
+    engine_fn=_live_append(
+        lambda sdf: sliding_agg(
+            sdf,
+            "ts",
+            "30 minutes",
+            "5 minutes",
+            ["user_id"],
+            [F.count(F.lit(1)).alias("n")],
+        ),
+        ["win_start", "user_id"],
+    ),
+    oracle=(
+        "SELECT win_start, user_id, COUNT(*) AS n FROM (\n"
+        "  SELECT time_bucket(INTERVAL '5 minutes', e.ts) - (k.k * INTERVAL '5 minutes') AS win_start,\n"
+        "         e.user_id\n"
+        "  FROM events e CROSS JOIN range(6) k(k)\n"
+        ") GROUP BY win_start, user_id ORDER BY win_start, user_id"
+    ),
+    category="streaming-live",
+    suite="extension",
+    doc="sliding window (30m/5m) in APPEND mode: each closed window emitted "
+    "once — O(emitted) sink writes vs complete mode's O(state x batches)",
+)
+
+register(
+    "stream_session_live_append",
+    engine_fn=_live_append(
+        lambda sdf: session_agg(
+            sdf,
+            "ts",
+            "30 minutes",
+            ["user_id"],
+            [F.count(F.lit(1)).alias("n_events")],
+        ),
+        ["user_id", "sess_start"],
+    ),
+    oracle=(
+        "WITH marked AS (SELECT user_id, ts, event_id, CASE WHEN ts >\n"
+        "LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) + INTERVAL 30 MINUTE\n"
+        "OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL THEN 1 ELSE 0 END AS new_sess\n"
+        "FROM events),\n"
+        "sess AS (SELECT user_id, ts, event_id, SUM(new_sess) OVER\n"
+        "(PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sess_id FROM marked)\n"
+        "SELECT user_id, MIN(ts) AS sess_start, COUNT(*) AS n_events\n"
+        "FROM sess GROUP BY user_id, sess_id ORDER BY user_id, sess_start"
+    ),
+    category="streaming-live",
+    suite="extension",
+    doc="session windows in APPEND mode: sessions emitted once when the "
+    "watermark closes them (the state-eviction path, timed in bench)",
+)
+
+register(
+    "stream_dedup_live_append",
+    engine_fn=_live_append(
+        lambda sdf: tumbling_agg(
+            sdf,
+            "ts",
+            "1 hour",
+            ["user_id", "event_type"],
+            [F.min("event_id").alias("first_event")],
+        ),
+        ["win_start", "user_id", "event_type"],
+    ),
+    oracle=(
+        "SELECT CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS win_start,\n"
+        "user_id, event_type, MIN(event_id) AS first_event FROM events\n"
+        "GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"
+    ),
+    category="streaming-live",
+    suite="extension",
+    doc="windowed first-per-key dedup in APPEND mode (the appendable form: "
+    "unbounded-key dedup can only run complete/update, a windowed key set "
+    "is what a watermark can close and emit exactly once)",
 )
 
 

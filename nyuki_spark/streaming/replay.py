@@ -27,14 +27,34 @@ def replay_stream(
     df: DataFrame,
     n_chunks: int = 4,
     scratch_dir: str | None = None,
+    flush_df: DataFrame | None = None,
 ) -> DataFrame:
     """Return a streaming DataFrame that replays ``df`` in ``n_chunks``
     micro-batches. ``scratch_dir`` (a fresh temp dir by default) holds the
-    replay files; caller owns cleanup."""
+    replay files; caller owns cleanup.
+
+    ``flush_df`` (optional) is appended as ONE EXTRA FINAL micro-batch:
+    its files get a strictly later modification time, and the file source
+    admits oldest-first, so it arrives after every replay chunk. Use a
+    far-future sentinel row here to drive the watermark past all real
+    event time — the standard finite-replay trick that lets APPEND-mode
+    queries emit (and thus verify) every window instead of holding the
+    tail in state forever.
+    """
     if scratch_dir is None:
         scratch_dir = tempfile.mkdtemp(prefix="nyuki-replay-")
     path = f"{scratch_dir}/replay"
     df.repartition(n_chunks).write.mode("overwrite").parquet(path)
+    if flush_df is not None:
+        import glob
+        import os
+        import time
+
+        before = set(glob.glob(f"{path}/part-*"))
+        flush_df.coalesce(1).write.mode("append").parquet(path)
+        late = time.time() + 120
+        for f in set(glob.glob(f"{path}/part-*")) - before:
+            os.utime(f, (late, late))
     return (
         spark.readStream.schema(df.schema)
         .option("maxFilesPerTrigger", 1)

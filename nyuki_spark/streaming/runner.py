@@ -11,7 +11,7 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["run_to_table"]
+__all__ = ["run_to_table", "run_append_foreach_batch"]
 
 
 def run_to_table(
@@ -46,3 +46,36 @@ def run_to_table(
             f"streaming drain exceeded {timeout_sec}s for sink {name}"
         )
     return spark.table(name)
+
+
+def run_append_foreach_batch(
+    sdf: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    timeout_sec: int = 300,
+) -> DataFrame:
+    """Drain a streaming DataFrame in APPEND mode through a foreachBatch
+    parquet sink and return the written rows as a batch DataFrame.
+
+    This is the production-shaped counterpart of :func:`run_to_table`'s
+    complete-mode memory sink: only watermark-closed results are emitted,
+    each exactly once, and they land in files — the path whose throughput
+    actually matters at scale (complete mode rewrites O(state) rows per
+    micro-batch by construction; append writes O(emitted)).
+    """
+    spark = SparkSession.getActiveSession()
+
+    def sink(batch_df: DataFrame, _batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out_dir)
+
+    q = (
+        sdf.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError(f"append drain exceeded {timeout_sec}s -> {out_dir}")
+    return spark.read.parquet(out_dir)
