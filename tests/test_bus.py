@@ -144,3 +144,71 @@ def test_kafka_wire_stream_and_sink_adapter(spark, tmp_path):
     wire = bus_to_kafka_wire(got)
     assert wire.columns == ["key", "value", "topic"]
     assert wire.schema["value"].dataType.typeName() == "binary"
+
+
+def test_mid_replay_kill_then_restart_exactly_once(spark, tmp_path):
+    """The store-and-forward contract under a CRASH, not a graceful stop
+    (r4 VERDICT ask): the consumer dies when its sink throws mid-replay —
+    after some batches committed, with delivered-but-uncommitted data in
+    flight. On restart from the same checkpoint, Structured Streaming
+    re-runs the killed batch with the SAME batch id and offsets (the bus
+    offset = consumed-segment count, so exactly the unseen segments
+    re-deliver), and the idempotent batch-id-keyed sink turns that
+    at-least-once redelivery into exactly-once rows at the sink."""
+    import json
+
+    from nyuki_spark.streaming.sink import committed_batches, idempotent_parquet_sink
+
+    register_bus(spark)
+    root = str(tmp_path / "bus")
+    cp = str(tmp_path / "cp")
+    out = str(tmp_path / "out")
+    marker = tmp_path / "crashed_once"
+    base = idempotent_parquet_sink(out)
+
+    def poisoned(df, batch_id):
+        # Inject exactly one crash, the first time the batch carrying
+        # {"id": 3} is delivered — after the offset WAL, before the sink
+        # write: the worst-placed failure for a naive sink.
+        if not marker.exists() and any(
+            json.loads(r.payload).get("id") == 3 for r in df.collect()
+        ):
+            marker.touch()
+            raise RuntimeError("injected mid-replay crash")
+        base(df, batch_id)
+
+    def run():
+        q = (
+            spark.readStream.format("nyuki_bus")
+            .option("path", root)
+            .load()
+            .writeStream.foreachBatch(poisoned)
+            .outputMode("append")
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    publish_rows(root, "orders", [{"id": 1}, {"id": 2}])
+    run()  # batch 0 commits cleanly
+    assert committed_batches(out) == [0]
+
+    # Broker receives more while the consumer is live, then the sink
+    # crashes on delivery: the query dies with batch 1 offset-logged but
+    # uncommitted.
+    publish_rows(root, "orders", [{"id": 3}])
+    publish_rows(root, "alerts", [{"id": 4}])
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="injected mid-replay crash"):
+        run()
+    assert committed_batches(out) == [0], "crashed batch must not commit"
+
+    # Restart from the checkpoint: the same batch id re-delivers the same
+    # segments; the idempotent sink writes it once.
+    run()
+    got = spark.read.parquet(out)
+    ids = sorted(json.loads(r.payload)["id"] for r in got.collect())
+    assert ids == [1, 2, 3, 4], f"exactly-once violated: {ids}"
+    assert committed_batches(out) == [0, 1]
