@@ -1676,3 +1676,280 @@ register(
         "count"
     ),
 )
+
+
+# -- char-bigram LM quality score (round 5) -----------------------------------
+
+
+def _perplexity_proxy_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality scoring: train a char-bigram language
+    model ON the corpus (conditional counts), then score every document
+    by its average log-probability — the KenLM-style quality filter of
+    public training-data pipelines, reduced to its distributable core.
+    Low scores flag documents whose character sequences are unlike the
+    corpus (mojibake, binary spill, boilerplate).
+
+    Plan: ONE linear char-bigram explode immediately collapses to
+    per-(doc, bigram) COUNTS — the only fact-sized shuffle. The model
+    tables derive from those counts (bigram totals; first-char totals
+    roll up from bigram totals, no second scan), both alphabet-bounded
+    and broadcast back; the score is the count-weighted sum of log
+    conditionals — mathematically the same average as per-occurrence
+    rows, at ~1/20th the join volume (distinct bigrams per doc, not
+    characters per doc). This aggregate-before-join shape is what holds
+    at 100 TB: the model fits in a broadcast regardless of corpus size.
+
+    Every document bigram appears in the corpus counts by construction
+    (the corpus scored is the training corpus), so no smoothing term is
+    needed and both engines compute identical count ratios; the weighted
+    sum is the one FP-order-dependent step, absorbed by the 4-dp round.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    dc = (
+        docs.where(F.length("text") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("text") - 1),
+                    lambda i: F.col("text").substr(i, F.lit(2)),
+                )
+            ).alias("bg"),
+        )
+        .groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("c1", F.substring(F.col("bg"), 1, 1))
+    )
+    bn = dc.groupBy("bg").agg(F.sum("cnt").alias("nb"))
+    cn = bn.groupBy(F.substring(F.col("bg"), 1, 1).alias("c1")).agg(
+        F.sum("nb").alias("nc")
+    )
+    return (
+        dc.join(F.broadcast(bn), "bg")
+        .join(F.broadcast(cn), "c1")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_bigrams"),
+            F.round(
+                F.sum(F.col("cnt") * F.log(F.col("nb") / F.col("nc")))
+                / F.sum("cnt"),
+                4,
+            )
+            .cast("double")
+            .alias("avg_logprob"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+register(
+    "llm_perplexity_proxy",
+    engine_fn=_perplexity_proxy_fn,
+    oracle=(
+        "WITH dc AS (\n"
+        "  SELECT doc_id, bg, SUBSTR(bg, 1, 1) AS c1, COUNT(*) AS cnt\n"
+        "  FROM (SELECT doc_id, SUBSTR(text, i, 2) AS bg\n"
+        "        FROM documents,"
+        " UNNEST(GENERATE_SERIES(1, LEN(text) - 1)) u(i)\n"
+        "        WHERE LEN(text) >= 2)\n"
+        "  GROUP BY doc_id, bg),\n"
+        "bn AS (SELECT bg, SUM(cnt) AS nb FROM dc GROUP BY bg),\n"
+        "cn AS (SELECT SUBSTR(bg, 1, 1) AS c1, SUM(nb) AS nc"
+        " FROM bn GROUP BY 1)\n"
+        "SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_bigrams,\n"
+        "  CAST(ROUND(SUM(cnt * LN(nb::DOUBLE / nc)) / SUM(cnt), 4)"
+        " AS DOUBLE) AS avg_logprob\n"
+        "FROM dc JOIN bn USING (bg) JOIN cn USING (c1)\n"
+        "GROUP BY doc_id ORDER BY doc_id"
+    ),
+    category="llm-text",
+    suite="extension",
+    doc=(
+        "perplexity-proxy quality score: corpus-trained char-bigram LM, "
+        "per-doc average log P(c2|c1) — alphabet-bounded model tables "
+        "broadcast onto a linear bigram explode"
+    ),
+)
+
+
+# -- int8 scalar quantization round trip (round 5) ----------------------------
+
+
+def _sq8_error_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding compression contract: per-dimension 8-bit scalar
+    quantization (the standard SQ8 vector-store codec — min/max per dim,
+    256 levels) with the round-trip reconstruction error reported per
+    vector. 4x smaller storage for ANN candidate tiers; the error stats
+    are what decides whether rescoring on raw vectors is needed.
+
+    Plan: ONE 1-row aggregate computes the 64 per-dim min/max bounds
+    (partial map-side aggregation), broadcast back onto the vectors
+    (1-row crossJoin — the scalar-bounds shape, see profile_histogram);
+    quantize/dequantize/error are a single map stage over index
+    transforms. Nothing shuffles but the 1-row bounds and the final
+    sort. Every arithmetic step (subtract, divide, scale, ROUND to the
+    level grid, reconstruct) is written identically in the DuckDB twin,
+    so the error values hash-match bit-for-bit after the 6-dp round.
+    """
+    dims = 64
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    bounds = emb.agg(
+        *[F.min(F.col("v")[i]).alias(f"mn{i}") for i in range(dims)],
+        *[F.max(F.col("v")[i]).alias(f"mx{i}") for i in range(dims)],
+    ).select(
+        F.array(*[f"mn{i}" for i in range(dims)]).alias("mn"),
+        F.array(*[f"mx{i}" for i in range(dims)]).alias("mx"),
+    )
+
+    def err_at(i):
+        v = F.element_at("v", i + 1)
+        mn = F.element_at("mn", i + 1)
+        mx = F.element_at("mx", i + 1)
+        code = F.round((v - mn) / (mx - mn) * 255, 0)
+        deq = F.when(mx == mn, mn).otherwise(mn + code * (mx - mn) / 255)
+        return F.abs(deq - v)
+
+    err = F.transform(F.sequence(F.lit(0), F.lit(dims - 1)), err_at)
+    return (
+        emb.crossJoin(F.broadcast(bounds))
+        .select("vec_id", err.alias("err"))
+        .select(
+            "vec_id",
+            F.round(F.array_max("err"), 6).cast("double").alias("max_abs_err"),
+            F.round(
+                F.aggregate(
+                    "err", F.lit(0.0), lambda acc, x: acc + x * x
+                )
+                / dims,
+                6,
+            )
+            .cast("double")
+            .alias("mse"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+register(
+    "llm_sq8_error",
+    engine_fn=_sq8_error_fn,
+    oracle=(
+        "WITH p AS (SELECT vec_id, embedding::DOUBLE[] AS v"
+        " FROM embeddings),\n"
+        "b AS (SELECT LIST(mn ORDER BY dim) AS mn, LIST(mx ORDER BY dim)"
+        " AS mx FROM (\n"
+        "  SELECT u.i AS dim, MIN(v[u.i]) AS mn, MAX(v[u.i]) AS mx\n"
+        "  FROM p, UNNEST(GENERATE_SERIES(1, 64)) u(i) GROUP BY u.i)),\n"
+        "e AS (SELECT vec_id, LIST_TRANSFORM(GENERATE_SERIES(1, 64), i ->\n"
+        "  ABS((CASE WHEN mx[i] = mn[i] THEN mn[i]\n"
+        "       ELSE mn[i] + ROUND((v[i] - mn[i]) / (mx[i] - mn[i]) * 255, 0)"
+        " * (mx[i] - mn[i]) / 255 END) - v[i])) AS err\n"
+        "  FROM p CROSS JOIN b)\n"
+        "SELECT vec_id, CAST(ROUND(LIST_MAX(err), 6) AS DOUBLE)"
+        " AS max_abs_err,\n"
+        "  CAST(ROUND(LIST_REDUCE(LIST_TRANSFORM(err, x -> x * x),"
+        " (a, c) -> a + c) / 64, 6) AS DOUBLE) AS mse\n"
+        "FROM e ORDER BY vec_id"
+    ),
+    category="llm-similarity",
+    suite="extension",
+    doc=(
+        "per-dim int8 scalar quantization (SQ8) round trip: 1-row "
+        "broadcast bounds, map-only quantize/dequantize, bit-exact error "
+        "stats vs the DuckDB twin"
+    ),
+)
+
+
+# -- batched multi-query kNN (round 5) ----------------------------------------
+
+
+def _knn_multi_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serving-shaped kNN: top-3 cosine neighbors for EACH of 10 query
+    vectors in ONE plan — the batch-retrieval shape (RAG lookup, hard-
+    negative mining) rather than ten single-query jobs.
+
+    Plan: queries broadcast (constant 10-row build) onto the pool with
+    norms precomputed per side; similarity is a JVM-side fold. Top-k is
+    TWO-PHASE: per-(query, salt) row_number first — 32-way salt keeps
+    every window partition small — then the final per-query window ranks
+    only k x 32 survivors. A single window partitioned by the 10 query
+    ids would funnel the whole N x 10 score table through 10 partitions;
+    the salt phase is what makes this shape survive at 100x. Sims are
+    rounded to 4 dp BEFORE ranking with vec_id tiebreak (the
+    llm_knn_cosine convention), so ordering is engine-stable.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    norm = lambda c: F.aggregate(  # noqa: E731 — local fold helper
+        F.transform(c, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+    )
+    qs = (
+        emb.where(F.col("vec_id") < 10)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").cast("array<double>").alias("qv"),
+        )
+        .withColumn("nq", F.sqrt(norm(F.col("qv"))))
+    )
+    pool = (
+        emb.where(F.col("vec_id") >= 10)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .withColumn("nv", F.sqrt(norm(F.col("v"))))
+    )
+    dot = F.aggregate(
+        F.zip_with("v", "qv", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    scored = pool.crossJoin(F.broadcast(qs)).select(
+        "qid",
+        "vec_id",
+        F.round(dot / (F.col("nv") * F.col("nq")), 4).alias("sim"),
+    )
+    from pyspark.sql import Window
+
+    w1 = Window.partitionBy("qid", F.pmod(F.col("vec_id"), F.lit(32))).orderBy(
+        F.col("sim").desc(), "vec_id"
+    )
+    w2 = Window.partitionBy("qid").orderBy(F.col("sim").desc(), "vec_id")
+    return (
+        scored.withColumn("r1", F.row_number().over(w1))
+        .where(F.col("r1") <= 3)
+        .withColumn("rn", F.row_number().over(w2))
+        .where(F.col("rn") <= 3)
+        .select("qid", "vec_id", F.col("sim").cast("double"))
+        .orderBy("qid", F.col("sim").desc(), "vec_id")
+    )
+
+
+register(
+    "llm_knn_multi",
+    engine_fn=_knn_multi_fn,
+    oracle=(
+        "WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv\n"
+        "  FROM embeddings WHERE vec_id < 10),\n"
+        "p AS (SELECT vec_id, embedding::DOUBLE[] AS v\n"
+        "  FROM embeddings WHERE vec_id >= 10),\n"
+        "s AS (SELECT qid, vec_id, ROUND(\n"
+        "  LIST_REDUCE(LIST_TRANSFORM(GENERATE_SERIES(1, 64),"
+        " i -> v[i] * qv[i]), (a, x) -> a + x)\n"
+        "  / (SQRT(LIST_REDUCE(LIST_TRANSFORM(GENERATE_SERIES(1, 64),"
+        " i -> v[i] * v[i]), (a, x) -> a + x))\n"
+        "   * SQRT(LIST_REDUCE(LIST_TRANSFORM(GENERATE_SERIES(1, 64),"
+        " i -> qv[i] * qv[i]), (a, x) -> a + x))), 4) AS sim\n"
+        "  FROM p CROSS JOIN q)\n"
+        "SELECT qid, vec_id, CAST(sim AS DOUBLE) AS sim FROM s\n"
+        "QUALIFY ROW_NUMBER() OVER (PARTITION BY qid"
+        " ORDER BY sim DESC, vec_id) <= 3\n"
+        "ORDER BY qid, sim DESC, vec_id"
+    ),
+    category="llm-similarity",
+    suite="extension",
+    doc=(
+        "batched multi-query top-3 cosine retrieval: 10-row broadcast of "
+        "queries, JVM-side folds, salted two-phase per-query top-k (no "
+        "10-partition window funnel)"
+    ),
+)

@@ -161,6 +161,18 @@ ALLOWLIST: dict[str, tuple[tuple[str, ...], str]] = {
         "k-row centroid table (k=8, compile-time constant); the pair "
         "stage itself is an equi-join on cluster_id",
     ),
+    "llm_sq8_error": (
+        ("BroadcastNestedLoopJoin",),
+        "1-row broadcast of the per-dim min/max bounds (partial-"
+        "aggregated) onto the vectors — the scalar-bounds shape "
+        "(profile_histogram precedent)",
+    ),
+    "llm_knn_multi": (
+        ("BroadcastNestedLoopJoin",),
+        "10-row broadcast of the query vectors onto the pool (constant-"
+        "size build); top-k is salted two-phase, never a 10-partition "
+        "funnel over the full score table",
+    ),
     "tpch_q11": (
         ("BroadcastNestedLoopJoin",),
         "1-row broadcast of the grand-total threshold onto the "
