@@ -8,6 +8,7 @@ sf0.001 on every pytest run.
 """
 
 from nyuki_spark.queries.registry import Query, REGISTRY, register  # noqa: F401
+from nyuki_spark.queries import analytics  # noqa: F401  (populates REGISTRY)
 from nyuki_spark.queries import corpus  # noqa: F401  (populates REGISTRY)
 from nyuki_spark.queries import declared  # noqa: F401  (populates REGISTRY)
 from nyuki_spark.queries import extensions  # noqa: F401  (populates REGISTRY)
