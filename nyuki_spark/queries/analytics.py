@@ -500,3 +500,307 @@ register(
         "deterministic (ts, event_id) tie order"
     ),
 )
+
+
+# -- BM25 retrieval scoring ---------------------------------------------------
+
+
+def _bm25_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 (Robertson-Sparck Jones) document scoring for a fixed
+    3-term query — the lexical-retrieval half of a RAG stack, next to
+    the dense kNN tier.
+
+    Plan: ONE token explode collapses immediately to per-doc statistics
+    (doc length + per-query-term term frequencies as conditional sums in
+    the SAME aggregate — no per-term join). The corpus model (N, avgdl,
+    per-term df) derives from that doc-stats table with two 1-row/3-row
+    aggregates, broadcast back; the score is a pure column expression
+    and top-10 is TakeOrderedAndProject (k-row heaps, no global sort).
+    Everything after the explode is key-partitioned by doc_id — the
+    shape that holds when the corpus is 100 TB and the query list grows
+    to thousands of terms (terms pivot to rows, same two broadcasts).
+    """
+    k1, b = 1.2, 0.75
+    terms = ["hash", "join", "vector"]
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("tok"),
+    ).where(F.length("tok") > 0)
+    stats = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("dl"),
+        *[
+            F.sum((F.col("tok") == t).cast("long")).alias(f"tf_{t}")
+            for t in terms
+        ],
+    )
+    model = stats.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{t}") > 0).cast("long")).alias(f"df_{t}")
+            for t in terms
+        ],
+    )
+
+    def term_score(t):
+        tf = F.col(f"tf_{t}")
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col(f"df_{t}") + 0.5)
+            / (F.col(f"df_{t}") + 0.5)
+        )
+        return idf * tf * (k1 + 1) / (
+            tf + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+        )
+
+    scored = stats.crossJoin(F.broadcast(model)).select(
+        "doc_id",
+        F.round(sum(term_score(t) for t in terms), 4)
+        .cast("double")
+        .alias("bm25"),
+    )
+    return scored.orderBy(F.col("bm25").desc(), "doc_id").limit(10)
+
+
+register(
+    "llm_bm25_topk",
+    engine_fn=_bm25_fn,
+    oracle=(
+        "WITH toks AS (\n"
+        "  SELECT doc_id, UNNEST(STRING_SPLIT_REGEX(LOWER(text),"
+        " '[^a-z]+')) AS tok\n"
+        "  FROM documents),\n"
+        "stats AS (\n"
+        "  SELECT doc_id, COUNT(*) AS dl,\n"
+        "    SUM(CASE WHEN tok = 'hash' THEN 1 ELSE 0 END) AS tf_hash,\n"
+        "    SUM(CASE WHEN tok = 'join' THEN 1 ELSE 0 END) AS tf_join,\n"
+        "    SUM(CASE WHEN tok = 'vector' THEN 1 ELSE 0 END) AS tf_vector\n"
+        "  FROM toks WHERE LEN(tok) > 0 GROUP BY doc_id),\n"
+        "model AS (\n"
+        "  SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl,\n"
+        "    SUM(CASE WHEN tf_hash > 0 THEN 1 ELSE 0 END) AS df_hash,\n"
+        "    SUM(CASE WHEN tf_join > 0 THEN 1 ELSE 0 END) AS df_join,\n"
+        "    SUM(CASE WHEN tf_vector > 0 THEN 1 ELSE 0 END) AS df_vector\n"
+        "  FROM stats)\n"
+        "SELECT doc_id, CAST(ROUND(\n"
+        "    LN(1 + (n_docs - df_hash + 0.5) / (df_hash + 0.5))\n"
+        "      * tf_hash * 2.2 / (tf_hash + 1.2 * (0.25 + 0.75 * dl / avgdl))\n"
+        "  + LN(1 + (n_docs - df_join + 0.5) / (df_join + 0.5))\n"
+        "      * tf_join * 2.2 / (tf_join + 1.2 * (0.25 + 0.75 * dl / avgdl))\n"
+        "  + LN(1 + (n_docs - df_vector + 0.5) / (df_vector + 0.5))\n"
+        "      * tf_vector * 2.2 / (tf_vector + 1.2 * (0.25 + 0.75 * dl"
+        " / avgdl)), 4) AS DOUBLE) AS bm25\n"
+        "FROM stats CROSS JOIN model\n"
+        "ORDER BY bm25 DESC, doc_id LIMIT 10"
+    ),
+    category="llm-text",
+    suite="extension",
+    doc=(
+        "BM25 top-10 (k1=1.2, b=0.75, 3-term query): one token explode "
+        "-> per-doc conditional-sum stats, 1-row corpus model broadcast, "
+        "TakeOrderedAndProject top-k"
+    ),
+)
+
+
+# -- MMR diverse rerank -------------------------------------------------------
+
+
+def _mmr_rerank_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance rerank (Carbonell & Goldstein,
+    SIGIR'98): from the top-20 cosine candidates for one query vector,
+    select 3 results that trade relevance against redundancy —
+    mmr(d) = 0.7 * rel(d) - 0.3 * max sim(d, already-selected).
+    The diversity pass every dense-retrieval serving stack runs after
+    ANN.
+
+    Plan shape for 100 TB: the EXPENSIVE stage is the relevance top-N
+    cut, and it is TakeOrderedAndProject over a broadcast-query scored
+    scan (k-row heaps per partition, no global sort). Everything after
+    operates on the N=20 candidate rows — localCheckpoint pins them so
+    the three fixed selection steps (tiny self-joins) do not re-run the
+    corpus scan per reference. Selection is expressed as chained
+    DataFrame steps, not a driver loop over collect(): the per-step
+    argmax is an orderBy(score desc, vec_id).limit(1) on 20-row data.
+    Scores and sims are rounded to 4 dp BEFORE every argmax with a
+    vec_id tiebreak, so selection is engine-stable.
+    """
+    lam = 0.7
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def with_norm(df, vcol, out):
+        v = F.col(vcol)
+        n = F.sqrt(
+            F.aggregate(
+                F.transform(v, lambda x: x * x),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+        )
+        return df.withColumn(out, n)
+
+    q = with_norm(
+        emb.where(F.col("vec_id") == 0).select(
+            F.col("embedding").cast("array<double>").alias("qv")
+        ),
+        "qv",
+        "nq",
+    )
+    pool = with_norm(
+        emb.where(F.col("vec_id") >= 10).select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        ),
+        "v",
+        "nv",
+    )
+    dot_q = F.aggregate(
+        F.zip_with("v", "qv", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    cand = (
+        pool.crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "v",
+            "nv",
+            F.round(dot_q / (F.col("nv") * F.col("nq")), 4).alias("rel"),
+        )
+        .orderBy(F.col("rel").desc(), "vec_id")
+        .limit(20)
+        .localCheckpoint()  # 20 rows: pin so steps below never rescan
+    )
+    c1 = cand.select(
+        F.col("vec_id").alias("a"),
+        F.col("v").alias("va"),
+        F.col("nv").alias("na"),
+    )
+    c2 = cand.select(
+        F.col("vec_id").alias("b"),
+        F.col("v").alias("vb"),
+        F.col("nv").alias("nb"),
+    )
+    dot_ab = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    sims = (
+        c1.crossJoin(c2)
+        .where(F.col("a") != F.col("b"))
+        .select(
+            "a",
+            "b",
+            F.round(dot_ab / (F.col("na") * F.col("nb")), 4).alias("sim"),
+        )
+    )
+    rel = cand.select("vec_id", "rel")
+    s1 = rel.orderBy(F.col("rel").desc(), "vec_id").limit(1)
+    sel1 = s1.select(F.col("vec_id").alias("sel"))
+    step2 = (
+        rel.join(sel1, rel.vec_id == sel1.sel, "anti")
+        .join(
+            sims.join(
+                sel1, sims.b == sel1.sel
+            ).select(F.col("a").alias("vec_id"), "sim"),
+            "vec_id",
+        )
+        .select(
+            "vec_id",
+            F.round(lam * F.col("rel") - (1 - lam) * F.col("sim"), 4).alias(
+                "score"
+            ),
+        )
+    )
+    s2 = step2.orderBy(F.col("score").desc(), "vec_id").limit(1)
+    sel12 = sel1.unionByName(s2.select(F.col("vec_id").alias("sel")))
+    step3 = (
+        rel.join(sel12, rel.vec_id == sel12.sel, "anti")
+        .join(
+            sims.join(sel12, sims.b == sel12.sel)
+            .groupBy("a")
+            .agg(F.max("sim").alias("msim"))
+            .select(F.col("a").alias("vec_id"), "msim"),
+            "vec_id",
+        )
+        .select(
+            "vec_id",
+            F.round(lam * F.col("rel") - (1 - lam) * F.col("msim"), 4).alias(
+                "score"
+            ),
+        )
+    )
+    s3 = step3.orderBy(F.col("score").desc(), "vec_id").limit(1)
+    out1 = s1.select(
+        F.lit(1).alias("rank"),
+        "vec_id",
+        F.round(lam * F.col("rel"), 4).cast("double").alias("score"),
+    )
+    out2 = s2.select(
+        F.lit(2).alias("rank"), "vec_id", F.col("score").cast("double")
+    )
+    out3 = s3.select(
+        F.lit(3).alias("rank"), "vec_id", F.col("score").cast("double")
+    )
+    return out1.unionByName(out2).unionByName(out3).orderBy("rank")
+
+
+register(
+    "llm_mmr_rerank",
+    engine_fn=_mmr_rerank_fn,
+    oracle=(
+        "WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings"
+        " WHERE vec_id = 0),\n"
+        "pool AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings"
+        " WHERE vec_id >= 10),\n"
+        "cand AS (\n"
+        "  SELECT vec_id, v, ROUND(\n"
+        "    LIST_REDUCE(LIST_TRANSFORM(GENERATE_SERIES(1, 64),"
+        " i -> v[i] * qv[i]), (a, x) -> a + x)\n"
+        "    / (SQRT(LIST_REDUCE(LIST_TRANSFORM(GENERATE_SERIES(1, 64),"
+        " i -> v[i] * v[i]), (a, x) -> a + x))\n"
+        "     * SQRT(LIST_REDUCE(LIST_TRANSFORM(GENERATE_SERIES(1, 64),"
+        " i -> qv[i] * qv[i]), (a, x) -> a + x))), 4) AS rel\n"
+        "  FROM pool CROSS JOIN q ORDER BY rel DESC, vec_id LIMIT 20),\n"
+        "sims AS (\n"
+        "  SELECT c1.vec_id AS a, c2.vec_id AS b, ROUND(\n"
+        "    LIST_REDUCE(LIST_TRANSFORM(GENERATE_SERIES(1, 64),"
+        " i -> c1.v[i] * c2.v[i]), (x, y) -> x + y)\n"
+        "    / (SQRT(LIST_REDUCE(LIST_TRANSFORM(GENERATE_SERIES(1, 64),"
+        " i -> c1.v[i] * c1.v[i]), (x, y) -> x + y))\n"
+        "     * SQRT(LIST_REDUCE(LIST_TRANSFORM(GENERATE_SERIES(1, 64),"
+        " i -> c2.v[i] * c2.v[i]), (x, y) -> x + y))), 4) AS sim\n"
+        "  FROM cand c1 CROSS JOIN cand c2 WHERE c1.vec_id <> c2.vec_id),\n"
+        "s1 AS (SELECT vec_id, rel FROM cand ORDER BY rel DESC, vec_id"
+        " LIMIT 1),\n"
+        "s2 AS (\n"
+        "  SELECT c.vec_id,\n"
+        "    ROUND(0.7 * c.rel - 0.3 * s.sim, 4) AS score\n"
+        "  FROM cand c JOIN sims s ON s.a = c.vec_id\n"
+        "    AND s.b = (SELECT vec_id FROM s1)\n"
+        "  WHERE c.vec_id <> (SELECT vec_id FROM s1)\n"
+        "  ORDER BY score DESC, c.vec_id LIMIT 1),\n"
+        "s3 AS (\n"
+        "  SELECT c.vec_id,\n"
+        "    ROUND(0.7 * c.rel - 0.3 * MAX(s.sim), 4) AS score\n"
+        "  FROM cand c JOIN sims s ON s.a = c.vec_id\n"
+        "    AND s.b IN ((SELECT vec_id FROM s1), (SELECT vec_id FROM s2))\n"
+        "  WHERE c.vec_id NOT IN ((SELECT vec_id FROM s1),"
+        " (SELECT vec_id FROM s2))\n"
+        "  GROUP BY c.vec_id, c.rel\n"
+        "  ORDER BY score DESC, c.vec_id LIMIT 1)\n"
+        "SELECT 1 AS rank, vec_id,"
+        " CAST(ROUND(0.7 * rel, 4) AS DOUBLE) AS score FROM s1\n"
+        "UNION ALL SELECT 2, vec_id, CAST(score AS DOUBLE) FROM s2\n"
+        "UNION ALL SELECT 3, vec_id, CAST(score AS DOUBLE) FROM s3\n"
+        "ORDER BY rank"
+    ),
+    category="llm-similarity",
+    suite="extension",
+    doc=(
+        "MMR diverse rerank (lambda=0.7, top-20 -> 3): TakeOrdered "
+        "relevance cut + localCheckpoint-pinned candidate set; fixed "
+        "chained selection steps, rounded-before-argmax determinism"
+    ),
+)

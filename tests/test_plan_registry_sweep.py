@@ -173,6 +173,18 @@ ALLOWLIST: dict[str, tuple[tuple[str, ...], str]] = {
         "size build); top-k is salted two-phase, never a 10-partition "
         "funnel over the full score table",
     ),
+    "llm_bm25_topk": (
+        ("BroadcastNestedLoopJoin",),
+        "1-row broadcast of the corpus model (N, avgdl, per-term df — "
+        "partial-aggregated) onto the per-doc stats table — the "
+        "scalar-bounds shape (profile_histogram precedent)",
+    ),
+    "llm_mmr_rerank": (
+        ("BroadcastNestedLoopJoin",),
+        "every non-equi join runs on the localCheckpoint-pinned top-20 "
+        "candidate set or the 1-row broadcast query vector; the only "
+        "corpus-sized stage is the TakeOrdered relevance cut",
+    ),
     "tpch_q11": (
         ("BroadcastNestedLoopJoin",),
         "1-row broadcast of the grand-total threshold onto the "
