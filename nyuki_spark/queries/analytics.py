@@ -72,6 +72,52 @@ register(
 # -- degree-ordered triangle counting ----------------------------------------
 
 
+def _supplier_backbone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strong-tie supplier graph: distinct supplier pairs sharing >= the
+    95th-percentile number of orders. One partial-agg shuffle for pair
+    counts; the exact-percentile threshold is a 1-row broadcast.
+    Co-occurrence graphs densify with data volume (at sf0.01 the raw
+    supplier graph is already complete), so downstream graph algorithms
+    run on the thresholded backbone, keeping their joins proportional to
+    strong edges only. Returned columns: u < v, one row per edge."""
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    a = lineitem.alias("a")
+    b = lineitem.alias("b")
+    pair_cnt = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .groupBy(
+            F.col("a.l_suppkey").alias("u"), F.col("b.l_suppkey").alias("v")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    thresh = pair_cnt.agg(
+        F.expr("percentile(cnt, 0.95)").alias("t")
+    )  # 1-row exact percentile, broadcast below
+    return (
+        pair_cnt.crossJoin(F.broadcast(thresh))
+        .where(F.col("cnt") >= F.col("t"))
+        .select("u", "v")
+    )
+
+
+# The same CTE prefix, shared by every backbone-graph oracle twin.
+_BACKBONE_SQL = (
+    "pc AS (\n"
+    "  SELECT a.l_suppkey AS u, b.l_suppkey AS v, COUNT(*) AS cnt\n"
+    "  FROM lineitem a JOIN lineitem b\n"
+    "    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey\n"
+    "  GROUP BY 1, 2),\n"
+    "t AS (SELECT QUANTILE_CONT(cnt, 0.95) AS t FROM pc),\n"
+    "bb AS (SELECT u, v FROM pc CROSS JOIN t WHERE cnt >= t.t)"
+)
+
+
 def _triangles_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global graph-structure statistics — node/edge/wedge/triangle
     counts and the global clustering coefficient — over the strong-tie
@@ -98,30 +144,7 @@ def _triangles_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     back to the oriented edge set. All joins are key-partitioned
     equi-joins over narrow (int, int) rows.
     """
-    lineitem = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_suppkey"
-    )
-    a = lineitem.alias("a")
-    b = lineitem.alias("b")
-    pair_cnt = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
-        )
-        .groupBy(
-            F.col("a.l_suppkey").alias("u"), F.col("b.l_suppkey").alias("v")
-        )
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    thresh = pair_cnt.agg(
-        F.expr("percentile(cnt, 0.95)").alias("t")
-    )  # 1-row exact percentile, broadcast below
-    backbone = (
-        pair_cnt.crossJoin(F.broadcast(thresh))
-        .where(F.col("cnt") >= F.col("t"))
-        .select("u", "v")
-    )
+    backbone = _supplier_backbone(spark, sf_dir)
     n_nodes, n_edges, n_wedges, n_tri = triangle_stats(backbone)
     cc = round(3.0 * n_tri / n_wedges, 6) if n_wedges else 0.0
     return spark.createDataFrame(
@@ -135,13 +158,7 @@ register(
     "net_triangles",
     engine_fn=_triangles_fn,
     oracle=(
-        "WITH pc AS (\n"
-        "  SELECT a.l_suppkey AS u, b.l_suppkey AS v, COUNT(*) AS cnt\n"
-        "  FROM lineitem a JOIN lineitem b\n"
-        "    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey\n"
-        "  GROUP BY 1, 2),\n"
-        "t AS (SELECT QUANTILE_CONT(cnt, 0.95) AS t FROM pc),\n"
-        "bb AS (SELECT u, v FROM pc CROSS JOIN t WHERE cnt >= t.t),\n"
+        "WITH " + _BACKBONE_SQL + ",\n"
         "und AS (SELECT u, v FROM bb UNION ALL SELECT v, u FROM bb),\n"
         "d AS (SELECT u, COUNT(*) AS deg FROM und GROUP BY u),\n"
         "r AS (SELECT u, ROW_NUMBER() OVER (ORDER BY deg, u) AS ord FROM d),\n"
@@ -802,5 +819,176 @@ register(
         "MMR diverse rerank (lambda=0.7, top-20 -> 3): TakeOrdered "
         "relevance cut + localCheckpoint-pinned candidate set; fixed "
         "chained selection steps, rounded-before-argmax determinism"
+    ),
+)
+
+
+# -- common-neighbor link prediction -----------------------------------------
+
+
+def _common_neighbors_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction over the supplier backbone: for NON-adjacent node
+    pairs, the common-neighbor count and Jaccard coefficient
+    |N(u) n N(v)| / |N(u) u N(v)| — the classic similarity features for
+    recommending absent edges (Liben-Nowell & Kleinberg, CIKM'03).
+
+    Plan: candidate pairs come from the wedge join (two edges sharing a
+    midpoint) — disjoint node pairs NEVER meet, the same bounded-fanout
+    principle as the dedup band joins; known edges are removed with an
+    anti equi-join; degrees join in key-partitioned. Top-20 by
+    (jaccard, common, pair) is TakeOrderedAndProject. At 100 TB wedge
+    fanout is the cost driver — it is bounded by per-node degree on the
+    THRESHOLDED backbone, and hub salting would bolt on exactly as in
+    operators/rank.py if a hub survived thresholding.
+    """
+    backbone = _supplier_backbone(spark, sf_dir).persist()
+    und = backbone.unionByName(
+        backbone.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    e1 = und.select(F.col("u").alias("x"), F.col("v").alias("a"))
+    e2 = und.select(F.col("u").alias("x"), F.col("v").alias("b"))
+    wedges = (
+        e1.join(e2, "x")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    cand = wedges.join(
+        backbone,
+        (wedges.a == backbone.u) & (wedges.b == backbone.v),
+        "anti",
+    )
+    scored = (
+        cand.join(deg.select(F.col("u").alias("a"), F.col("deg").alias("da")), "a")
+        .join(deg.select(F.col("u").alias("b"), F.col("deg").alias("db")), "b")
+        .select(
+            "a",
+            "b",
+            "common",
+            F.round(
+                F.col("common")
+                / (F.col("da") + F.col("db") - F.col("common")),
+                6,
+            )
+            .cast("double")
+            .alias("jaccard"),
+        )
+    )
+    out = scored.orderBy(
+        F.col("jaccard").desc(), F.col("common").desc(), "a", "b"
+    ).limit(20)
+    # persist() above pins the backbone for the wedge/anti/degree fan-out;
+    # materialize the bounded result before unpersisting the lineage.
+    rows = out.collect()
+    backbone.unpersist()
+    return spark.createDataFrame(
+        rows, "a long, b long, common long, jaccard double"
+    )
+
+
+register(
+    "net_common_neighbors",
+    engine_fn=_common_neighbors_fn,
+    oracle=(
+        "WITH " + _BACKBONE_SQL + ",\n"
+        "und AS (SELECT u, v FROM bb UNION ALL SELECT v, u FROM bb),\n"
+        "d AS (SELECT u, COUNT(*) AS deg FROM und GROUP BY u),\n"
+        "w AS (\n"
+        "  SELECT e1.v AS a, e2.v AS b, COUNT(*) AS common\n"
+        "  FROM und e1 JOIN und e2 ON e1.u = e2.u AND e1.v < e2.v\n"
+        "  GROUP BY 1, 2),\n"
+        "cand AS (\n"
+        "  SELECT a, b, common FROM w\n"
+        "  WHERE NOT EXISTS (SELECT 1 FROM bb"
+        " WHERE bb.u = w.a AND bb.v = w.b))\n"
+        "SELECT a, b, common,\n"
+        "  CAST(ROUND(common::DOUBLE / (da.deg + db.deg - common), 6)"
+        " AS DOUBLE) AS jaccard\n"
+        "FROM cand JOIN d da ON cand.a = da.u JOIN d db ON cand.b = db.u\n"
+        "ORDER BY jaccard DESC, common DESC, a, b LIMIT 20"
+    ),
+    category="graph",
+    suite="extension",
+    doc=(
+        "common-neighbor / Jaccard link prediction on the strong-tie "
+        "backbone: wedge join (disjoint pairs never meet) + anti-join on "
+        "known edges, TakeOrdered top-20"
+    ),
+)
+
+
+# -- deterministic weighted sampling -----------------------------------------
+
+
+def _weighted_sample_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis & Spirakis,
+    IPL'06 A-ES): each item draws key = u^(1/w) from a uniform u; the
+    top-k keys ARE a weighted sample without replacement. The mixture-
+    weighting primitive of training-data pipelines (sample documents
+    proportional to length here), with two twists that make it an
+    ENGINE-GRADE operator: u comes from a polynomial hash of the doc id
+    (not rand()), so the sample is reproducible across engines, runs,
+    AND partitionings — the sample_hash_fraction discipline; and top-k
+    is TakeOrderedAndProject, so no global sort materializes.
+
+    The A-ES key survives distribution because selection is a simple
+    per-row score + top-k: no sequential scan, no rejection loop —
+    exactly what a 1000-executor cluster can do in one map + one k-row
+    reduce. Keys are rounded to 10 dp before ranking (pow() may differ
+    in the last ulp across libm implementations), doc_id breaks ties.
+    """
+    big_b, big_m = 131, 2147483647
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", F.md5(F.col("doc_id").cast("string")).alias("hx")
+    )
+    # Polynomial hash of the 32 md5 hex chars as 32 STATIC column
+    # expressions (pow-mod constants precomputed in Python): pure
+    # whole-stage-codegen projection — no HOF interpretation, no explode,
+    # no shuffle before the k-row TakeOrdered. Per-term mod keeps every
+    # intermediate inside int64.
+    powers = {p: pow(big_b, 32 - p, big_m) for p in range(1, 33)}
+    h = sum(
+        (
+            F.ascii(F.col("hx").substr(F.lit(p), F.lit(1))).cast("long")
+            * powers[p]
+        )
+        % big_m
+        for p in range(1, 33)
+    ) % big_m
+    u = (h + 0.5) / big_m  # uniform in (0, 1), never 0
+    key = F.round(F.pow(u, 1.0 / F.col("n_chars")), 10)
+    return (
+        docs.select("doc_id", "n_chars", key.alias("k"))
+        .orderBy(F.col("k").desc(), "doc_id")
+        .limit(50)
+        .select("doc_id", "n_chars", F.col("k").cast("double").alias("aes_key"))
+    )
+
+
+register(
+    "sample_weighted_aes",
+    engine_fn=_weighted_sample_fn,
+    oracle=(
+        "WITH h AS (\n"
+        "  SELECT doc_id, n_chars,\n"
+        "    LIST_REDUCE(LIST_TRANSFORM(GENERATE_SERIES(1, 32),\n"
+        "      p -> (CAST(ASCII(SUBSTR(MD5(doc_id::VARCHAR), p, 1))"
+        " AS BIGINT)\n"
+        "            * [351420769, 1691162110, 127660669, 1591095988, 1864555329, 1030599553, 319334266, 1117162002, 1139645295, 385738696, 593092748, 1496290875, 749107290, 612259559, 1103005068, 549389049, 1758245338, 587176893, 906097538, 301990864, 477702417, 1167549934, 254807669, 460949235, 2003465299, 884122890, 2072267652, 294499921, 2248091, 17161, 131, 1][p])"
+        " % 2147483647\n"
+        "      ), (a, x) -> (a + x) % 2147483647) AS h\n"
+        "  FROM documents)\n"
+        "SELECT doc_id, n_chars,\n"
+        "  CAST(ROUND(POW((h + 0.5) / 2147483647,"
+        " 1.0 / n_chars), 10) AS DOUBLE) AS aes_key\n"
+        "FROM h ORDER BY aes_key DESC, doc_id LIMIT 50"
+    ),
+    category="sampling",
+    suite="extension",
+    doc=(
+        "weighted sampling without replacement (A-ES key u^(1/w), "
+        "w = doc length): engine-portable hash uniform, rounded keys, "
+        "TakeOrdered top-k — reproducible across engines and partitionings"
     ),
 )

@@ -71,6 +71,25 @@ HEADLINES = {
         "copy-on-write merge: anti-join on the key + union — both "
         "shuffle on the merge key, no row-at-a-time upserts"
     ),
+    "llm_gram_covariance": (
+        "treeAggregate shape: mapInPandas BLAS partial Gram per Arrow "
+        "batch, one O(d^2)-key exchange independent of row count"
+    ),
+    "llm_winnowing": (
+        "winnowing selector with zero higher-order functions: character "
+        "explode in the codegen scan stage, polynomial hash as window "
+        "LEADs, ROWS-frame minima — one doc-partitioned sort serves both "
+        "window passes"
+    ),
+    "llm_bm25_topk": (
+        "BM25: token explode collapses to per-doc conditional-sum stats; "
+        "1-row corpus model broadcast; top-k is TakeOrderedAndProject"
+    ),
+    "sample_weighted_aes": (
+        "weighted sample without replacement: 32 static pow-mod hash "
+        "terms in one codegen projection, then TakeOrderedAndProject — "
+        "map-only before the k-row reduce"
+    ),
 }
 
 
