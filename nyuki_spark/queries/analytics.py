@@ -992,3 +992,383 @@ register(
         "TakeOrdered top-k — reproducible across engines and partitionings"
     ),
 )
+
+
+# -- Benford first-digit profile ----------------------------------------------
+
+register(
+    "stat_benford",
+    engine=(
+        "SELECT digit,\n"
+        "  CAST(COUNT(*) AS BIGINT) AS n,\n"
+        "  CAST(ROUND(COUNT(*) / SUM(COUNT(*)) OVER (), 6) AS DOUBLE)"
+        " AS observed,\n"
+        "  CAST(ROUND(LOG10(1.0 + 1.0 / digit), 6) AS DOUBLE)"
+        " AS benford,\n"
+        "  CAST(ROUND(POW(COUNT(*) / SUM(COUNT(*)) OVER ()"
+        " - LOG10(1.0 + 1.0 / digit), 2)\n"
+        "    / LOG10(1.0 + 1.0 / digit), 6) AS DOUBLE) AS chi2_term\n"
+        "FROM (\n"
+        "  SELECT CAST(FLOOR(value / POW(10, FLOOR(LOG10(value)))) AS INT)"
+        " AS digit\n"
+        "  FROM events WHERE value > 0)\n"
+        "GROUP BY digit ORDER BY digit"
+    ),
+    oracle=(
+        "SELECT digit,\n"
+        "  COUNT(*) AS n,\n"
+        "  CAST(ROUND(COUNT(*) / SUM(COUNT(*)) OVER (), 6) AS DOUBLE)"
+        " AS observed,\n"
+        "  CAST(ROUND(LOG10(1.0 + 1.0 / digit), 6) AS DOUBLE)"
+        " AS benford,\n"
+        "  CAST(ROUND(POW(COUNT(*) / SUM(COUNT(*)) OVER ()"
+        " - LOG10(1.0 + 1.0 / digit), 2)\n"
+        "    / LOG10(1.0 + 1.0 / digit), 6) AS DOUBLE) AS chi2_term\n"
+        "FROM (\n"
+        "  SELECT CAST(FLOOR(value / POW(10, FLOOR(LOG10(value)))) AS INT)"
+        " AS digit\n"
+        "  FROM events WHERE value > 0)\n"
+        "GROUP BY digit ORDER BY digit"
+    ),
+    category="statistics",
+    suite="extension",
+    doc=(
+        "Benford first-significant-digit profile with per-digit chi-square "
+        "terms (fraud/data-quality screen): map-side digit extraction, one "
+        "9-key aggregate; the OVER () total is a 9-row window"
+    ),
+)
+
+
+# -- two-sample Kolmogorov-Smirnov -------------------------------------------
+
+
+def _ks_test_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov distance between the click and
+    purchase value distributions: D = max |F1(x) - F2(x)| over the
+    pooled sample — the rank-based cousin of stat_psi_drift that needs
+    no binning assumptions.
+
+    The running CDFs are the scale problem: a single ORDER BY value
+    window funnels every distinct value through one partition. This
+    plan is TWO-PHASE (the operators/rank.py discipline): per-bucket
+    counts first (32 equi-width buckets from 1-row broadcast bounds,
+    explicit floor formula — identical fp arithmetic on both engines,
+    no width_bucket dialect drift), bucket-level prefix offsets over the
+    32-row bucket table (the ONLY single-partition step — bounded by
+    the bucket count, never data rows), then within-bucket running sums
+    ordered by value with the offset added. CDF ratios are exact
+    integer-over-integer doubles, so no rounding is needed before the
+    final 6-dp pin on D.
+    """
+    n_b = 32
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "purchase")
+        & F.col("value").isNotNull()
+    )
+    cnt = ev.groupBy("value").agg(
+        F.sum((F.col("event_type") == "click").cast("long")).alias("c1"),
+        F.sum((F.col("event_type") == "purchase").cast("long")).alias("c2"),
+    )
+    bounds = cnt.agg(
+        F.min("value").alias("mn"), F.max("value").alias("mx")
+    )
+    bucketed = cnt.crossJoin(F.broadcast(bounds)).select(
+        "value",
+        "c1",
+        "c2",
+        F.least(
+            F.lit(n_b - 1),
+            F.floor(
+                (F.col("value") - F.col("mn"))
+                / ((F.col("mx") - F.col("mn")) / n_b)
+            ),
+        )
+        .cast("int")
+        .alias("b"),
+    )
+    bcnt = bucketed.groupBy("b").agg(
+        F.sum("c1").alias("t1"), F.sum("c2").alias("t2")
+    )
+    wb = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    offs = bcnt.select(
+        "b",
+        F.coalesce(F.sum("t1").over(wb), F.lit(0)).alias("o1"),
+        F.coalesce(F.sum("t2").over(wb), F.lit(0)).alias("o2"),
+    )
+    totals = bcnt.agg(
+        F.sum("t1").alias("n1"), F.sum("t2").alias("n2")
+    )
+    wv = (
+        Window.partitionBy("b")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = (
+        bucketed.join(F.broadcast(offs), "b")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "n1",
+            "n2",
+            F.round(
+                F.abs(
+                    (F.col("o1") + F.sum("c1").over(wv))
+                    / F.col("n1").cast("double")
+                    - (F.col("o2") + F.sum("c2").over(wv))
+                    / F.col("n2").cast("double")
+                ),
+                6,
+            ).alias("d"),
+        )
+    )
+    return d.groupBy("n1", "n2").agg(
+        F.max("d").cast("double").alias("ks_d")
+    )
+
+
+register(
+    "stat_ks_test",
+    engine_fn=_ks_test_fn,
+    oracle=(
+        "WITH p AS (\n"
+        "  SELECT value, event_type = 'click' AS is1 FROM events\n"
+        "  WHERE event_type IN ('click', 'purchase')"
+        " AND value IS NOT NULL),\n"
+        "g AS (\n"
+        "  SELECT value,\n"
+        "    SUM(CASE WHEN is1 THEN 1 ELSE 0 END) AS c1,\n"
+        "    SUM(CASE WHEN is1 THEN 0 ELSE 1 END) AS c2\n"
+        "  FROM p GROUP BY value),\n"
+        "r AS (\n"
+        "  SELECT SUM(c1) OVER (ORDER BY value) AS r1,\n"
+        "         SUM(c2) OVER (ORDER BY value) AS r2 FROM g),\n"
+        "t AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1,\n"
+        "      CAST(SUM(c2) AS BIGINT) AS n2 FROM g)\n"
+        "SELECT n1, n2,\n"
+        "  CAST(MAX(ROUND(ABS(r1 / CAST(n1 AS DOUBLE)"
+        " - r2 / CAST(n2 AS DOUBLE)), 6)) AS DOUBLE) AS ks_d\n"
+        "FROM r CROSS JOIN t GROUP BY n1, n2"
+    ),
+    category="statistics",
+    suite="extension",
+    doc=(
+        "two-sample KS distance (click vs purchase values): two-phase "
+        "running CDF — 32-bucket partial counts, bounded bucket-offset "
+        "merge, within-bucket windows; no global ORDER BY funnel"
+    ),
+)
+
+
+# -- Holt linear-trend smoothing ---------------------------------------------
+
+
+def _holt_trend_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's double exponential smoothing (level + trend) per user —
+    the forecasting step up from ts_ewma: l' = a*x + (1-a)(l+b),
+    b' = g*(l'-l) + (1-g)*b, one-step forecast l+b.
+
+    Recursive like EWMA, so it runs as ONE ordered fold per key with a
+    STRUCT accumulator: sort_array(collect_list) pins order, the fold
+    starts from {l: v1, b: 0} and consumes the tail. The DuckDB twin is
+    a recursive CTE with the same per-step arithmetic (its LIST_REDUCE
+    mutates struct-accumulator fields in place — see the oracle note),
+    so both engines execute the identical operation sequence on
+    identical operands and the doubles are bit-exact, no rounding. The
+    per-key list is the contract's bound (resample hot keys first);
+    the fold itself is a map-side expression after one key shuffle.
+    """
+    a, g = 0.5, 0.3
+    events = load_table(spark, sf_dir, "events").where(
+        (F.col("user_id") < 50) & F.col("value").isNotNull()
+    )
+    series = events.groupBy("user_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct("ts", "event_id", "value"))
+        ).alias("s")
+    )
+
+    def step(acc, x):
+        lvl = a * x.getField("value") + (1 - a) * (
+            acc.getField("l") + acc.getField("b")
+        )
+        return F.struct(
+            lvl.alias("l"),
+            (
+                g * (lvl - acc.getField("l"))
+                + (1 - g) * acc.getField("b")
+            ).alias("b"),
+        )
+
+    init = F.struct(
+        F.element_at("s", 1).getField("value").alias("l"),
+        F.lit(0.0).alias("b"),
+    )
+    fold = F.aggregate(
+        F.slice("s", 2, F.size("s") - 1), init, step
+    )
+    return series.select(
+        "user_id",
+        F.size("s").alias("n"),
+        fold.getField("l").alias("level"),
+        fold.getField("b").alias("trend"),
+        (fold.getField("l") + fold.getField("b")).alias("forecast"),
+    ).orderBy("user_id")
+
+
+register(
+    "ts_holt_trend",
+    engine_fn=_holt_trend_fn,
+    oracle=(
+        # DuckDB 1.0 LIST_REDUCE with a STRUCT accumulator updates fields
+        # in place between field evaluations (fold([1,2,3], b -> b + l)
+        # returns 7, not 4) — so the twin is a recursive CTE running the
+        # IDENTICAL per-step arithmetic, which stays bit-exact.
+        "WITH RECURSIVE ranked AS (\n"
+        "  SELECT user_id, CAST(value AS DOUBLE) AS v,\n"
+        "    ROW_NUMBER() OVER (PARTITION BY user_id"
+        " ORDER BY ts, event_id) AS rn,\n"
+        "    COUNT(*) OVER (PARTITION BY user_id) AS n\n"
+        "  FROM events WHERE user_id < 50 AND value IS NOT NULL),\n"
+        "h AS (\n"
+        "  SELECT user_id, n, 1 AS i, v AS l, CAST(0.0 AS DOUBLE) AS b\n"
+        "  FROM ranked WHERE rn = 1\n"
+        "  UNION ALL\n"
+        "  SELECT h.user_id, h.n, h.i + 1,\n"
+        "    0.5 * r.v + 0.5 * (h.l + h.b),\n"
+        "    0.3 * (0.5 * r.v + 0.5 * (h.l + h.b) - h.l) + 0.7 * h.b\n"
+        "  FROM h JOIN ranked r ON r.user_id = h.user_id"
+        " AND r.rn = h.i + 1)\n"
+        "SELECT user_id, CAST(n AS INT) AS n, l AS level, b AS trend,\n"
+        "  l + b AS forecast\n"
+        "FROM h WHERE i = n ORDER BY user_id"
+    ),
+    category="timeseries",
+    suite="extension",
+    doc=(
+        "Holt double exponential smoothing (level+trend, a=0.5 g=0.3): "
+        "order-pinned struct-accumulator fold, bit-exact across engines "
+        "— one key shuffle + map-side expression"
+    ),
+)
+
+
+# -- Cramér's V association ---------------------------------------------------
+
+register(
+    "stat_cramers_v",
+    engine=(
+        "WITH obs AS (\n"
+        "  SELECT event_type AS et, CAST(FLOOR(HOUR(ts) / 6.0) AS INT) AS hb,\n"
+        "    COUNT(*) AS o\n"
+        "  FROM events GROUP BY 1, 2),\n"
+        "tot AS (SELECT SUM(o) AS n FROM obs),\n"
+        "rows_ AS (SELECT et, SUM(o) AS r FROM obs GROUP BY et),\n"
+        "cols_ AS (SELECT hb, SUM(o) AS c FROM obs GROUP BY hb),\n"
+        "chi AS (\n"
+        "  SELECT SUM(POW(o - r * c / CAST(n AS DOUBLE), 2)\n"
+        "    / (r * c / CAST(n AS DOUBLE))) AS chi2,\n"
+        "    MAX(n) AS n,\n"
+        "    COUNT(DISTINCT et) AS nr, COUNT(DISTINCT hb) AS nc\n"
+        "  FROM obs JOIN rows_ USING (et) JOIN cols_ USING (hb)"
+        " CROSS JOIN tot)\n"
+        "SELECT CAST(ROUND(chi2, 6) AS DOUBLE) AS chi2,\n"
+        "  CAST(n AS BIGINT) AS n,\n"
+        "  CAST(ROUND(SQRT(chi2 / (n * (LEAST(nr, nc) - 1))), 6)"
+        " AS DOUBLE) AS cramers_v\n"
+        "FROM chi"
+    ),
+    oracle=(
+        "WITH obs AS (\n"
+        "  SELECT event_type AS et, CAST(FLOOR(HOUR(ts) / 6.0) AS INT) AS hb,\n"
+        "    COUNT(*) AS o\n"
+        "  FROM events GROUP BY 1, 2),\n"
+        "tot AS (SELECT SUM(o) AS n FROM obs),\n"
+        "rows_ AS (SELECT et, SUM(o) AS r FROM obs GROUP BY et),\n"
+        "cols_ AS (SELECT hb, SUM(o) AS c FROM obs GROUP BY hb),\n"
+        "chi AS (\n"
+        "  SELECT SUM(POW(o - r * c / CAST(n AS DOUBLE), 2)\n"
+        "    / (r * c / CAST(n AS DOUBLE))) AS chi2,\n"
+        "    MAX(n) AS n,\n"
+        "    COUNT(DISTINCT et) AS nr, COUNT(DISTINCT hb) AS nc\n"
+        "  FROM obs JOIN rows_ USING (et) JOIN cols_ USING (hb)"
+        " CROSS JOIN tot)\n"
+        "SELECT CAST(ROUND(chi2, 6) AS DOUBLE) AS chi2,\n"
+        "  CAST(n AS BIGINT) AS n,\n"
+        "  CAST(ROUND(SQRT(chi2 / (n * (LEAST(nr, nc) - 1))), 6)"
+        " AS DOUBLE) AS cramers_v\n"
+        "FROM chi"
+    ),
+    category="statistics",
+    suite="extension",
+    doc=(
+        "Cramér's V association (event type x 6h day-part): contingency "
+        "cells are one partial aggregate; marginals re-aggregate the "
+        "CELL table (category-bounded), never the scan; chi-square and V "
+        "close the 1-row rollup"
+    ),
+)
+
+
+# -- session split by gap AND max length --------------------------------------
+
+register(
+    "ts_session_maxlen",
+    engine=(
+        "WITH marked AS (\n"
+        "  SELECT user_id, ts, event_id,\n"
+        "    CASE WHEN ts > LAG(ts) OVER w + INTERVAL '30' MINUTE\n"
+        "      OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_gap\n"
+        "  FROM events WHERE user_id < 40\n"
+        "  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),\n"
+        "g AS (\n"
+        "  SELECT user_id, ts, event_id,\n"
+        "    SUM(new_gap) OVER (PARTITION BY user_id"
+        " ORDER BY ts, event_id\n"
+        "      ROWS UNBOUNDED PRECEDING) AS gap_sess,\n"
+        "    UNIX_MICROS(CAST(ts AS TIMESTAMP)) AS us\n"
+        "  FROM marked),\n"
+        "s AS (\n"
+        "  SELECT user_id, ts, gap_sess,\n"
+        "    CAST(FLOOR((us - MIN(us) OVER"
+        " (PARTITION BY user_id, gap_sess))\n"
+        "      / 7200000000.0) AS INT) AS chunk\n"
+        "  FROM g)\n"
+        "SELECT user_id, CAST(gap_sess AS BIGINT) AS gap_sess, chunk,\n"
+        "  COUNT(*) AS n_events, MIN(ts) AS start_ts, MAX(ts) AS end_ts\n"
+        "FROM s GROUP BY user_id, gap_sess, chunk\n"
+        "ORDER BY user_id, gap_sess, chunk"
+    ),
+    oracle=(
+        "WITH marked AS (\n"
+        "  SELECT user_id, ts, event_id,\n"
+        "    CASE WHEN ts > LAG(ts) OVER w + INTERVAL 30 MINUTE\n"
+        "      OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_gap\n"
+        "  FROM events WHERE user_id < 40\n"
+        "  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),\n"
+        "g AS (\n"
+        "  SELECT user_id, ts, event_id,\n"
+        "    SUM(new_gap) OVER (PARTITION BY user_id"
+        " ORDER BY ts, event_id\n"
+        "      ROWS UNBOUNDED PRECEDING) AS gap_sess,\n"
+        "    EPOCH_US(ts) AS us\n"
+        "  FROM marked),\n"
+        "s AS (\n"
+        "  SELECT user_id, ts, gap_sess,\n"
+        "    CAST(FLOOR((us - MIN(us) OVER"
+        " (PARTITION BY user_id, gap_sess))\n"
+        "      / 7200000000.0) AS INT) AS chunk\n"
+        "  FROM g)\n"
+        "SELECT user_id, CAST(gap_sess AS BIGINT) AS gap_sess, chunk,\n"
+        "  COUNT(*) AS n_events, MIN(ts) AS start_ts, MAX(ts) AS end_ts\n"
+        "FROM s GROUP BY user_id, gap_sess, chunk\n"
+        "ORDER BY user_id, gap_sess, chunk"
+    ),
+    category="timeseries",
+    suite="extension",
+    doc=(
+        "sessionization with BOTH a 30-min inactivity gap and a 2-hour "
+        "max-length cap: gaps-and-islands pass, then fixed-offset "
+        "re-chunking from each session start in integer microseconds — "
+        "two windows over one user-partitioned sort, no iteration"
+    ),
+)

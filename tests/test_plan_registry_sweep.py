@@ -205,6 +205,25 @@ ALLOWLIST: dict[str, tuple[tuple[str, ...], str]] = {
         "constant-size build IS the right plan — the N-row side never "
         "shuffles",
     ),
+    "stat_cramers_v": (
+        ("BroadcastNestedLoopJoin",),
+        "CROSS JOIN of the 1-row grand total (partial-aggregated scalar) "
+        "onto the category-bounded contingency-cell table — the "
+        "scalar-subquery shape as an explicit broadcast",
+    ),
+    "stat_ks_test": (
+        ("BroadcastNestedLoopJoin", "Exchange SinglePartition"),
+        "BNLJ = two 1-row broadcasts (value bounds; sample totals — both "
+        "partial-aggregated scalars); SinglePartition = the bucket-offset "
+        "prefix window over the 32-row bucket table (compile-time bucket "
+        "count), never data rows — the two-phase rank.py shape",
+    ),
+    "stat_benford": (
+        ("Exchange SinglePartition",),
+        "the OVER () grand-total window consumes the 9-row digit "
+        "aggregate (first significant digits 1-9 — a compile-time-"
+        "bounded domain), never data rows",
+    ),
     "llm_shuffle_order": (
         ("Exchange SinglePartition",),
         "global_row_number's offset merge: SinglePartition only ever "
