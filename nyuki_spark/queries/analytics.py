@@ -581,7 +581,7 @@ def _bm25_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register(
-    "llm_bm25_topk",
+    "llm_rank_bm25",
     engine_fn=_bm25_fn,
     oracle=(
         "WITH toks AS (\n"

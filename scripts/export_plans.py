@@ -81,7 +81,7 @@ HEADLINES = {
         "LEADs, ROWS-frame minima — one doc-partitioned sort serves both "
         "window passes"
     ),
-    "llm_bm25_topk": (
+    "llm_rank_bm25": (
         "BM25: token explode collapses to per-doc conditional-sum stats; "
         "1-row corpus model broadcast; top-k is TakeOrderedAndProject"
     ),

@@ -173,7 +173,7 @@ ALLOWLIST: dict[str, tuple[tuple[str, ...], str]] = {
         "size build); top-k is salted two-phase, never a 10-partition "
         "funnel over the full score table",
     ),
-    "llm_bm25_topk": (
+    "llm_rank_bm25": (
         ("BroadcastNestedLoopJoin",),
         "1-row broadcast of the corpus model (N, avgdl, per-term df — "
         "partial-aggregated) onto the per-doc stats table — the "
