@@ -1372,3 +1372,149 @@ register(
         "two windows over one user-partitioned sort, no iteration"
     ),
 )
+
+
+# -- hard-negative mining -----------------------------------------------------
+
+
+def _hard_negatives_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each of the 10
+    query vectors, the top-3 most-similar pool vectors with a DIFFERENT
+    label — the negatives that actually teach the model something
+    (maximally confusable under the current embedding).
+
+    Same plan as llm_knn_multi (10-row query broadcast, JVM-side folds,
+    salted two-phase per-query top-k) plus the label-mismatch predicate
+    evaluated at the broadcast join — at 100 TB the label filter prunes
+    before any ranking state accumulates, and the salt keeps every
+    window partition small.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    norm = lambda c: F.aggregate(  # noqa: E731 — local fold helper
+        F.transform(c, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+    )
+    qs = (
+        emb.where(F.col("vec_id") < 10)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("label").alias("qlabel"),
+            F.col("embedding").cast("array<double>").alias("qv"),
+        )
+        .withColumn("nq", F.sqrt(norm(F.col("qv"))))
+    )
+    pool = (
+        emb.where(F.col("vec_id") >= 10)
+        .select(
+            "vec_id",
+            "label",
+            F.col("embedding").cast("array<double>").alias("v"),
+        )
+        .withColumn("nv", F.sqrt(norm(F.col("v"))))
+    )
+    dot = F.aggregate(
+        F.zip_with("v", "qv", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    scored = (
+        pool.crossJoin(F.broadcast(qs))
+        .where(F.col("label") != F.col("qlabel"))
+        .select(
+            "qid",
+            "vec_id",
+            "label",
+            F.round(dot / (F.col("nv") * F.col("nq")), 4).alias("sim"),
+        )
+    )
+    w1 = Window.partitionBy("qid", F.pmod(F.col("vec_id"), F.lit(32))).orderBy(
+        F.col("sim").desc(), "vec_id"
+    )
+    w2 = Window.partitionBy("qid").orderBy(F.col("sim").desc(), "vec_id")
+    return (
+        scored.withColumn("r1", F.row_number().over(w1))
+        .where(F.col("r1") <= 3)
+        .withColumn("rn", F.row_number().over(w2))
+        .where(F.col("rn") <= 3)
+        .select("qid", "vec_id", "label", F.col("sim").cast("double"))
+        .orderBy("qid", F.col("sim").desc(), "vec_id")
+    )
+
+
+register(
+    "llm_hard_negatives",
+    engine_fn=_hard_negatives_fn,
+    oracle=(
+        "WITH q AS (SELECT vec_id AS qid, label AS qlabel,"
+        " embedding::DOUBLE[] AS qv\n"
+        "  FROM embeddings WHERE vec_id < 10),\n"
+        "p AS (SELECT vec_id, label, embedding::DOUBLE[] AS v\n"
+        "  FROM embeddings WHERE vec_id >= 10),\n"
+        "s AS (SELECT qid, vec_id, label, ROUND(\n"
+        "  LIST_REDUCE(LIST_TRANSFORM(GENERATE_SERIES(1, 64),"
+        " i -> v[i] * qv[i]), (a, x) -> a + x)\n"
+        "  / (SQRT(LIST_REDUCE(LIST_TRANSFORM(GENERATE_SERIES(1, 64),"
+        " i -> v[i] * v[i]), (a, x) -> a + x))\n"
+        "   * SQRT(LIST_REDUCE(LIST_TRANSFORM(GENERATE_SERIES(1, 64),"
+        " i -> qv[i] * qv[i]), (a, x) -> a + x))), 4) AS sim\n"
+        "  FROM p CROSS JOIN q WHERE p.label <> q.qlabel)\n"
+        "SELECT qid, vec_id, label, CAST(sim AS DOUBLE) AS sim FROM s\n"
+        "QUALIFY ROW_NUMBER() OVER (PARTITION BY qid"
+        " ORDER BY sim DESC, vec_id) <= 3\n"
+        "ORDER BY qid, sim DESC, vec_id"
+    ),
+    category="llm-similarity",
+    suite="extension",
+    doc=(
+        "hard-negative mining: top-3 most-similar different-label vectors "
+        "per query — label filter at the broadcast join, salted two-phase "
+        "top-k (the llm_knn_multi plan)"
+    ),
+)
+
+
+# -- autocorrelation function -------------------------------------------------
+
+register(
+    "ts_acf",
+    engine=(
+        "WITH h AS (\n"
+        "  SELECT event_type, DATE_TRUNC('hour', ts) AS hr,\n"
+        "    ROUND(AVG(value), 6) AS m\n"
+        "  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),\n"
+        "l AS (\n"
+        "  SELECT event_type, m,\n"
+        "    LEAD(m, 1) OVER w AS m1, LEAD(m, 2) OVER w AS m2,\n"
+        "    LEAD(m, 3) OVER w AS m3\n"
+        "  FROM h WINDOW w AS (PARTITION BY event_type ORDER BY hr))\n"
+        "SELECT event_type,\n"
+        "  CAST(COUNT(m1) AS BIGINT) AS n1,\n"
+        "  CAST(ROUND(CORR(m, m1), 6) AS DOUBLE) AS acf1,\n"
+        "  CAST(ROUND(CORR(m, m2), 6) AS DOUBLE) AS acf2,\n"
+        "  CAST(ROUND(CORR(m, m3), 6) AS DOUBLE) AS acf3\n"
+        "FROM l GROUP BY event_type ORDER BY event_type"
+    ),
+    oracle=(
+        "WITH h AS (\n"
+        "  SELECT event_type, DATE_TRUNC('hour', ts) AS hr,\n"
+        "    ROUND(AVG(value), 6) AS m\n"
+        "  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),\n"
+        "l AS (\n"
+        "  SELECT event_type, m,\n"
+        "    LEAD(m, 1) OVER w AS m1, LEAD(m, 2) OVER w AS m2,\n"
+        "    LEAD(m, 3) OVER w AS m3\n"
+        "  FROM h WINDOW w AS (PARTITION BY event_type ORDER BY hr))\n"
+        "SELECT event_type,\n"
+        "  COUNT(m1) AS n1,\n"
+        "  CAST(ROUND(CORR(m, m1), 6) AS DOUBLE) AS acf1,\n"
+        "  CAST(ROUND(CORR(m, m2), 6) AS DOUBLE) AS acf2,\n"
+        "  CAST(ROUND(CORR(m, m3), 6) AS DOUBLE) AS acf3\n"
+        "FROM l GROUP BY event_type ORDER BY event_type"
+    ),
+    category="timeseries",
+    suite="extension",
+    doc=(
+        "autocorrelation at lags 1-3 of the hourly mean series per metric "
+        "group (seasonality diagnostic): hourly rollup, type-partitioned "
+        "LEADs, CORR partial aggregates — two key shuffles, nothing global"
+    ),
+)

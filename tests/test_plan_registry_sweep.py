@@ -173,6 +173,12 @@ ALLOWLIST: dict[str, tuple[tuple[str, ...], str]] = {
         "size build); top-k is salted two-phase, never a 10-partition "
         "funnel over the full score table",
     ),
+    "llm_hard_negatives": (
+        ("BroadcastNestedLoopJoin",),
+        "10-row broadcast of the query vectors with the label-mismatch "
+        "predicate onto the pool (constant-size build, llm_knn_multi "
+        "precedent); top-k is salted two-phase",
+    ),
     "llm_rank_bm25": (
         ("BroadcastNestedLoopJoin",),
         "1-row broadcast of the corpus model (N, avgdl, per-term df — "
