@@ -1518,3 +1518,45 @@ register(
         "LEADs, CORR partial aggregates — two key shuffles, nothing global"
     ),
 )
+
+
+# -- k-anonymity audit --------------------------------------------------------
+
+register(
+    "stat_k_anonymity",
+    engine=(
+        "WITH g AS (\n"
+        "  SELECT c_nationkey, c_mktsegment, COUNT(*) AS sz\n"
+        "  FROM customer GROUP BY 1, 2)\n"
+        "SELECT k,\n"
+        "  CAST(SUM(CASE WHEN sz < k THEN 1 ELSE 0 END) AS BIGINT)"
+        " AS groups_below_k,\n"
+        "  CAST(SUM(CASE WHEN sz < k THEN sz ELSE 0 END) AS BIGINT)"
+        " AS records_at_risk,\n"
+        "  CAST(MIN(sz) AS BIGINT) AS min_group,\n"
+        "  CAST(COUNT(*) AS BIGINT) AS n_groups\n"
+        "FROM g CROSS JOIN (SELECT explode(array(2, 5, 10)) AS k)\n"
+        "GROUP BY k ORDER BY k"
+    ),
+    oracle=(
+        "WITH g AS (\n"
+        "  SELECT c_nationkey, c_mktsegment, COUNT(*) AS sz\n"
+        "  FROM customer GROUP BY 1, 2)\n"
+        "SELECT k,\n"
+        "  CAST(SUM(CASE WHEN sz < k THEN 1 ELSE 0 END) AS BIGINT)"
+        " AS groups_below_k,\n"
+        "  CAST(SUM(CASE WHEN sz < k THEN sz ELSE 0 END) AS BIGINT)"
+        " AS records_at_risk,\n"
+        "  MIN(sz) AS min_group,\n"
+        "  COUNT(*) AS n_groups\n"
+        "FROM g CROSS JOIN (SELECT UNNEST([2, 5, 10]) AS k)\n"
+        "GROUP BY k ORDER BY k"
+    ),
+    category="statistics",
+    suite="extension",
+    doc=(
+        "k-anonymity audit over (nation, segment) quasi-identifiers: one "
+        "QI-group aggregate, 3-row k grid cross join over the "
+        "group-bounded table — re-identification risk report at k=2/5/10"
+    ),
+)

@@ -211,6 +211,12 @@ ALLOWLIST: dict[str, tuple[tuple[str, ...], str]] = {
         "constant-size build IS the right plan — the N-row side never "
         "shuffles",
     ),
+    "stat_k_anonymity": (
+        ("BroadcastNestedLoopJoin",),
+        "3-row compile-time k-grid (2/5/10) cross-joined onto the "
+        "QI-group table (bounded by the quasi-identifier domain, "
+        "nation x segment) — constant-size build",
+    ),
     "stat_cramers_v": (
         ("BroadcastNestedLoopJoin",),
         "CROSS JOIN of the 1-row grand total (partial-aggregated scalar) "
