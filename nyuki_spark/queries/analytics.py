@@ -1560,3 +1560,134 @@ register(
         "group-bounded table — re-identification risk report at k=2/5/10"
     ),
 )
+
+
+# -- chunk-to-document embedding pooling --------------------------------------
+
+
+def _chunk_pool_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-to-document embedding pooling: mean of the chunk vectors
+    per parent document followed by L2 normalization — how RAG stacks
+    collapse passage embeddings into one retrievable document vector.
+    Chunk->parent here is the synthetic map vec_id % 100 (the fixture
+    has no explicit chunk table).
+
+    Plan: posexplode puts (doc, dim, value) in the scan stage (map-only,
+    narrow rows); the mean is ONE (doc, dim)-key partial aggregate; the
+    L2 norm re-aggregates the d-per-doc pooled table (doc-bounded, tiny)
+    and broadcasts back by doc key. Output is long format — one row per
+    (doc, dim) — which keeps every cell a scalar for the driver's
+    hash compare and is also the layout a columnar store wants. Pooled
+    means are rounded to 6 dp BEFORE the norm on both engines, so the
+    unit vector derives from identical inputs.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        (F.col("vec_id") % 100).alias("doc_id"),
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "i", "x"
+        ),
+    )
+    pooled = emb.groupBy("doc_id", "i").agg(
+        F.round(F.avg("x"), 6).alias("pooled")
+    )
+    norms = pooled.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("pooled") * F.col("pooled"))).alias("nrm")
+    )
+    return (
+        pooled.join(norms, "doc_id")
+        .select(
+            "doc_id",
+            (F.col("i") + 1).alias("dim"),
+            "pooled",
+            F.round(F.col("pooled") / F.col("nrm"), 6)
+            .cast("double")
+            .alias("unit"),
+        )
+        .orderBy("doc_id", "dim")
+    )
+
+
+register(
+    "llm_doc_pool",
+    engine_fn=_chunk_pool_fn,
+    oracle=(
+        "WITH c AS (\n"
+        "  SELECT vec_id % 100 AS doc_id, i.i AS dim,\n"
+        "    (embedding::DOUBLE[])[i.i] AS x\n"
+        "  FROM embeddings, UNNEST(GENERATE_SERIES(1, 64)) i(i)),\n"
+        "p AS (\n"
+        "  SELECT doc_id, dim, ROUND(AVG(x), 6) AS pooled\n"
+        "  FROM c GROUP BY doc_id, dim),\n"
+        "n AS (\n"
+        "  SELECT doc_id, SQRT(SUM(pooled * pooled)) AS nrm\n"
+        "  FROM p GROUP BY doc_id)\n"
+        "SELECT doc_id, dim, pooled,\n"
+        "  CAST(ROUND(pooled / nrm, 6) AS DOUBLE) AS unit\n"
+        "FROM p JOIN n USING (doc_id) ORDER BY doc_id, dim"
+    ),
+    category="llm-similarity",
+    suite="extension",
+    doc=(
+        "chunk-to-doc mean pooling + L2 normalize (long format): "
+        "posexplode in the scan stage, one (doc,dim) partial aggregate, "
+        "doc-bounded norm join — round-before-norm fp pinning"
+    ),
+)
+
+
+# -- degree assortativity ----------------------------------------------------
+
+
+def _assortativity_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the strong-tie backbone: the Pearson
+    correlation of endpoint degrees over all edge stubs (Newman 2002) —
+    positive means hubs link hubs (social-graph shape), negative means
+    hub-and-spoke (infrastructure shape). Completes the graph-structure
+    panel next to net_triangles / net_common_neighbors.
+
+    Plan: degrees are one key aggregate on the edge list; each
+    symmetric stub joins its two endpoint degrees by key; CORR is a
+    single-pass partial-aggregable moment. Everything is bounded by the
+    thresholded edge list.
+    """
+    backbone = _supplier_backbone(spark, sf_dir)
+    und = backbone.unionByName(
+        backbone.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    stubs = (
+        und.join(deg, "u")
+        .join(
+            deg.select(F.col("u").alias("v"), F.col("deg").alias("deg_v")),
+            "v",
+        )
+        .select(F.col("deg").alias("du"), F.col("deg_v").alias("dv"))
+    )
+    return stubs.agg(
+        (F.count(F.lit(1)) / 2).cast("long").alias("n_edges"),
+        F.round(F.corr("du", "dv"), 6).cast("double").alias("assortativity"),
+    )
+
+
+register(
+    "net_assortativity",
+    engine_fn=_assortativity_fn,
+    oracle=(
+        "WITH " + _BACKBONE_SQL + ",\n"
+        "und AS (SELECT u, v FROM bb UNION ALL SELECT v, u FROM bb),\n"
+        "d AS (SELECT u, COUNT(*) AS deg FROM und GROUP BY u),\n"
+        "stubs AS (\n"
+        "  SELECT du.deg AS du, dv.deg AS dv FROM und\n"
+        "  JOIN d du ON und.u = du.u JOIN d dv ON und.v = dv.u)\n"
+        "SELECT CAST(COUNT(*) / 2 AS BIGINT) AS n_edges,\n"
+        "  CAST(ROUND(CORR(du, dv), 6) AS DOUBLE) AS assortativity\n"
+        "FROM stubs"
+    ),
+    category="graph",
+    suite="extension",
+    doc=(
+        "degree assortativity (Newman 2002) of the strong-tie backbone: "
+        "degree aggregate + two key joins on edge stubs, single-pass "
+        "CORR moments"
+    ),
+)

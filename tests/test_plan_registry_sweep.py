@@ -179,6 +179,12 @@ ALLOWLIST: dict[str, tuple[tuple[str, ...], str]] = {
         "predicate onto the pool (constant-size build, llm_knn_multi "
         "precedent); top-k is salted two-phase",
     ),
+    "net_assortativity": (
+        ("BroadcastNestedLoopJoin",),
+        "the backbone threshold: 1-row broadcast of the exact-percentile "
+        "cutoff (partial-aggregated scalar) onto the pair-count table — "
+        "the scalar-bounds shape (_supplier_backbone)",
+    ),
     "llm_rank_bm25": (
         ("BroadcastNestedLoopJoin",),
         "1-row broadcast of the corpus model (N, avgdl, per-term df — "
