@@ -31,18 +31,21 @@ def gram_upper(vectors: DataFrame, dims: int, decimals: int = 6) -> DataFrame:
     import numpy as np
     import pandas as pd
 
+    # Emit only the upper triangle from each partial (the matrix is
+    # symmetric), so the shuffle carries d*(d+1)/2 keys instead of d^2 —
+    # halving both exchange volume and aggregate state (r5 advice).
     def partial_gram(batches):
+        iu, ju = np.triu_indices(dims)
         for pdf in batches:
             if not len(pdf):
                 continue
             v = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
             g = v.T @ v
-            idx = np.arange(dims)
             yield pd.DataFrame(
                 {
-                    "i": np.repeat(idx, dims).astype(np.int64) + 1,
-                    "j": np.tile(idx, dims).astype(np.int64) + 1,
-                    "s": g.ravel(),
+                    "i": iu.astype(np.int64) + 1,
+                    "j": ju.astype(np.int64) + 1,
+                    "s": g[iu, ju],
                 }
             )
 
@@ -51,6 +54,5 @@ def gram_upper(vectors: DataFrame, dims: int, decimals: int = 6) -> DataFrame:
         .mapInPandas(partial_gram, "i long, j long, s double")
         .groupBy("i", "j")
         .agg(F.round(F.sum("s"), decimals).cast("double").alias("gram"))
-        .where(F.col("i") <= F.col("j"))
         .orderBy("i", "j")
     )

@@ -32,6 +32,10 @@ __all__ = [
     "embedding_candidates_lsh",
     "build_ivf_index",
     "knn_cosine_ivf_indexed",
+    "srp_hyperplanes",
+    "srp_key_exprs",
+    "srp_query_keys",
+    "knn_cosine_srp",
 ]
 
 
@@ -113,6 +117,189 @@ def knn_cosine_lsh(
     sim = (F.lit(1.0) - F.col("distCol") * F.col("distCol") / (2.0 * qn * qn))
     return nn.select(F.col(id_col), F.round(sim, 4).cast("double").alias("sim")).orderBy(
         F.col("sim").desc(), F.col(id_col)
+    )
+
+
+# -- portable sign-random-projection LSH -------------------------------------
+#
+# MLlib's BucketedRandomProjectionLSH draws its hyperplanes from a JVM-
+# private seeded RNG, so no other engine can reproduce its buckets — the
+# reason llm_knn_lsh was a rows-only check through round 5. This variant
+# derives every hyperplane component from md5 (Charikar STOC'02 sign-
+# random-projection, the cosine LSH family), so ANY md5-capable engine
+# rebuilds the identical index: the DuckDB oracle twin executes the same
+# key computation as literal SQL and the whole approximate result set is
+# hash-verified. The per-vector keys are STATIC codegen expressions
+# (sum of sign bits of md5-derived dot products, left-to-right fp order
+# pinned by expression shape on both engines) — no HOF interpretation,
+# no RNG, no Python in the scan.
+
+
+def srp_hyperplanes(
+    n_tables: int, n_bits: int, dims: int, tag: str = "nyuki-srp"
+) -> list[list[list[float]]]:
+    """``n_tables x n_bits`` unit-norm hyperplanes, each component derived
+    from md5(tag-plane-dim) — deterministic, engine-independent, no RNG.
+    Returned as [table][bit][dim] float64s; every consumer embeds these
+    as literals, so both engines compute with bit-identical constants."""
+    import hashlib
+    import math
+
+    planes: list[list[list[float]]] = []
+    for t in range(n_tables):
+        tbl: list[list[float]] = []
+        for b in range(n_bits):
+            comps = [
+                2.0
+                * (
+                    int(
+                        hashlib.md5(
+                            f"{tag}-{t * n_bits + b}-{d}".encode()
+                        ).hexdigest()[:12],
+                        16,
+                    )
+                    / float(16**12)
+                )
+                - 1.0
+                for d in range(dims)
+            ]
+            norm = math.sqrt(sum(c * c for c in comps))
+            tbl.append([c / norm for c in comps])
+        planes.append(tbl)
+    return planes
+
+
+def _srp_dot_text(vec: str, plane: list[float], dialect: str) -> str:
+    """The dot product of ``vec`` (an array column) with a literal
+    hyperplane as SQL text. Both dialects emit the same left-associative
+    ``+`` chain over the same ``repr`` constants, so the float64 result
+    is bit-identical — the property the sign comparison needs."""
+    if dialect == "spark":
+        terms = [
+            f"(CAST({vec}[{d}] AS DOUBLE) * {c!r})"
+            for d, c in enumerate(plane)
+        ]
+    else:  # duckdb: 1-based list indexing
+        terms = [
+            f"({vec}[{d + 1}]::DOUBLE * {c!r})" for d, c in enumerate(plane)
+        ]
+    return " + ".join(terms)
+
+
+def srp_key_exprs(
+    vec: str,
+    planes: list[list[list[float]]],
+    dialect: str,
+) -> list[str]:
+    """Per-table integer key expressions: key_t = sum over bits of
+    2^b * (dot(vec, plane_tb) >= 0). Pure static projection — at 100 TB
+    this is a map-only stage inside whole-stage codegen (Spark) / a
+    vectorized projection (DuckDB)."""
+    exprs = []
+    for tbl in planes:
+        bits = [
+            f"(CASE WHEN ({_srp_dot_text(vec, plane, dialect)}) >= 0"
+            f" THEN {1 << b} ELSE 0 END)"
+            for b, plane in enumerate(tbl)
+        ]
+        exprs.append("(" + " + ".join(bits) + ")")
+    return exprs
+
+
+def srp_query_keys(
+    query_vec: list[float],
+    planes: list[list[list[float]]],
+    hamming: int = 1,
+) -> list[tuple[int, int]]:
+    """(table, key) probe pairs for ``query_vec``: the exact key plus all
+    keys within the given Hamming radius (single-bit flips for radius 1).
+    The dots run as plain left-to-right float64 Python sums — the same
+    operation sequence as the SQL ``+`` chains, so the signs (and hence
+    the keys) agree with both engines exactly."""
+    probes: list[tuple[int, int]] = []
+    for t, tbl in enumerate(planes):
+        key = 0
+        for b, plane in enumerate(tbl):
+            dot = 0.0
+            for x, c in zip(query_vec, plane):
+                dot += float(x) * c
+            if dot >= 0:
+                key |= 1 << b
+        probes.append((t, key))
+        if hamming >= 1:
+            for b in range(len(tbl)):
+                probes.append((t, key ^ (1 << b)))
+    return probes
+
+
+def knn_cosine_srp(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_tables: int = 4,
+    n_bits: int = 8,
+    hamming: int = 1,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k by cosine via portable sign-random-projection
+    LSH: per-vector table keys (static codegen projection) -> posexplode
+    to (table, key) rows -> equi-join with the broadcast probe-key list
+    (n_tables * (1 + n_bits) rows for Hamming<=1) -> distinct candidate
+    ids -> exact rerank via :func:`knn_cosine`. The only shuffle is the
+    candidate distinct; at scale the (table, key) pairs are a bucket
+    layout and the probe join is partition pruning.
+    """
+    dims = len(query_vec)
+    planes = srp_hyperplanes(n_tables, n_bits, dims)
+    # Key computation runs as an Arrow-batched mapInPandas, NOT the static
+    # SQL chains the oracle uses: 32 dot products x 64 terms in one
+    # codegen stage is ~2048 expression terms in a single Janino consume
+    # method — "Code grows beyond 64 KB" and a 10x interpreted fallback.
+    # Parity with the oracle's left-to-right `+` chains is preserved
+    # bit-for-bit because np.cumsum is a strictly sequential prefix sum
+    # (unlike np.sum/matmul's pairwise order): per-element products are
+    # exact in float64 regardless of order, and the summation order is
+    # the same left-to-right chain.
+    parr = np.asarray(planes, dtype=np.float64).reshape(
+        n_tables * n_bits, dims
+    )
+
+    def _keys(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf[emb_col].to_numpy()).astype(np.float64)
+            ids = pdf[id_col].to_numpy()
+            keys = np.zeros((len(m), n_tables), dtype=np.int32)
+            for t in range(n_tables):
+                for b in range(n_bits):
+                    dots = np.cumsum(m * parr[t * n_bits + b], axis=1)[:, -1]
+                    keys[:, t] |= (dots >= 0).astype(np.int32) << b
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(ids, n_tables),
+                    "t": np.tile(
+                        np.arange(n_tables, dtype=np.int32), len(m)
+                    ),
+                    "key": keys.ravel(),
+                }
+            )
+
+    pool_keys = df.select(id_col, emb_col).mapInPandas(
+        _keys, f"{id_col} long, t int, key int"
+    )
+    probes = df.sparkSession.createDataFrame(
+        srp_query_keys(query_vec, planes, hamming), "t int, key int"
+    )
+    cand = (
+        pool_keys.join(F.broadcast(probes), ["t", "key"])
+        .select(id_col)
+        .distinct()
+    )
+    return knn_cosine(
+        df.join(cand, id_col, "semi"), query_vec, k=k,
+        id_col=id_col, emb_col=emb_col,
     )
 
 
@@ -238,15 +425,30 @@ def knn_cosine_ivf(
 
 
 def _probe_cells(centroids: list[tuple[int, list[float]]], query_vec: list[float], n_probe: int) -> list[int]:
-    """The ``n_probe`` cell ids whose centroids are most cosine-similar."""
-    q = np.asarray(query_vec, dtype=np.float64)
-    qn = np.linalg.norm(q) or 1.0
+    """The ``n_probe`` cell ids whose centroids are most cosine-similar,
+    ties by cell id. Plain sequential float64 Python arithmetic, NOT
+    numpy: left-to-right sums are the operation sequence DuckDB's
+    LIST_REDUCE folds execute, so the similarities — and hence the probe
+    set — are bit-identical on both engines (the property that lets
+    llm_knn_ivf be hash-verified instead of rows-only)."""
+    import math
 
-    def sim(c: list[float]) -> float:
-        v = np.asarray(c, dtype=np.float64)
-        return float(np.dot(v, q) / ((np.linalg.norm(v) or 1.0) * qn))
-
-    return [cell for cell, c in sorted(centroids, key=lambda t: -sim(t[1]))][:n_probe]
+    qn = 0.0
+    for x in query_vec:
+        qn += float(x) * float(x)
+    qn = math.sqrt(qn) or 1.0
+    scored = []
+    for cell, c in centroids:
+        dot = 0.0
+        cn = 0.0
+        for ci, qi in zip(c, query_vec):
+            dot += float(ci) * float(qi)
+        for ci in c:
+            cn += float(ci) * float(ci)
+        sim = dot / ((math.sqrt(cn) or 1.0) * qn)
+        scored.append((sim, cell))
+    scored.sort(key=lambda s: (-s[0], s[1]))
+    return [cell for _, cell in scored[:n_probe]]
 
 
 def build_ivf_index(
@@ -255,11 +457,15 @@ def build_ivf_index(
     n_cells: int = 16,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
-    seed: int = 42,
 ) -> None:
     """Fit-once IVF index build: the expensive step, run once and persisted.
 
-    K-means learns ``n_cells`` coarse centroids; every vector is written to
+    The coarse quantizer is the repo's DETERMINISTIC k-means
+    (operators/kmeans.py: id-ordered seed, 2 Lloyd iterations, 6-dp
+    centroid handoff) — not MLlib's seeded k-means|| (r6): any engine can
+    re-derive the identical cells, which is what lets the llm_knn_ivf
+    DuckDB twin reproduce assignment + probe + rerank exactly
+    (hash-verified instead of rows-only). Every vector is written to
     ``{index_dir}/vectors`` **partitioned by its cell id**, centroids to
     ``{index_dir}/centroids``. Queries then read only their probed cells'
     directories — real partition pruning at the parquet layout level, so a
@@ -267,18 +473,20 @@ def build_ivf_index(
     scanned. (Round-1 version re-fit KMeans inside every query call — the
     classic IVF anti-pattern this split removes.)
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    from nyuki_spark.operators.kmeans import kmeans_fit
 
-    spark = df.sparkSession
-    vecs = df.select(F.col(id_col), F.col(emb_col), array_to_vector(F.col(emb_col)).alias("features"))
-    model = KMeans(k=n_cells, seed=seed, featuresCol="features", predictionCol="cell").fit(vecs)
-    assigned = model.transform(vecs).drop("features")
-    assigned.write.mode("overwrite").partitionBy("cell").parquet(f"{index_dir}/vectors")
-    cents = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
-    spark.createDataFrame(cents, "cell int, centroid array<double>").coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(f"{index_dir}/centroids")
+    assigned, cent = kmeans_fit(
+        df, k=n_cells, iters=2, id_col=id_col, vec_col=emb_col
+    )
+    data = df.join(assigned, id_col).select(
+        id_col, emb_col, F.col("cluster_id").alias("cell")
+    )
+    data.write.mode("overwrite").partitionBy("cell").parquet(
+        f"{index_dir}/vectors"
+    )
+    cent.select(
+        F.col("cid").alias("cell"), F.col("c").alias("centroid")
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/centroids")
 
 
 def knn_cosine_ivf_indexed(

@@ -14,9 +14,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nyuki_spark.catalog import load_table
-from nyuki_spark.operators.graph import triangle_stats
+from nyuki_spark.operators.graph import triangle_summary
 from nyuki_spark.operators.linalg import gram_upper
-from nyuki_spark.queries.registry import register
+from nyuki_spark.queries.registry import SWEEP_INTERMEDIATES, register
 
 
 # -- distributed Gram / covariance matrix ------------------------------------
@@ -74,26 +74,43 @@ register(
 
 def _supplier_backbone(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Strong-tie supplier graph: distinct supplier pairs sharing >= the
-    95th-percentile number of orders. One partial-agg shuffle for pair
-    counts; the exact-percentile threshold is a 1-row broadcast.
-    Co-occurrence graphs densify with data volume (at sf0.01 the raw
-    supplier graph is already complete), so downstream graph algorithms
-    run on the thresholded backbone, keeping their joins proportional to
-    strong edges only. Returned columns: u < v, one row per edge."""
+    95th-percentile number of DISTINCT orders. One pair-dedup + one
+    partial-agg shuffle for pair counts; the exact-percentile threshold
+    is a 1-row broadcast. The (l_orderkey, l_suppkey) dedup BEFORE the
+    self-join (r5 verdict) makes the edge weight "shared orders" exactly
+    — a supplier with several lines in one order would otherwise inflate
+    its pair counts quadratically — and cuts the self-join fanout from
+    lines-per-order to suppliers-per-order, the stage that dominated
+    net_triangles/net_assortativity at sf1. Co-occurrence graphs densify
+    with data volume (at sf0.01 the raw supplier graph is already
+    complete), so downstream graph algorithms run on the thresholded
+    backbone, keeping their joins proportional to strong edges only.
+    Returned columns: u < v, one row per edge."""
     lineitem = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey"
     )
-    a = lineitem.alias("a")
-    b = lineitem.alias("b")
+    # Pair generation: ONE shuffle (per-order supplier set, collect_set
+    # dedups lines for free) + a map-side nested-transform explode of the
+    # C(s, 2) pairs. Equivalent to distinct + self-join-on-order but
+    # without the second exchange and the merge-join sort; the per-order
+    # HOF is bounded by suppliers-per-order (<= 7 in TPC-H-shaped data),
+    # so the interpreted-lambda cost is constant per order and the output
+    # is identical (sort_array gives u < v directly).
+    per_order = lineitem.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_suppkey")).alias("ss")
+    )
     pair_cnt = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        per_order.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ss, (x, i) ->"
+                    " transform(slice(ss, i + 2, size(ss)),"
+                    " y -> struct(x AS u, y AS v))))"
+                )
+            ).alias("p")
         )
-        .groupBy(
-            F.col("a.l_suppkey").alias("u"), F.col("b.l_suppkey").alias("v")
-        )
+        .select("p.u", "p.v")
+        .groupBy("u", "v")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     thresh = pair_cnt.agg(
@@ -106,11 +123,20 @@ def _supplier_backbone(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# net_triangles / net_common_neighbors localCheckpoint the backbone (its
+# edge list feeds 4+ plan branches), which replaces it with an RDD scan in
+# their final plans — register the pre-checkpoint plan so the registry
+# sweep inspects the hidden stage under the owning query's allowlist.
+SWEEP_INTERMEDIATES["net_triangles"] = _supplier_backbone
+SWEEP_INTERMEDIATES["net_common_neighbors"] = _supplier_backbone
+
+
 # The same CTE prefix, shared by every backbone-graph oracle twin.
 _BACKBONE_SQL = (
+    "os AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),\n"
     "pc AS (\n"
     "  SELECT a.l_suppkey AS u, b.l_suppkey AS v, COUNT(*) AS cnt\n"
-    "  FROM lineitem a JOIN lineitem b\n"
+    "  FROM os a JOIN os b\n"
     "    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey\n"
     "  GROUP BY 1, 2),\n"
     "t AS (SELECT QUANTILE_CONT(cnt, 0.95) AS t FROM pc),\n"
@@ -142,16 +168,22 @@ def _triangles_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Wedges join on the shared source; the closing edge is a semi-join
     back to the oriented edge set. All joins are key-partitioned
-    equi-joins over narrow (int, int) rows.
+    equi-joins over narrow (int, int) rows. ``n_wedges`` is the TOTAL
+    wedge count sum C(deg, 2) (so clustering = 3T/W is the standard
+    transitivity, <= 1); the oriented wedge set only FINDS triangles
+    (r5 advice — the oriented count triple-counted the denominator).
+    The summary is ONE lazy plan (four 1-row aggregates merged by 1-row
+    broadcast crossJoins) over a lazily-localCheckpoint'd backbone: the
+    edge list — referenced by the degree table, orientation, wedge join,
+    and closing semi-join — materializes once on first action instead of
+    replaying the lineitem self-join per branch (measured 2.4x at
+    sf0.1). The checkpoint hides the backbone's own plan from the final
+    query, so it is registered in ``SWEEP_INTERMEDIATES`` and the
+    registry sweep inspects it separately (r5 advice: no eager/pinned
+    stage may dodge the scale-killer sweep).
     """
-    backbone = _supplier_backbone(spark, sf_dir)
-    n_nodes, n_edges, n_wedges, n_tri = triangle_stats(backbone)
-    cc = round(3.0 * n_tri / n_wedges, 6) if n_wedges else 0.0
-    return spark.createDataFrame(
-        [(n_nodes, n_edges, n_wedges, n_tri, cc)],
-        "n_nodes long, n_edges long, n_wedges long, n_triangles long, "
-        "clustering double",
-    )
+    backbone = _supplier_backbone(spark, sf_dir).localCheckpoint(eager=False)
+    return triangle_summary(backbone)
 
 
 register(
@@ -161,28 +193,33 @@ register(
         "WITH " + _BACKBONE_SQL + ",\n"
         "und AS (SELECT u, v FROM bb UNION ALL SELECT v, u FROM bb),\n"
         "d AS (SELECT u, COUNT(*) AS deg FROM und GROUP BY u),\n"
-        "r AS (SELECT u, ROW_NUMBER() OVER (ORDER BY deg, u) AS ord FROM d),\n"
-        "o AS (SELECT ru.ord AS lo, rv.ord AS hi FROM und\n"
-        "  JOIN r ru ON und.u = ru.u JOIN r rv ON und.v = rv.u\n"
-        "  WHERE ru.ord < rv.ord),\n"
-        "w AS (SELECT e1.hi AS lo, e2.hi AS hi FROM o e1 JOIN o e2\n"
-        "  ON e1.lo = e2.lo AND e1.hi < e2.hi),\n"
+        "o AS (SELECT und.u AS s, und.v AS t, dv.deg AS dt FROM und\n"
+        "  JOIN d du ON und.u = du.u JOIN d dv ON und.v = dv.u\n"
+        "  WHERE du.deg < dv.deg"
+        " OR (du.deg = dv.deg AND und.u < und.v)),\n"
+        "w AS (SELECT e1.t AS a, e2.t AS b FROM o e1 JOIN o e2\n"
+        "  ON e1.s = e2.s AND (e1.dt < e2.dt"
+        " OR (e1.dt = e2.dt AND e1.t < e2.t))),\n"
         "tri AS (SELECT * FROM w WHERE EXISTS\n"
-        "  (SELECT 1 FROM o WHERE o.lo = w.lo AND o.hi = w.hi))\n"
+        "  (SELECT 1 FROM o WHERE o.s = w.a AND o.t = w.b)),\n"
+        "tw AS (SELECT CAST(COALESCE(SUM(deg * (deg - 1) // 2), 0)"
+        " AS BIGINT) AS n_wedges FROM d)\n"
         "SELECT (SELECT COUNT(*) FROM d) AS n_nodes,\n"
         "  (SELECT COUNT(*) FROM bb) AS n_edges,\n"
-        "  (SELECT COUNT(*) FROM w) AS n_wedges,\n"
+        "  (SELECT n_wedges FROM tw) AS n_wedges,\n"
         "  (SELECT COUNT(*) FROM tri) AS n_triangles,\n"
-        "  CAST(CASE WHEN (SELECT COUNT(*) FROM w) = 0 THEN 0\n"
+        "  CAST(CASE WHEN (SELECT n_wedges FROM tw) = 0 THEN 0\n"
         "    ELSE ROUND(3.0 * (SELECT COUNT(*) FROM tri)\n"
-        "      / (SELECT COUNT(*) FROM w), 6) END AS DOUBLE) AS clustering"
+        "      / (SELECT n_wedges FROM tw), 6) END AS DOUBLE)"
+        " AS clustering"
     ),
     category="graph",
     suite="extension",
     doc=(
-        "strong-tie backbone (95th-pct co-order count) + degree-ordered "
-        "triangle counting (Suri-Vassilvitskii orientation bounds wedge "
-        "fanout under hub skew); global clustering coefficient"
+        "strong-tie backbone (95th-pct distinct-shared-order count) + "
+        "degree-ordered triangle counting (Suri-Vassilvitskii tuple-order "
+        "orientation bounds wedge fanout under hub skew, no rank window); "
+        "global clustering coefficient 3T / sum C(deg,2)"
     ),
 )
 
@@ -840,8 +877,15 @@ def _common_neighbors_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     fanout is the cost driver — it is bounded by per-node degree on the
     THRESHOLDED backbone, and hub salting would bolt on exactly as in
     operators/rank.py if a hub survived thresholding.
+
+    One lazy plan over a lazily-localCheckpoint'd backbone (r5 advice:
+    the old eager collect+createDataFrame hid the plan from the registry
+    sweep): the edge list materializes once on first action and feeds
+    the wedge/anti/degree fan-out; the backbone's own pre-checkpoint
+    plan is registered in ``SWEEP_INTERMEDIATES`` so the sweep still
+    inspects it.
     """
-    backbone = _supplier_backbone(spark, sf_dir).persist()
+    backbone = _supplier_backbone(spark, sf_dir).localCheckpoint(eager=False)
     und = backbone.unionByName(
         backbone.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
@@ -875,15 +919,17 @@ def _common_neighbors_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("jaccard"),
         )
     )
-    out = scored.orderBy(
-        F.col("jaccard").desc(), F.col("common").desc(), "a", "b"
-    ).limit(20)
-    # persist() above pins the backbone for the wedge/anti/degree fan-out;
-    # materialize the bounded result before unpersisting the lineage.
-    rows = out.collect()
-    backbone.unpersist()
-    return spark.createDataFrame(
-        rows, "a long, b long, common long, jaccard double"
+    return (
+        scored.orderBy(
+            F.col("jaccard").desc(), F.col("common").desc(), "a", "b"
+        )
+        .limit(20)
+        .select(
+            F.col("a").cast("long"),
+            F.col("b").cast("long"),
+            F.col("common").cast("long"),
+            F.col("jaccard").cast("double"),
+        )
     )
 
 
@@ -1077,12 +1123,19 @@ def _ks_test_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         "c1",
         "c2",
-        F.least(
-            F.lit(n_b - 1),
-            F.floor(
-                (F.col("value") - F.col("mn"))
-                / ((F.col("mx") - F.col("mn")) / n_b)
-            ),
+        # Degenerate-span guard (r5 advice): when every value is equal the
+        # bucket width is 0 and the division yields NULL/NaN buckets; put
+        # everything in bucket 0 instead so the running CDFs still meet
+        # and D = 0 exactly — matching the oracle's unbucketed CDF.
+        F.when(F.col("mx") == F.col("mn"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.lit(n_b - 1),
+                F.floor(
+                    (F.col("value") - F.col("mn"))
+                    / ((F.col("mx") - F.col("mn")) / n_b)
+                ),
+            )
         )
         .cast("int")
         .alias("b"),

@@ -442,17 +442,78 @@ def _minhash_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _knn_lsh_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-10 via portable sign-random-projection LSH (Charikar
+    STOC'02): md5-derived hyperplanes (operators/similarity.py:
+    srp_hyperplanes) make the bucketing engine-independent, so the whole
+    approximate RESULT SET — candidate selection included — is
+    hash-verified against the DuckDB twin below (rows-only through r5
+    under MLlib's JVM-private RNG; the MLlib tier keeps its own recall
+    floor in tests/test_similarity.py and scripts/ann_recall_sf1.py).
+    """
+    from nyuki_spark.operators.similarity import knn_cosine_srp
+
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
-    return knn_cosine_lsh(emb.where(F.col("vec_id") != 0), [float(x) for x in q], k=10)
+    return knn_cosine_srp(
+        emb.where(F.col("vec_id") != 0),
+        [float(x) for x in q],
+        k=10,
+        n_tables=_SRP_TABLES,
+        n_bits=_SRP_BITS,
+        hamming=1,
+    )
+
+
+_SRP_TABLES, _SRP_BITS = 4, 8
+
+
+def _srp_oracle_sql() -> str:
+    """DuckDB twin of :func:`_knn_lsh_fn`: identical md5-derived
+    hyperplane constants (embedded as literals by the same generator),
+    identical left-to-right dot-product chains, XOR single-bit-flip
+    probes, exact cosine rerank on the candidate set."""
+    from nyuki_spark.operators.similarity import srp_hyperplanes, srp_key_exprs
+
+    planes = srp_hyperplanes(_SRP_TABLES, _SRP_BITS, 64)
+    keys = srp_key_exprs("embedding", planes, "duckdb")
+    qkeys = srp_key_exprs("e", planes, "duckdb")
+    vk = "\nUNION ALL\n".join(
+        f"SELECT vec_id, {t} AS t, {k} AS key FROM embeddings"
+        " WHERE vec_id <> 0"
+        for t, k in enumerate(keys)
+    )
+    qk = "\nUNION ALL\n".join(
+        f"SELECT {t} AS t, {k} AS key FROM q" for t, k in enumerate(qkeys)
+    )
+    flips = ", ".join(str(o) for o in [0] + [1 << b for b in range(_SRP_BITS)])
+    return (
+        "WITH q AS (SELECT embedding AS e FROM embeddings"
+        " WHERE vec_id = 0),\n"
+        f"vk AS (\n{vk}),\n"
+        f"qb AS (\n{qk}),\n"
+        f"qk AS (SELECT DISTINCT t, XOR(key, o.o) AS key FROM qb,"
+        f" (SELECT UNNEST([{flips}]) AS o) o),\n"
+        "cand AS (SELECT DISTINCT vec_id FROM vk JOIN qk USING (t, key))\n"
+        "SELECT e.vec_id, CAST(ROUND(LIST_COSINE_SIMILARITY("
+        "CAST(e.embedding AS DOUBLE[]), CAST(q.e AS DOUBLE[])), 4)"
+        " AS DOUBLE) AS sim\n"
+        "FROM embeddings e JOIN cand USING (vec_id) CROSS JOIN q\n"
+        "ORDER BY sim DESC, e.vec_id LIMIT 10"
+    )
 
 
 register(
     "llm_knn_lsh",
     engine_fn=_knn_lsh_fn,
+    oracle=_srp_oracle_sql(),
     category="llm-similarity",
     suite="extension",
-    doc="ANN top-10 via random-hyperplane LSH (approx; recall vs brute force in tests)",
+    doc=(
+        "ANN top-10 via portable sign-random-projection LSH (4 tables x "
+        "8 md5-derived hyperplanes, Hamming<=1 probe, exact rerank) — "
+        "hash-verified incl. candidate selection; recall floor at sf1 in "
+        "scripts/ann_recall_sf1.py"
+    ),
 )
 
 
@@ -479,6 +540,46 @@ register(
 # -- IVF similarity search (approx tier; recall in tests) --------------------
 
 
+def _duck_kmeans_ctes(p: str = "", e_expr: str = "embedding::DOUBLE[]",
+                      dims: int = 64, k: int = 8,
+                      src: str = "embeddings") -> str:
+    """DuckDB twin of operators/kmeans.py: kmeans_assign(k, iters=2) as a
+    CTE chain ending in ``{p}a2`` holding (vec_id, cid). ``p`` prefixes
+    every CTE name so several instances (PQ subspaces) compose in one
+    WITH; ``e_expr`` selects the (sliced) vector. Shared by the
+    assignment, SemDeDup-prune, and product-quantization oracles.
+    """
+
+    def asg(out: str, cent: str) -> str:
+        return (
+            f"{p}{out} AS (SELECT vec_id, cid FROM (\n"
+            f"    SELECT {p}emb.vec_id, {p}{cent}.cid,\n"
+            "      ROW_NUMBER() OVER (PARTITION BY"
+            f" {p}emb.vec_id ORDER BY\n"
+            f"        LIST_REDUCE(LIST_TRANSFORM(GENERATE_SERIES(1, {dims}),\n"
+            f"          i -> ({p}emb.e[i] - {p}{cent}.c[i])"
+            f" * ({p}emb.e[i] - {p}{cent}.c[i])),\n"
+            "          (a, b) -> a + b),\n"
+            f"        {p}{cent}.cid) AS rn\n"
+            f"    FROM {p}emb CROSS JOIN {p}{cent}) WHERE rn = 1)"
+        )
+
+    return (
+        f"{p}emb AS (SELECT vec_id, {e_expr} AS e FROM {src}),\n"
+        f"{p}c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1"
+        " AS INT) AS cid, e AS c\n"
+        f"       FROM {p}emb ORDER BY vec_id LIMIT {k}),\n"
+        + asg("a1", "c0") + ",\n"
+        f"{p}c1 AS (SELECT cid, LIST(v ORDER BY dim) AS c FROM (\n"
+        f"    SELECT {p}a1.cid AS cid, u.dim AS dim,"
+        f" ROUND(AVG({p}emb.e[u.dim]), 6) AS v\n"
+        f"    FROM {p}emb JOIN {p}a1 USING (vec_id),\n"
+        f"         UNNEST(GENERATE_SERIES(1, {dims})) AS u(dim)\n"
+        f"    GROUP BY {p}a1.cid, u.dim) GROUP BY cid),\n"
+        + asg("a2", "c1")
+    )
+
+
 def _knn_ivf_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     import hashlib
     import os
@@ -490,21 +591,62 @@ def _knn_ivf_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
     # Build-once / query-many: the index (cell-partitioned parquet +
     # centroids) is keyed by corpus + parameters and persisted; only the
-    # first call per corpus pays the KMeans fit. The query path reads the
-    # probed cells' partitions only (directory-level pruning).
-    key = hashlib.md5(f"{sf_dir}|cells=16|seed=42|v2".encode()).hexdigest()[:12]
+    # first call per corpus pays the k-means fit. The query path reads the
+    # probed cells' partitions only (directory-level pruning). v3: the
+    # quantizer is the deterministic operators/kmeans.py fit (r6), so the
+    # DuckDB twin below re-derives the identical cells and the whole
+    # approximate result — assignment, probe selection, rerank — is
+    # hash-verified (rows-only through r5 under MLlib's seeded k-means||).
+    key = hashlib.md5(f"{sf_dir}|cells=16|det|v3".encode()).hexdigest()[:12]
     index_dir = os.path.join(tempfile.gettempdir(), f"nyuki-ivf-{key}")
     if not os.path.exists(os.path.join(index_dir, "vectors", "_SUCCESS")):
-        build_ivf_index(emb.where(F.col("vec_id") != 0), index_dir, n_cells=16, seed=42)
+        build_ivf_index(emb.where(F.col("vec_id") != 0), index_dir, n_cells=16)
     return knn_cosine_ivf_indexed(spark, index_dir, [float(x) for x in q], k=10)
+
+
+def _fold(expr: str, dims: int = 64) -> str:
+    """LIST_REDUCE left fold of ``expr`` (uses ``i``) over 1..dims —
+    DuckDB's sequential sum, the operand order _probe_cells mirrors."""
+    return (
+        f"LIST_REDUCE(LIST_TRANSFORM(GENERATE_SERIES(1, {dims}),"
+        f" i -> {expr}), (a, b) -> a + b)"
+    )
+
+
+_IVF_ORACLE = (
+    "WITH "
+    + _duck_kmeans_ctes(
+        k=16, src="(SELECT * FROM embeddings WHERE vec_id <> 0)"
+    )
+    + ",\n"
+    "q AS (SELECT embedding::DOUBLE[] AS e FROM embeddings"
+    " WHERE vec_id = 0),\n"
+    "cs AS (SELECT cid,\n"
+    f"  {_fold('c1.c[i] * q.e[i]')}\n"
+    f"  / (SQRT({_fold('c1.c[i] * c1.c[i]')})"
+    f" * SQRT({_fold('q.e[i] * q.e[i]')})) AS sim\n"
+    "  FROM c1 CROSS JOIN q),\n"
+    "probe AS (SELECT cid FROM cs ORDER BY sim DESC, cid LIMIT 4),\n"
+    "cand AS (SELECT vec_id FROM a2 WHERE cid IN (SELECT cid FROM probe))\n"
+    "SELECT e.vec_id, CAST(ROUND(LIST_COSINE_SIMILARITY("
+    "CAST(e.embedding AS DOUBLE[]), q.e), 4) AS DOUBLE) AS sim\n"
+    "FROM embeddings e JOIN cand USING (vec_id) CROSS JOIN q\n"
+    "ORDER BY sim DESC, e.vec_id LIMIT 10"
+)
 
 
 register(
     "llm_knn_ivf",
     engine_fn=_knn_ivf_fn,
+    oracle=_IVF_ORACLE,
     category="llm-similarity",
     suite="extension",
-    doc="ANN top-10 via prebuilt IVF index (fit-once k-means, cell-partition-pruned probe)",
+    doc=(
+        "ANN top-10 via prebuilt IVF index (fit-once DETERMINISTIC "
+        "k-means, cell-partition-pruned 4-of-16 probe, exact rerank) — "
+        "hash-verified incl. cell assignment and probe selection; recall "
+        "floor at sf1 in scripts/ann_recall_sf1.py"
+    ),
 )
 
 
@@ -1059,45 +1201,6 @@ register(
 def _kmeans_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return kmeans_assign(emb, k=8, iters=2).orderBy("vec_id")
-
-
-def _duck_kmeans_ctes(p: str = "", e_expr: str = "embedding::DOUBLE[]",
-                      dims: int = 64, k: int = 8) -> str:
-    """DuckDB twin of operators/kmeans.py: kmeans_assign(k, iters=2) as a
-    CTE chain ending in ``{p}a2`` holding (vec_id, cid). ``p`` prefixes
-    every CTE name so several instances (PQ subspaces) compose in one
-    WITH; ``e_expr`` selects the (sliced) vector. Shared by the
-    assignment, SemDeDup-prune, and product-quantization oracles.
-    """
-
-    def asg(out: str, cent: str) -> str:
-        return (
-            f"{p}{out} AS (SELECT vec_id, cid FROM (\n"
-            f"    SELECT {p}emb.vec_id, {p}{cent}.cid,\n"
-            "      ROW_NUMBER() OVER (PARTITION BY"
-            f" {p}emb.vec_id ORDER BY\n"
-            f"        LIST_REDUCE(LIST_TRANSFORM(GENERATE_SERIES(1, {dims}),\n"
-            f"          i -> ({p}emb.e[i] - {p}{cent}.c[i])"
-            f" * ({p}emb.e[i] - {p}{cent}.c[i])),\n"
-            "          (a, b) -> a + b),\n"
-            f"        {p}{cent}.cid) AS rn\n"
-            f"    FROM {p}emb CROSS JOIN {p}{cent}) WHERE rn = 1)"
-        )
-
-    return (
-        f"{p}emb AS (SELECT vec_id, {e_expr} AS e FROM embeddings),\n"
-        f"{p}c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1"
-        " AS INT) AS cid, e AS c\n"
-        f"       FROM {p}emb ORDER BY vec_id LIMIT {k}),\n"
-        + asg("a1", "c0") + ",\n"
-        f"{p}c1 AS (SELECT cid, LIST(v ORDER BY dim) AS c FROM (\n"
-        f"    SELECT {p}a1.cid AS cid, u.dim AS dim,"
-        f" ROUND(AVG({p}emb.e[u.dim]), 6) AS v\n"
-        f"    FROM {p}emb JOIN {p}a1 USING (vec_id),\n"
-        f"         UNNEST(GENERATE_SERIES(1, {dims})) AS u(dim)\n"
-        f"    GROUP BY {p}a1.cid, u.dim) GROUP BY cid),\n"
-        + asg("a2", "c1")
-    )
 
 
 _DUCK_KMEANS_CTES = _duck_kmeans_ctes()

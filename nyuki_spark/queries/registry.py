@@ -10,7 +10,16 @@ from pyspark.sql import DataFrame, SparkSession
 
 from nyuki_spark.catalog import TABLES, configure_session, register_tables
 
-__all__ = ["Query", "REGISTRY", "register"]
+__all__ = ["Query", "REGISTRY", "register", "SWEEP_INTERMEDIATES"]
+
+# qid -> (spark, sf_dir) -> DataFrame: plan fragments that a query
+# materializes behind a localCheckpoint/persist barrier (so the final
+# plan shows only a scan) — exposed here so the registry plan sweep can
+# inspect the HIDDEN stage's physical plan too (r5 advice: eager
+# engine_fns must not dodge the scale-killer sweep). Each entry is the
+# builder for the pre-barrier DataFrame; the sweep applies the owning
+# query's allowlist to it.
+SWEEP_INTERMEDIATES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
 
 def _infer_tables(*sqls: str | None) -> tuple[str, ...]:

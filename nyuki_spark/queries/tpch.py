@@ -339,8 +339,7 @@ register(
 # only one level up (Catalyst and DuckDB both decorrelate it). The
 # EXISTS + NOT EXISTS double-correlated-subquery plan is the point of Q21
 # and survives the proxy untouched.
-register(
-    "tpch_q21",
+_Q21_ORACLE = (
     "SELECT s_name, COUNT(*) AS numwait\n"
     "FROM supplier JOIN lineitem l1 ON s_suppkey = l1.l_suppkey\n"
     "JOIN orders ON o_orderkey = l1.l_orderkey\n"
@@ -356,13 +355,89 @@ register(
     "                WHERE l3.l_orderkey = l1.l_orderkey\n"
     "                AND l3.l_suppkey <> l1.l_suppkey\n"
     "                AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY)\n"
-    "GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100",
+    "GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100"
+)
+
+
+def _q21_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 with the EXISTS/NOT-EXISTS pair rewritten as per-order window
+    aggregates (r6 — the decorrelated form re-shuffled lineitem for each
+    of the l1/l2/l3 branches; this shuffles it ONCE).
+
+    For a late line l1 of a finished order: EXISTS(another supplier in
+    the order) == distinct-supplier count >= 2, and NOT EXISTS(another
+    LATE supplier) == the order's late-supplier set is exactly
+    {l1's supplier} — and since l1 itself is late, that set contains
+    l1's supplier, so the condition is just |late suppliers| == 1. Both
+    counts come from ``collect_set(...)`` windows over l_orderkey; the
+    window reuses the lineitem-orders join's hash partitioning on the
+    same key, so the plan carries ONE exchange of lineitem + one of the
+    F-filtered orders, then broadcast supplier/nation and a partial-agg
+    count. Per-order set state is bounded by suppliers-per-order (<= 7
+    in TPC-H), skew-safe.
+
+    Oracle runs the literal double-correlated form (``_Q21_ORACLE``), so
+    the rewrite's equivalence is hash-verified every round.
+    """
+    from pyspark.sql import Window
+
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    lo = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).select(
+        "l_orderkey",
+        "l_suppkey",
+        F.expr("l_shipdate > o_orderdate + INTERVAL 60 DAY").alias("late"),
+    )
+    w = Window.partitionBy("l_orderkey")
+    stats = lo.select(
+        "l_suppkey",
+        "late",
+        F.size(F.collect_set("l_suppkey").over(w)).alias("ns"),
+        F.size(
+            F.collect_set(
+                F.when(F.col("late"), F.col("l_suppkey"))
+            ).over(w)
+        ).alias("nl"),
+    )
+    cand = stats.where(
+        F.col("late") & (F.col("ns") >= 2) & (F.col("nl") == 1)
+    )
+    sn = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(load_table(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .where(F.col("n_name").isin("NATION_3", "NATION_7"))
+        .select("s_suppkey", "s_name")
+    )
+    return (
+        cand.join(F.broadcast(sn), cand["l_suppkey"] == sn["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )
+
+
+register(
+    "tpch_q21",
+    engine_fn=_q21_engine,
+    oracle=_Q21_ORACLE,
+    tables=(),
     category="tpch",
     suite="extension",
     doc="TPC-H Q21 shape: EXISTS + NOT-EXISTS double correlated subquery "
     "over multi-supplier orders (shipping lag proxies receipt/commit "
-    "lateness; NOT-EXISTS branch self-joins orders to keep correlation "
-    "one level deep)",
+    "lateness). Engine twin runs the per-order window-aggregate rewrite "
+    "(one lineitem exchange — see _q21_engine note); oracle runs the "
+    "literal correlated form",
 )
 
 
@@ -564,15 +639,21 @@ _Q11_BODY = (
 def _q11_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q11 as a single-evaluation program.
 
-    The SQL form references the partsupp CTE twice (per-part sums vs the
-    global-total threshold), and Spark re-plans CTE references — the
-    filtered join + aggregate ran twice. Here the per-part aggregate (a
-    parts-count-sized table, ~|part| rows) is materialized ONCE with
-    ``localCheckpoint``; the grand total is then a 1-row aggregate OVER THE
-    CHECKPOINT, broadcast back via the established 1-row crossJoin pattern
-    (no single-partition window over data rows). Checkpointing *after* the
-    heavy join/agg costs one tiny barrier, unlike checkpointing the raw
-    bridging table (measured slower — see _derived_partsupp note).
+    Two structural moves vs the literal SQL:
+
+    - **Filter before distinct** (r6): the NATION_7 supplier filter
+      commutes with the pair-dedup, so the ~1/25-selective broadcast
+      semi-filter runs against raw lineitem FIRST and the expensive
+      pair-``distinct`` — the floor of every partsupp-derived plan —
+      aggregates 25x fewer rows. The generic ``_derived_partsupp``
+      deduped the full table and filtered after (correct, but the
+      dedup paid for suppliers the query immediately discards).
+    - **Single evaluation**: the SQL form references the partsupp CTE
+      twice (per-part sums vs the global-total threshold), and Spark
+      re-plans CTE references. The per-part aggregate (~|part| rows) is
+      materialized ONCE with ``localCheckpoint``; the grand total is a
+      1-row aggregate OVER THE CHECKPOINT, broadcast back via the 1-row
+      crossJoin pattern (no single-partition window over data rows).
     """
     supplier = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
@@ -584,10 +665,25 @@ def _q11_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_name") == "NATION_7")
         .select("s_suppkey")
     )
-    ps = _derived_partsupp(spark, sf_dir)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    )
+    ps = (
+        li.join(F.broadcast(supp7), li["ps_suppkey"] == supp7["s_suppkey"])
+        .drop("s_suppkey")
+        .distinct()
+        .selectExpr(
+            "ps_partkey",
+            "ps_suppkey",
+            "CAST((ps_partkey * 7 + ps_suppkey * 11) % 9000 + 1000 AS DOUBLE)"
+            " / 100.0 AS ps_supplycost",
+            "CAST((ps_partkey * 13 + ps_suppkey * 17) % 9999 + 1 AS BIGINT)"
+            " AS ps_availqty",
+        )
+    )
     per_part = (
-        ps.join(F.broadcast(supp7), ps["ps_suppkey"] == supp7["s_suppkey"])
-        .groupBy("ps_partkey")
+        ps.groupBy("ps_partkey")
         .agg(
             F.sum(F.col("ps_supplycost") * F.col("ps_availqty")).alias("raw_total")
         )

@@ -21,9 +21,11 @@ from pyspark.sql import functions as F
 
 from nyuki_spark.catalog import load_table
 from nyuki_spark.operators.similarity import (
+    build_ivf_index,
     knn_cosine,
-    knn_cosine_ivf,
+    knn_cosine_ivf_indexed,
     knn_cosine_lsh,
+    knn_cosine_srp,
 )
 from nyuki_spark.session import get_session
 
@@ -83,16 +85,32 @@ def main() -> int:
     exact_cos = [r.vec_id for r in knn_cosine(pool, qv, k=10).collect()]
     t_brute = time.time() - t0
 
+    # The REGISTERED llm_knn_lsh tier (r6): portable sign-random-
+    # projection, 4 tables x 8 md5-derived hyperplanes, Hamming<=1 probe.
+    t0 = time.time()
+    srp = [r.vec_id for r in knn_cosine_srp(pool, qv, k=10).collect()]
+    rows.append(("llm_knn_lsh (srp)", _recall(exact_cos, srp), time.time() - t0))
+
+    # The MLlib BRP-LSH operator keeps its own floor (tests use it too).
     t0 = time.time()
     lsh = [r.vec_id for r in knn_cosine_lsh(pool, qv, k=10).collect()]
-    rows.append(("llm_knn_lsh", _recall(exact_cos, lsh), time.time() - t0))
+    rows.append(("mllib_brp_lsh", _recall(exact_cos, lsh), time.time() - t0))
+
+    # The REGISTERED llm_knn_ivf tier (r6): deterministic-kmeans index,
+    # cell-partitioned parquet, 4-of-16 probe — the same build+query path
+    # as queries/llm.py:_knn_ivf_fn.
+    import tempfile
 
     t0 = time.time()
-    ivf = [
-        r.vec_id
-        for r in knn_cosine_ivf(pool, qv, k=10, n_cells=16, n_probe=4).collect()
-    ]
-    rows.append(("llm_knn_ivf", _recall(exact_cos, ivf), time.time() - t0))
+    with tempfile.TemporaryDirectory(prefix="nyuki-ivf-recall-") as idx:
+        build_ivf_index(pool, idx, n_cells=16)
+        ivf = [
+            r.vec_id
+            for r in knn_cosine_ivf_indexed(
+                spark, idx, qv, k=10, n_probe=4
+            ).collect()
+        ]
+    rows.append(("llm_knn_ivf (det)", _recall(exact_cos, ivf), time.time() - t0))
 
     # PQ-ADC approximates Euclidean distance: ground truth is exact L2.
     d2 = F.aggregate(
@@ -127,7 +145,12 @@ def main() -> int:
     print("|---|---|---|")
     for name, rec, sec in rows:
         print(f"| {name} | {rec:.2f} | {sec:.1f} |")
-    floors = {"llm_knn_lsh": 0.9, "llm_knn_ivf": 0.7, "llm_pq_adc (8x16)": 0.5}
+    floors = {
+        "llm_knn_lsh (srp)": 0.9,
+        "mllib_brp_lsh": 0.9,
+        "llm_knn_ivf (det)": 0.7,
+        "llm_pq_adc (8x16)": 0.5,
+    }
     bad = [(n, r) for n, r, _ in rows if r < floors[n]]
     if bad:
         print(f"FLOOR MISS: {bad}")

@@ -15,6 +15,7 @@ from __future__ import annotations
 import pytest
 
 from nyuki_spark.queries import REGISTRY
+from nyuki_spark.queries.registry import SWEEP_INTERMEDIATES
 
 _PATTERNS = ("CartesianProduct", "BroadcastNestedLoopJoin", "Exchange SinglePartition")
 
@@ -185,6 +186,20 @@ ALLOWLIST: dict[str, tuple[tuple[str, ...], str]] = {
         "cutoff (partial-aggregated scalar) onto the pair-count table — "
         "the scalar-bounds shape (_supplier_backbone)",
     ),
+    "net_triangles": (
+        ("BroadcastNestedLoopJoin",),
+        "the backbone threshold 1-row broadcast (_supplier_backbone, "
+        "net_assortativity precedent) plus the final merge of four 1-row "
+        "partial-aggregated scalars (node/edge/wedge/triangle counts) by "
+        "1-row broadcast crossJoins — every build side is exactly one row",
+    ),
+    "net_common_neighbors": (
+        ("BroadcastNestedLoopJoin",),
+        "the backbone threshold: 1-row broadcast of the exact-percentile "
+        "cutoff onto the pair-count table (_supplier_backbone, "
+        "net_assortativity precedent); all graph joins are key equi-joins "
+        "and the top-20 is TakeOrderedAndProject",
+    ),
     "llm_rank_bm25": (
         ("BroadcastNestedLoopJoin",),
         "1-row broadcast of the corpus model (N, avgdl, per-term df — "
@@ -264,6 +279,14 @@ def test_no_scale_killers(qid, spark, sf_dir):
     df = REGISTRY[qid].run(spark, sf_dir)
     jplan = df._jdf.queryExecution().executedPlan()
     found = _found_patterns(jplan)
+    # Stages a query pins behind a localCheckpoint (an RDD scan in the
+    # final plan) are swept via their registered pre-barrier builder —
+    # the barrier must not create a blind spot (r5 advice), and the
+    # owning query's allowlist covers both plans.
+    inter_fn = SWEEP_INTERMEDIATES.get(qid)
+    if inter_fn is not None:
+        inter_plan = inter_fn(spark, sf_dir)._jdf.queryExecution().executedPlan()
+        found |= _found_patterns(inter_plan)
     allowed, _reason = ALLOWLIST.get(qid, ((), ""))
     hits = [p for p in _PATTERNS if p in found and p not in allowed]
     assert not hits, (
