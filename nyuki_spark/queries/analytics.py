@@ -1212,6 +1212,147 @@ register(
 )
 
 
+# -- Welch's unequal-variance two-sample t-test ------------------------------
+
+# Single-pass partial-aggregable moments (COUNT/AVG/VAR_SAMP are all
+# map-side-combinable), then pure scalar arithmetic: the A/B-test
+# companion to stat_ks_test's distribution distance. Identical SQL text
+# runs on both engines (shared syntax), so the only cross-engine
+# divergence is low-order aggregation-order fp, pinned by ROUND 6.
+_WELCH_SQL = (
+    "SELECT CAST(n1 AS BIGINT) AS n_click, CAST(n2 AS BIGINT)"
+    " AS n_purchase,\n"
+    "  CAST(ROUND(m1 - m2, 6) AS DOUBLE) AS mean_diff,\n"
+    "  CAST(ROUND((m1 - m2) / SQRT(v1 / n1 + v2 / n2), 6) AS DOUBLE)"
+    " AS t_stat,\n"
+    "  CAST(ROUND(POWER(v1 / n1 + v2 / n2, 2)\n"
+    "    / (POWER(v1 / n1, 2) / (n1 - 1)"
+    " + POWER(v2 / n2, 2) / (n2 - 1)), 6) AS DOUBLE) AS welch_df\n"
+    "FROM (\n"
+    "  SELECT COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS n1,\n"
+    "    COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS n2,\n"
+    "    AVG(CASE WHEN event_type = 'click' THEN value END) AS m1,\n"
+    "    AVG(CASE WHEN event_type = 'purchase' THEN value END) AS m2,\n"
+    "    VAR_SAMP(CASE WHEN event_type = 'click' THEN value END) AS v1,\n"
+    "    VAR_SAMP(CASE WHEN event_type = 'purchase' THEN value END) AS v2\n"
+    "  FROM events\n"
+    "  WHERE value IS NOT NULL AND event_type IN ('click', 'purchase')\n"
+    ") m"
+)
+
+register(
+    "stat_welch_ttest",
+    _WELCH_SQL,
+    category="statistics",
+    suite="extension",
+    doc=(
+        "Welch's unequal-variance two-sample t (click vs purchase "
+        "values) + Welch-Satterthwaite df: one partial-aggregable "
+        "moment pass, scalar arithmetic after — the A/B-test companion "
+        "to stat_ks_test"
+    ),
+)
+
+
+# -- k-core peeling ----------------------------------------------------------
+
+
+def _kcore_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-round k-core peel of the strong-tie supplier backbone: rounds
+    of "drop every node with degree < k, restrict edges to survivors",
+    with k = the median initial degree (1-row broadcast, the
+    backbone-threshold pattern). Fixed iteration count like
+    net_pagerank — each round is ONE key aggregate + two semi-joins, so
+    the plan is 3 bounded shuffle rounds over narrow rows; the classic
+    iterative-peeling shape for finding the dense engagement core of a
+    co-occurrence graph. Output: surviving nodes with their degree in
+    the peeled subgraph.
+
+    Each round's edge list is lazily localCheckpoint'd: round r+1
+    references round r TWICE (degree aggregate + restriction), so an
+    unpinned chain re-evaluates every earlier round per reference —
+    2^rounds subtree growth (measured 20 s at sf0.01; pinned: ~2 s).
+    One representative un-pinned round is registered in
+    ``SWEEP_INTERMEDIATES`` so the plan sweep still inspects the
+    per-round operators.
+    """
+    backbone = _supplier_backbone(spark, sf_dir).localCheckpoint(eager=False)
+    und = backbone.unionByName(
+        backbone.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg0 = und.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    kthr = deg0.agg(F.expr("percentile(deg, 0.5)").alias("k"))
+    edges = und
+    for _ in range(3):
+        deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+        keep = (
+            deg.crossJoin(F.broadcast(kthr))
+            .where(F.col("deg") >= F.col("k"))
+            .select("u")
+        )
+        edges = edges.join(keep, "u", "semi").join(
+            keep.select(F.col("u").alias("v")), "v", "semi"
+        ).localCheckpoint(eager=False)
+    return (
+        edges.groupBy("u")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .orderBy("u")
+    )
+
+
+def _kcore_one_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One un-pinned peel round over the raw backbone — the plan shape
+    every round repeats, exposed for the registry sweep."""
+    backbone = _supplier_backbone(spark, sf_dir)
+    und = backbone.unionByName(
+        backbone.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    kthr = deg.agg(F.expr("percentile(deg, 0.5)").alias("k"))
+    keep = (
+        deg.crossJoin(F.broadcast(kthr))
+        .where(F.col("deg") >= F.col("k"))
+        .select("u")
+    )
+    return und.join(keep, "u", "semi").join(
+        keep.select(F.col("u").alias("v")), "v", "semi"
+    )
+
+
+SWEEP_INTERMEDIATES["net_kcore"] = _kcore_one_round
+
+register(
+    "net_kcore",
+    engine_fn=_kcore_fn,
+    oracle=(
+        "WITH " + _BACKBONE_SQL + ",\n"
+        "e0 AS (SELECT u, v FROM bb UNION ALL SELECT v, u FROM bb),\n"
+        "d0 AS (SELECT u, COUNT(*) AS deg FROM e0 GROUP BY u),\n"
+        "kt AS (SELECT QUANTILE_CONT(deg, 0.5) AS k FROM d0),\n"
+        "kp0 AS (SELECT u FROM d0 CROSS JOIN kt WHERE deg >= k),\n"
+        "e1 AS (SELECT * FROM e0 WHERE u IN (SELECT u FROM kp0)"
+        " AND v IN (SELECT u FROM kp0)),\n"
+        "d1 AS (SELECT u, COUNT(*) AS deg FROM e1 GROUP BY u),\n"
+        "kp1 AS (SELECT u FROM d1 CROSS JOIN kt WHERE deg >= k),\n"
+        "e2 AS (SELECT * FROM e1 WHERE u IN (SELECT u FROM kp1)"
+        " AND v IN (SELECT u FROM kp1)),\n"
+        "d2 AS (SELECT u, COUNT(*) AS deg FROM e2 GROUP BY u),\n"
+        "kp2 AS (SELECT u FROM d2 CROSS JOIN kt WHERE deg >= k),\n"
+        "e3 AS (SELECT * FROM e2 WHERE u IN (SELECT u FROM kp2)"
+        " AND v IN (SELECT u FROM kp2))\n"
+        "SELECT u, COUNT(*) AS deg FROM e3 GROUP BY u ORDER BY u"
+    ),
+    category="graph",
+    suite="extension",
+    doc=(
+        "3-round k-core peel (k = median initial degree) of the strong-tie "
+        "backbone: per-round degree aggregate + semi-join restriction, "
+        "fixed iterations like net_pagerank — the dense-core extraction "
+        "shape"
+    ),
+)
+
+
 # -- Holt linear-trend smoothing ---------------------------------------------
 
 

@@ -537,6 +537,63 @@ register(
 )
 
 
+# -- Zipf law fit over the term-frequency distribution -----------------------
+
+# The corpus-health diagnostic LLM pipelines run before training: natural
+# text follows Zipf (log-freq ~ -1 * log-rank); a slope far from -1 flags
+# boilerplate/templated corpora. Plan: one (term) hash aggregate over the
+# exploded tokens (partial map-side combine), a TakeOrdered 500-term cut
+# (compile-time cap — NO vocab-sized global sort), rank within the 500
+# bounded rows, one REGR_SLOPE/INTERCEPT moment pass. Rank ties broken by
+# term so both engines rank identically; 6-dp round pins the regression's
+# aggregation-order fp.
+
+register(
+    "llm_zipf_fit",
+    engine=(
+        "WITH tf AS (\n"
+        "  SELECT term, COUNT(*) AS cnt FROM (\n"
+        "    SELECT EXPLODE(SPLIT(text, ' ')) AS term FROM documents\n"
+        "    WHERE text IS NOT NULL) t\n"
+        "  WHERE term <> '' GROUP BY term),\n"
+        "top AS (SELECT term, cnt FROM tf ORDER BY cnt DESC, term"
+        " LIMIT 500),\n"
+        "r AS (SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, term)"
+        " AS rnk FROM top)\n"
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,\n"
+        "  CAST(ROUND(REGR_SLOPE(LN(cnt), LN(rnk)), 6) AS DOUBLE)"
+        " AS zipf_slope,\n"
+        "  CAST(ROUND(REGR_INTERCEPT(LN(cnt), LN(rnk)), 6) AS DOUBLE)"
+        " AS zipf_intercept\n"
+        "FROM r"
+    ),
+    oracle=(
+        "WITH tf AS (\n"
+        "  SELECT term, COUNT(*) AS cnt\n"
+        "  FROM (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS term\n"
+        "        FROM documents WHERE text IS NOT NULL) t\n"
+        "  WHERE term <> '' GROUP BY term),\n"
+        "top AS (SELECT term, cnt FROM tf ORDER BY cnt DESC, term"
+        " LIMIT 500),\n"
+        "r AS (SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, term)"
+        " AS rnk FROM top)\n"
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,\n"
+        "  CAST(ROUND(REGR_SLOPE(LN(cnt), LN(rnk)), 6) AS DOUBLE)"
+        " AS zipf_slope,\n"
+        "  CAST(ROUND(REGR_INTERCEPT(LN(cnt), LN(rnk)), 6) AS DOUBLE)"
+        " AS zipf_intercept\n"
+        "FROM r"
+    ),
+    category="llm-text",
+    suite="extension",
+    doc=(
+        "Zipf's-law fit of the term-frequency distribution (log-log OLS "
+        "over the top-500 terms): corpus-health diagnostic; TakeOrdered "
+        "cut, no vocab-sized global sort"
+    ),
+)
+
+
 # -- IVF similarity search (approx tier; recall in tests) --------------------
 
 

@@ -25,6 +25,13 @@ class _Progress:
     batch_id: int
     num_input_rows: int
     batch_duration_ms: int
+    # Summed over the batch's stateful operators (0 for stateless
+    # queries): the state-store footprint the scale argument rests on —
+    # rows held vs rows evicted by the watermark, and bytes in the store
+    # provider (HDFS-backed map or RocksDB).
+    state_rows: int = 0
+    state_memory_bytes: int = 0
+    state_rows_dropped_by_watermark: int = 0
 
 
 class MetricsListener(StreamingQueryListener):
@@ -45,6 +52,7 @@ class MetricsListener(StreamingQueryListener):
 
     def onQueryProgress(self, event) -> None:
         p = event.progress
+        ops = p.stateOperators or []
         self.progress.append(
             _Progress(
                 query_id=str(p.id),
@@ -52,6 +60,11 @@ class MetricsListener(StreamingQueryListener):
                 batch_id=p.batchId,
                 num_input_rows=p.numInputRows,
                 batch_duration_ms=(p.durationMs or {}).get("triggerExecution", 0),
+                state_rows=sum(o.numRowsTotal for o in ops),
+                state_memory_bytes=sum(o.memoryUsedBytes for o in ops),
+                state_rows_dropped_by_watermark=sum(
+                    o.numRowsDroppedByWatermark for o in ops
+                ),
             )
         )
 
@@ -62,9 +75,18 @@ class MetricsListener(StreamingQueryListener):
         self.terminated.append(str(event.id))
 
     def to_df(self, spark: SparkSession) -> DataFrame:
-        schema = "query_id string, name string, batch_id long, num_input_rows long, batch_duration_ms long"
+        schema = (
+            "query_id string, name string, batch_id long, "
+            "num_input_rows long, batch_duration_ms long, "
+            "state_rows long, state_memory_bytes long, "
+            "state_rows_dropped_by_watermark long"
+        )
         rows = [
-            (p.query_id, p.name, p.batch_id, p.num_input_rows, p.batch_duration_ms)
+            (
+                p.query_id, p.name, p.batch_id, p.num_input_rows,
+                p.batch_duration_ms, p.state_rows, p.state_memory_bytes,
+                p.state_rows_dropped_by_watermark,
+            )
             for p in self.progress
         ]
         return spark.createDataFrame(rows, schema=schema)

@@ -52,6 +52,14 @@ def _iter_plan_nodes(jplan):
         if cls == "ReusedExchangeExec":
             stack.append(n.child())
             continue
+        if cls == "InMemoryTableScanExec":
+            # A persist() marks the subtree as an InMemoryRelation whose
+            # plan is NOT a child of the scan node — descend explicitly,
+            # or every cached stage (minhash signatures, dup-collapse
+            # groups, pagerank edge lists) becomes a sweep blind spot
+            # (r5 advice: no pinned stage may dodge the sweep).
+            stack.append(n.relation().cachedPlan())
+            continue
         ch = n.children()
         for i in range(ch.size()):
             stack.append(ch.apply(i))
@@ -192,6 +200,14 @@ ALLOWLIST: dict[str, tuple[tuple[str, ...], str]] = {
         "net_assortativity precedent) plus the final merge of four 1-row "
         "partial-aggregated scalars (node/edge/wedge/triangle counts) by "
         "1-row broadcast crossJoins — every build side is exactly one row",
+    ),
+    "net_kcore": (
+        ("BroadcastNestedLoopJoin",),
+        "two 1-row broadcasts: the backbone's exact-percentile cutoff "
+        "(_supplier_backbone) and the median-degree peel threshold — "
+        "both partial-aggregated scalars crossJoined onto key tables "
+        "(the scalar-bounds shape); peel joins themselves are semi "
+        "equi-joins",
     ),
     "net_common_neighbors": (
         ("BroadcastNestedLoopJoin",),
