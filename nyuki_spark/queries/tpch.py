@@ -371,10 +371,14 @@ def _q21_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
     l1's supplier, so the condition is just |late suppliers| == 1. Both
     counts come from ``collect_set(...)`` windows over l_orderkey; the
     window reuses the lineitem-orders join's hash partitioning on the
-    same key, so the plan carries ONE exchange of lineitem + one of the
-    F-filtered orders, then broadcast supplier/nation and a partial-agg
-    count. Per-order set state is bounded by suppliers-per-order (<= 7
-    in TPC-H), skew-safe.
+    same key, so the plan carries ONE exchange of lineitem + a broadcast
+    of the F-filtered orders, then broadcast supplier/nation and a
+    partial-agg count. Per-order set state is bounded by
+    suppliers-per-order (<= 7 in TPC-H), skew-safe. (An A/B against the
+    aggregate-then-join-back form — per-order stats hash-aggregated and
+    broadcast onto map-side late lines — measured 1.08 s vs 0.82 s for
+    this window plan at sf0.1: the 150k-row broadcast build plus the
+    second scan pass cost more than the one exchange + sort they avoid.)
 
     Oracle runs the literal double-correlated form (``_Q21_ORACLE``), so
     the rewrite's equivalence is hash-verified every round.

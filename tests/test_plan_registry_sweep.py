@@ -314,3 +314,15 @@ def test_no_scale_killers(qid, spark, sf_dir):
         f"{qid}: allowlist entries {stale} no longer appear in the plan — "
         f"remove them so the allowlist only shrinks"
     )
+
+
+def test_allowlist_and_intermediates_reference_live_ids():
+    """Hygiene: every ALLOWLIST key and every SWEEP_INTERMEDIATES key must
+    name a registered query — a renamed/removed id would otherwise leave a
+    dead exemption (or a dead barrier-sweep) behind silently."""
+    dead_allow = [q for q in ALLOWLIST if q not in REGISTRY]
+    dead_inter = [q for q in SWEEP_INTERMEDIATES if q not in REGISTRY]
+    assert not dead_allow, f"ALLOWLIST entries for unknown ids: {dead_allow}"
+    assert not dead_inter, (
+        f"SWEEP_INTERMEDIATES entries for unknown ids: {dead_inter}"
+    )

@@ -94,6 +94,13 @@ def test_join_timeout_emits_partial(spark, tmp_path):
     # The listener saw this query start and progress (instance reports).
     assert str(q.id) in listener.started
     assert any(p.num_input_rows > 0 for p in listener.progress)
+    # State-store metrics flow through (r6): the stateful join holds at
+    # least the one pending instance in state on some batch, and the
+    # report surfaces as a queryable table with the state columns.
+    assert any(p.state_rows > 0 for p in listener.progress)
+    mdf = listener.to_df(spark)
+    assert {"state_rows", "state_memory_bytes",
+            "state_rows_dropped_by_watermark"} <= set(mdf.columns)
 
 
 def _has_protobuf() -> bool:
