@@ -1885,3 +1885,107 @@ register(
         "CORR moments"
     ),
 )
+
+
+# -- Theil-Sen robust trend ---------------------------------------------------
+
+# Median-of-pairwise-slopes per metric group: the outlier-robust trend
+# estimator (Theil 1950 / Sen 1968) next to stat_regression's OLS. The
+# pair stage is bounded by the HOURLY ROLLUP's length (time-range^2, not
+# data volume — resample first is the contract, like ts_acf), and hourly
+# means are rounded to 6 dp BEFORE the slope arithmetic so both engines
+# difference identical operands; the median interpolates identical
+# sorted multisets.
+
+register(
+    "ts_theilsen_trend",
+    engine=(
+        "WITH h AS (\n"
+        "  SELECT event_type, DATE_TRUNC('hour', ts) AS hr,\n"
+        "    CAST(ROUND(AVG(value), 6) AS DOUBLE) AS v\n"
+        "  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),\n"
+        "p AS (\n"
+        "  SELECT a.event_type,\n"
+        "    (b.v - a.v) / (CAST(CAST(b.hr AS BIGINT)"
+        " - CAST(a.hr AS BIGINT) AS DOUBLE) / 3600.0) AS slope\n"
+        "  FROM h a JOIN h b\n"
+        "    ON a.event_type = b.event_type AND a.hr < b.hr)\n"
+        "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_pairs,\n"
+        "  CAST(ROUND(PERCENTILE(slope, 0.5), 6) AS DOUBLE)"
+        " AS theil_sen_slope\n"
+        "FROM p GROUP BY event_type ORDER BY event_type"
+    ),
+    oracle=(
+        "WITH h AS (\n"
+        "  SELECT event_type, DATE_TRUNC('hour', ts) AS hr,\n"
+        "    CAST(ROUND(AVG(value), 6) AS DOUBLE) AS v\n"
+        "  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),\n"
+        "p AS (\n"
+        "  SELECT a.event_type,\n"
+        "    (b.v - a.v) / (CAST(EPOCH(b.hr)"
+        " - EPOCH(a.hr) AS DOUBLE) / 3600.0) AS slope\n"
+        "  FROM h a JOIN h b\n"
+        "    ON a.event_type = b.event_type AND a.hr < b.hr)\n"
+        "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_pairs,\n"
+        "  CAST(ROUND(QUANTILE_CONT(slope, 0.5), 6) AS DOUBLE)"
+        " AS theil_sen_slope\n"
+        "FROM p GROUP BY event_type ORDER BY event_type"
+    ),
+    category="timeseries",
+    suite="extension",
+    doc=(
+        "Theil-Sen robust trend per metric group: median of pairwise "
+        "slopes over the hourly-mean series — pair count bounded by "
+        "time-range^2 (resample-first contract), means rounded before "
+        "differencing for cross-engine slope identity"
+    ),
+)
+
+
+# -- day-of-week seasonal profile ---------------------------------------------
+
+# Weekly seasonality index per metric group: per-(type, weekday) mean vs
+# the type's overall mean. Two partial-aggregable passes + a 5-row
+# broadcast join; weekday numbering normalized to Monday=0 on both
+# engines (Spark DAYOFWEEK is 1=Sunday, DuckDB's is 0=Sunday).
+
+register(
+    "ts_dow_profile",
+    engine=(
+        "WITH d AS (\n"
+        "  SELECT event_type, (DAYOFWEEK(ts) + 5) % 7 AS dow, value\n"
+        "  FROM events WHERE value IS NOT NULL),\n"
+        "g AS (SELECT event_type, dow, CAST(COUNT(*) AS BIGINT) AS n,\n"
+        "      AVG(value) AS dow_avg FROM d GROUP BY 1, 2),\n"
+        "t AS (SELECT event_type, AVG(value) AS type_avg FROM d"
+        " GROUP BY 1)\n"
+        "SELECT g.event_type, g.dow, g.n,\n"
+        "  CAST(ROUND(g.dow_avg, 6) AS DOUBLE) AS dow_avg,\n"
+        "  CAST(ROUND(g.dow_avg / t.type_avg, 6) AS DOUBLE)"
+        " AS seasonal_index\n"
+        "FROM g JOIN t ON g.event_type = t.event_type\n"
+        "ORDER BY g.event_type, g.dow"
+    ),
+    oracle=(
+        "WITH d AS (\n"
+        "  SELECT event_type, (DAYOFWEEK(ts) + 6) % 7 AS dow, value\n"
+        "  FROM events WHERE value IS NOT NULL),\n"
+        "g AS (SELECT event_type, dow, CAST(COUNT(*) AS BIGINT) AS n,\n"
+        "      AVG(value) AS dow_avg FROM d GROUP BY 1, 2),\n"
+        "t AS (SELECT event_type, AVG(value) AS type_avg FROM d"
+        " GROUP BY 1)\n"
+        "SELECT g.event_type, CAST(g.dow AS BIGINT) AS dow, g.n,\n"
+        "  CAST(ROUND(g.dow_avg, 6) AS DOUBLE) AS dow_avg,\n"
+        "  CAST(ROUND(g.dow_avg / t.type_avg, 6) AS DOUBLE)"
+        " AS seasonal_index\n"
+        "FROM g JOIN t ON g.event_type = t.event_type\n"
+        "ORDER BY g.event_type, g.dow"
+    ),
+    category="timeseries",
+    suite="extension",
+    doc=(
+        "day-of-week seasonal profile per metric group (Monday=0): "
+        "per-(type, dow) mean and seasonal index vs the type mean — two "
+        "partial aggregates + a type-count-bounded join"
+    ),
+)

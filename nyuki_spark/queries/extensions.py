@@ -2766,3 +2766,43 @@ register(
         "staple); only the day-difference builtin differs by dialect"
     ),
 )
+
+
+# -- distributed bitmap distinct counting -------------------------------------
+
+# The bitmap-index pattern for exact COUNT(DISTINCT) at scale (the
+# ClickHouse/Doris groupBitmap shape, Spark 3.5+ bitmap functions): keys
+# bucket into 32k-bit ranges, each (group, bucket) builds its bitmap in
+# ONE partial-aggregable pass (bitmap_construct_agg is a commutative
+# merge — map-side combine works), and the per-group distinct count is
+# the SUM of per-bucket popcounts. Two cheap aggregates, no expand, no
+# per-group set state proportional to distinct keys in one task — where
+# COUNT(DISTINCT) plans an Expand + re-aggregate, the bitmap form
+# shuffles fixed-width buckets. The oracle is plain COUNT(DISTINCT):
+# the equality IS the correctness claim.
+
+register(
+    "profile_bitmap_distinct",
+    engine=(
+        "SELECT o_orderstatus,\n"
+        "  CAST(SUM(bitmap_count(bm)) AS BIGINT) AS distinct_customers\n"
+        "FROM (\n"
+        "  SELECT o_orderstatus, bitmap_bucket_number(o_custkey) AS bkt,\n"
+        "    bitmap_construct_agg(bitmap_bit_position(o_custkey)) AS bm\n"
+        "  FROM orders GROUP BY 1, 2) b\n"
+        "GROUP BY o_orderstatus ORDER BY o_orderstatus"
+    ),
+    oracle=(
+        "SELECT o_orderstatus,\n"
+        "  CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS distinct_customers\n"
+        "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"
+    ),
+    category="profiling",
+    suite="extension",
+    doc=(
+        "exact distinct customers per order status via the distributed "
+        "bitmap pattern (bucketed bitmap_construct_agg + popcount sum) — "
+        "fixed-width bucket shuffle instead of COUNT(DISTINCT)'s Expand; "
+        "oracle runs the literal COUNT(DISTINCT)"
+    ),
+)

@@ -2113,3 +2113,106 @@ register(
         "10-partition window funnel)"
     ),
 )
+
+
+# -- corpus embedding drift ---------------------------------------------------
+
+
+def _embedding_drift_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centroid drift between two corpus halves (vec_id parity splits —
+    deterministic, engine-independent): the training-data monitoring
+    primitive that flags distribution shift between two ingestion
+    batches. Per-half centroids are ONE (half, dim) partial aggregate
+    over posexploded components (rounded to 6 dp so engine aggregation
+    order can't leak); cosine and L2 between the two 64-dim centroids
+    run as order-pinned zip_with folds over sort_array-packed vectors —
+    the kmeans handoff discipline. Everything after the one exploded
+    aggregate is constant-size (2 x 64)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        (F.col("vec_id") % 2).alias("h"),
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "dim", "val"
+        ),
+    )
+    cent = (
+        e.groupBy("h", "dim")
+        .agg(F.round(F.avg("val"), 6).alias("c"))
+        .groupBy("h")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("dim", "c"))),
+                lambda s: s.getField("c"),
+            ).alias("cv")
+        )
+    )
+    counts = (
+        emb.groupBy((F.col("vec_id") % 2).alias("h"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    a = cent.where(F.col("h") == 0).select(F.col("cv").alias("ca"))
+    b = cent.where(F.col("h") == 1).select(F.col("cv").alias("cb"))
+    na = counts.where(F.col("h") == 0).select(F.col("n").alias("n_even"))
+    nb = counts.where(F.col("h") == 1).select(F.col("n").alias("n_odd"))
+
+    def fold(arr):
+        return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+
+    dot = fold(F.zip_with("ca", "cb", lambda x, y: x * y))
+    n2a = fold(F.transform("ca", lambda x: x * x))
+    n2b = fold(F.transform("cb", lambda x: x * x))
+    l2 = F.sqrt(
+        fold(F.zip_with("ca", "cb", lambda x, y: (x - y) * (x - y)))
+    )
+    return (
+        na.crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(a))
+        .crossJoin(F.broadcast(b))
+        .select(
+            "n_even",
+            "n_odd",
+            F.round(dot / (F.sqrt(n2a) * F.sqrt(n2b)), 6)
+            .cast("double")
+            .alias("centroid_cosine"),
+            F.round(l2, 6).cast("double").alias("centroid_l2"),
+        )
+    )
+
+
+register(
+    "llm_embedding_drift",
+    engine_fn=_embedding_drift_fn,
+    oracle=(
+        "WITH e AS (SELECT vec_id % 2 AS h, embedding::DOUBLE[] AS v"
+        " FROM embeddings),\n"
+        "c AS (SELECT h, u.i AS dim, ROUND(AVG(v[u.i]), 6) AS c\n"
+        "      FROM e, UNNEST(GENERATE_SERIES(1, 64)) AS u(i)"
+        " GROUP BY 1, 2),\n"
+        "p AS (SELECT h, LIST(c ORDER BY dim) AS cv FROM c GROUP BY h),\n"
+        "n AS (SELECT CAST(COUNT(*) FILTER (h = 0) AS BIGINT) AS n_even,\n"
+        "             CAST(COUNT(*) FILTER (h = 1) AS BIGINT) AS n_odd"
+        " FROM e)\n"
+        "SELECT n.n_even, n.n_odd,\n"
+        "  CAST(ROUND(\n"
+        "    LIST_REDUCE(LIST_TRANSFORM(GENERATE_SERIES(1, 64),"
+        " i -> a.cv[i] * b.cv[i]), (x, y) -> x + y)\n"
+        "    / (SQRT(LIST_REDUCE(LIST_TRANSFORM(GENERATE_SERIES(1, 64),"
+        " i -> a.cv[i] * a.cv[i]), (x, y) -> x + y))\n"
+        "     * SQRT(LIST_REDUCE(LIST_TRANSFORM(GENERATE_SERIES(1, 64),"
+        " i -> b.cv[i] * b.cv[i]), (x, y) -> x + y))), 6)"
+        " AS DOUBLE) AS centroid_cosine,\n"
+        "  CAST(ROUND(SQRT(\n"
+        "    LIST_REDUCE(LIST_TRANSFORM(GENERATE_SERIES(1, 64),"
+        " i -> (a.cv[i] - b.cv[i]) * (a.cv[i] - b.cv[i])),"
+        " (x, y) -> x + y)), 6) AS DOUBLE) AS centroid_l2\n"
+        "FROM (SELECT cv FROM p WHERE h = 0) a,"
+        " (SELECT cv FROM p WHERE h = 1) b, n"
+    ),
+    category="llm-similarity",
+    suite="extension",
+    doc=(
+        "corpus embedding drift between vec_id-parity halves: per-half "
+        "centroids from one (half, dim) partial aggregate, order-pinned "
+        "cosine/L2 folds over the 2 x 64 constant-size handoff"
+    ),
+)

@@ -201,6 +201,13 @@ ALLOWLIST: dict[str, tuple[tuple[str, ...], str]] = {
         "partial-aggregated scalars (node/edge/wedge/triangle counts) by "
         "1-row broadcast crossJoins — every build side is exactly one row",
     ),
+    "llm_embedding_drift": (
+        ("BroadcastNestedLoopJoin",),
+        "final merge of four 1-row sides (two half counts, two packed "
+        "64-dim centroid vectors) by 1-row broadcast crossJoins — every "
+        "build side is exactly one row; the only data-sized stage is the "
+        "(half, dim) partial aggregate",
+    ),
     "net_kcore": (
         ("BroadcastNestedLoopJoin",),
         "two 1-row broadcasts: the backbone's exact-percentile cutoff "
