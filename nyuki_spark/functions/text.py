@@ -187,8 +187,17 @@ def word_ngrams(df: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str
     The shingle set is the input to Jaccard / MinHash dedup. Built with a
     sequence+transform (no explode of the raw token array first), then one
     explode — a single narrow pipeline stage before the dedup shuffle.
+
+    The token array is BOUND to a column in its own projection before the
+    transform: HOF lambdas are interpreted, and a lambda referencing the
+    raw ``split()`` EXPRESSION re-evaluates the split once per
+    element_at — O(tokens^2) per document, 3x over for an n=3 gram (the
+    same trap the winnowing rewrite removed; r6: this halved
+    llm_ngram_jaccard's wall time). A bound column reference is a plain
+    array lookup.
     """
-    t = tokens(text_col)
+    base = df.select(F.col(id_col), tokens(text_col).alias("_t"))
+    t = F.col("_t")
     # Guard short docs: Spark's sequence(0, negative) counts DOWN, so gate
     # the gram build on size >= n instead of relying on an empty sequence.
     grams = F.when(
@@ -198,7 +207,7 @@ def word_ngrams(df: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str
             lambda i: F.concat_ws(" ", *[F.element_at(t, i + j + 1) for j in range(n)]),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return df.select(F.col(id_col), F.explode(grams).alias("shingle")).distinct()
+    return base.select(F.col(id_col), F.explode(grams).alias("shingle")).distinct()
 
 
 # PII redaction rules: (tag, pattern, replacement), applied IN ORDER.

@@ -1989,3 +1989,447 @@ register(
         "partial aggregates + a type-count-bounded join"
     ),
 )
+
+
+# -- Gini concentration of customer spend -------------------------------------
+
+
+def _gini_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-customer spend — the revenue-concentration
+    audit (how top-heavy is the customer base). Uses the closed-form
+    rank formula G = 2*sum(rank*x) / (n*sum(x)) - (n+1)/n over spend
+    ranked ascending, with the global rank produced by
+    operators/rank.py's TWO-PHASE bucketed row-number (no global sort,
+    no SinglePartition funnel at scale); per-customer spend is rounded
+    to 2 dp BEFORE ranking so both engines rank identical values, and
+    (spend, custkey) makes the order total. The final statistic is a
+    ratio of partial-aggregable sums, so sub-ulp aggregation-order
+    noise vanishes under the 6-dp round."""
+    from nyuki_spark.operators.rank import global_row_number
+
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("x")
+    )
+    ranked = global_row_number(spend, "x", ["o_custkey"], out="rn")
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.sum("x"), 2).cast("double").alias("total_spend"),
+        F.round(
+            F.lit(2.0) * F.sum(F.col("rn") * F.col("x"))
+            / (F.count(F.lit(1)) * F.sum("x"))
+            - (F.count(F.lit(1)) + F.lit(1.0)) / F.count(F.lit(1)),
+            6,
+        )
+        .cast("double")
+        .alias("gini"),
+    )
+
+
+register(
+    "stat_gini_spend",
+    engine_fn=_gini_fn,
+    oracle=(
+        "WITH s AS (SELECT o_custkey, ROUND(SUM(o_totalprice), 2) AS x\n"
+        "           FROM orders GROUP BY 1),\n"
+        "r AS (SELECT x, ROW_NUMBER() OVER (ORDER BY x, o_custkey) AS rn"
+        " FROM s)\n"
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,\n"
+        "  CAST(ROUND(SUM(x), 2) AS DOUBLE) AS total_spend,\n"
+        "  CAST(ROUND(2.0 * SUM(rn * x) / (COUNT(*) * SUM(x))\n"
+        "    - (COUNT(*) + 1.0) / COUNT(*), 6) AS DOUBLE) AS gini\n"
+        "FROM r"
+    ),
+    category="statistics",
+    suite="extension",
+    doc=(
+        "Gini coefficient of per-customer spend via the rank closed form "
+        "— global rank from the two-phase bucketed row-number "
+        "(operators/rank.py), no global sort; revenue-concentration audit"
+    ),
+)
+
+
+# -- burst detection over hourly event counts ---------------------------------
+
+# Trailing-window z-score burst detector: an hour is a burst when its
+# count exceeds the prior 24 full hours' mean by > 3 sigma. The frame
+# moments are INTEGER window sums (SUM(n), SUM(n*n), COUNT — exact in
+# any accumulation order), so mu/sd/z derive from bit-identical operands
+# on both engines and the z > 3 cut is safe at the boundary — the same
+# exact-integer discipline as stat_ks_test's CDF counts.
+
+register(
+    "ts_burst_zscore",
+    engine=(
+        "WITH h AS (\n"
+        "  SELECT event_type, DATE_TRUNC('hour', ts) AS hr,\n"
+        "    CAST(COUNT(*) AS BIGINT) AS n\n"
+        "  FROM events GROUP BY 1, 2),\n"
+        "w AS (\n"
+        "  SELECT event_type, hr, n,\n"
+        "    SUM(n) OVER fr AS s1, SUM(n * n) OVER fr AS s2,\n"
+        "    COUNT(*) OVER fr AS wn\n"
+        "  FROM h\n"
+        "  WINDOW fr AS (PARTITION BY event_type ORDER BY hr\n"
+        "    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))\n"
+        "SELECT event_type, hr, n,\n"
+        "  CAST(ROUND((n - CAST(s1 AS DOUBLE) / wn)\n"
+        "    / SQRT((s2 - CAST(s1 AS DOUBLE) * s1 / wn) / (wn - 1)), 6)"
+        " AS DOUBLE) AS z\n"
+        "FROM w\n"
+        "WHERE wn = 24 AND s2 * wn > s1 * s1\n"
+        "  AND (n - CAST(s1 AS DOUBLE) / wn)\n"
+        "    / SQRT((s2 - CAST(s1 AS DOUBLE) * s1 / wn) / (wn - 1)) > 3\n"
+        "ORDER BY event_type, hr"
+    ),
+    oracle=(
+        "WITH h AS (\n"
+        "  SELECT event_type, DATE_TRUNC('hour', ts) AS hr,\n"
+        "    CAST(COUNT(*) AS BIGINT) AS n\n"
+        "  FROM events GROUP BY 1, 2),\n"
+        "w AS (\n"
+        "  SELECT event_type, hr, n,\n"
+        "    CAST(SUM(n) OVER fr AS BIGINT) AS s1,\n"
+        "    CAST(SUM(n * n) OVER fr AS BIGINT) AS s2,\n"
+        "    COUNT(*) OVER fr AS wn\n"
+        "  FROM h\n"
+        "  WINDOW fr AS (PARTITION BY event_type ORDER BY hr\n"
+        "    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))\n"
+        "SELECT event_type, hr, n,\n"
+        "  CAST(ROUND((n - CAST(s1 AS DOUBLE) / wn)\n"
+        "    / SQRT((s2 - CAST(s1 AS DOUBLE) * s1 / wn) / (wn - 1)), 6)"
+        " AS DOUBLE) AS z\n"
+        "FROM w\n"
+        "WHERE wn = 24 AND s2 * wn > s1 * s1\n"
+        "  AND (n - CAST(s1 AS DOUBLE) / wn)\n"
+        "    / SQRT((s2 - CAST(s1 AS DOUBLE) * s1 / wn) / (wn - 1)) > 3\n"
+        "ORDER BY event_type, hr"
+    ),
+    category="timeseries",
+    suite="extension",
+    doc=(
+        "trailing-24h z-score burst detection on hourly counts per type: "
+        "integer window moments (exact in any order) make the 3-sigma "
+        "cut engine-stable; type-partitioned ROWS frames, no global sort"
+    ),
+)
+
+
+# -- Mann-Whitney U rank-sum test ----------------------------------------------
+
+
+def _mann_whitney_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Mann-Whitney U test (click vs purchase values): the
+    rank-sum companion to stat_ks_test's CDF distance and
+    stat_welch_ttest's mean test — the nonparametric A/B workhorse.
+
+    Scale shape is stat_ks_test's TWO-PHASE rank: per-distinct-value
+    counts first (one partial-agg shuffle), 32 equi-width buckets from a
+    1-row broadcast bounds row, bucket-level prefix offsets over the
+    32-row bucket table (the only single-partition step — bounded by the
+    bucket count), then within-bucket running sums. Tie-averaged ranks
+    come from the exclusive running total: avg_rank(v) = cum_before(v)
+    + (c(v) + 1)/2 — an exact x.5 double, so R1 = sum(c1 * avg_rank),
+    U, and the tie term sum(c^3 - c) are all exact-integer-operand
+    arithmetic in any accumulation order; only the final z is rounded.
+    """
+    n_b = 32
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "purchase")
+        & F.col("value").isNotNull()
+    )
+    cnt = ev.groupBy("value").agg(
+        F.sum((F.col("event_type") == "click").cast("long")).alias("c1"),
+        F.sum((F.col("event_type") == "purchase").cast("long")).alias("c2"),
+    )
+    bounds = cnt.agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
+    bucketed = cnt.crossJoin(F.broadcast(bounds)).select(
+        "value",
+        "c1",
+        "c2",
+        (F.col("c1") + F.col("c2")).alias("c"),
+        F.when(F.col("mx") == F.col("mn"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.lit(n_b - 1),
+                F.floor(
+                    (F.col("value") - F.col("mn"))
+                    / ((F.col("mx") - F.col("mn")) / n_b)
+                ),
+            )
+        )
+        .cast("int")
+        .alias("b"),
+    )
+    bcnt = bucketed.groupBy("b").agg(F.sum("c").alias("t"))
+    wb = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    offs = bcnt.select(
+        "b", F.coalesce(F.sum("t").over(wb), F.lit(0)).alias("off")
+    )
+    wv = (
+        Window.partitionBy("b")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = (
+        bucketed.join(F.broadcast(offs), "b")
+        .select(
+            "c1",
+            "c2",
+            "c",
+            (
+                F.col("off")
+                + F.coalesce(F.sum("c").over(wv), F.lit(0))
+                + (F.col("c") + 1) / 2.0
+            ).alias("avg_rank"),
+        )
+    )
+    s = ranked.agg(
+        F.sum("c1").alias("n1"),
+        F.sum("c2").alias("n2"),
+        F.sum(F.col("c1") * F.col("avg_rank")).alias("r1"),
+        F.sum(F.col("c") * F.col("c") * F.col("c") - F.col("c")).alias("tie"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    nn = n1 + n2
+    u1 = F.col("r1") - n1 * (n1 + 1) / 2.0
+    var = (
+        n1 * n2 / 12.0
+        * ((nn + 1) - F.col("tie") / (nn * (nn - F.lit(1.0))))
+    )
+    return s.select(
+        n1.cast("long").alias("n1"),
+        n2.cast("long").alias("n2"),
+        u1.cast("double").alias("u1"),
+        F.round((u1 - n1 * n2 / 2.0) / F.sqrt(var), 6)
+        .cast("double")
+        .alias("z"),
+    )
+
+
+register(
+    "stat_mann_whitney",
+    engine_fn=_mann_whitney_fn,
+    oracle=(
+        "WITH p AS (\n"
+        "  SELECT value, event_type = 'click' AS is1 FROM events\n"
+        "  WHERE event_type IN ('click', 'purchase')"
+        " AND value IS NOT NULL),\n"
+        "g AS (\n"
+        "  SELECT value,\n"
+        "    SUM(CASE WHEN is1 THEN 1 ELSE 0 END) AS c1,\n"
+        "    SUM(CASE WHEN is1 THEN 0 ELSE 1 END) AS c2\n"
+        "  FROM p GROUP BY value),\n"
+        "r AS (\n"
+        "  SELECT c1, c2, c1 + c2 AS c,\n"
+        "    COALESCE(SUM(c1 + c2) OVER (ORDER BY value\n"
+        "      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)\n"
+        "      + (c1 + c2 + 1) / 2.0 AS avg_rank\n"
+        "  FROM g),\n"
+        "s AS (SELECT SUM(c1) AS n1, SUM(c2) AS n2,\n"
+        "  SUM(c1 * avg_rank) AS r1,\n"
+        "  SUM(c * c * c - c) AS tie FROM r)\n"
+        "SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,\n"
+        "  CAST(r1 - n1 * (n1 + 1) / 2.0 AS DOUBLE) AS u1,\n"
+        "  CAST(ROUND((r1 - n1 * (n1 + 1) / 2.0 - n1 * n2 / 2.0)\n"
+        "    / SQRT(n1 * n2 / 12.0 * ((n1 + n2 + 1)\n"
+        "      - tie / ((n1 + n2) * (n1 + n2 - 1.0)))), 6) AS DOUBLE)"
+        " AS z\n"
+        "FROM s"
+    ),
+    category="statistics",
+    suite="extension",
+    doc=(
+        "Mann-Whitney U rank-sum test (click vs purchase): two-phase "
+        "tie-averaged ranks (32-bucket partials + bounded offset merge), "
+        "exact-integer rank arithmetic, tie-corrected normal z"
+    ),
+)
+
+
+# -- Poisson bootstrap confidence interval -------------------------------------
+
+# Cumulative Poisson(1) CDF thresholds for the inverse-CDF weight draw:
+# P(X <= k) for k = 0..7; a uniform u maps to the smallest k with
+# u < cdf[k] (else 8). Literal doubles, identical on both engines.
+_POIS1_CDF = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.9999167588507119,
+    0.9999897508033253,
+)
+
+
+def _bootstrap_ci_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap confidence interval for mean order price — THE
+    resampling method that distributes: classical bootstrap needs n draws
+    from n rows (a global shuffle per replicate), while Poisson bootstrap
+    gives every row an independent Poisson(1) weight per replicate, so
+    all 32 replicates are ONE map-side pass + a 32-key partial aggregate,
+    embarrassingly parallel at any scale.
+
+    Determinism + parity: the uniform is a pure-arithmetic LCG hash of
+    (o_orderkey, rep) — identical BIGINT math on both engines (the
+    orderkey is folded mod 2^32 first so the product stays under 2^63;
+    a production run over wider keys would swap in xxhash64) — mapped
+    through literal Poisson(1) CDF thresholds. Weighted sums run over
+    integer CENTS (exact in any accumulation order); each replicate mean
+    is rounded to 6 dp before the order statistics, so the sorted
+    replicate vector is bit-identical cross-engine. The 93.75% CI is the
+    2nd/31st order statistic of 32 replicate means (no interpolated
+    percentile — order statistics can't drift)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    reps = orders.select(
+        "o_orderkey",
+        "cents",
+        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("rep"),
+    )
+    h = F.pmod(
+        F.pmod(F.col("o_orderkey"), F.lit(4294967296))
+        * F.lit(1103515245)
+        + F.col("rep") * F.lit(40503)
+        + F.lit(12345),
+        F.lit(4294967296),
+    )
+    u = h / F.lit(4294967296.0)
+    w = F.when(u < _POIS1_CDF[0], 0)
+    for k, c in enumerate(_POIS1_CDF[1:], start=1):
+        w = w.when(u < c, k)
+    w = w.otherwise(8).cast("long")
+    per_rep = (
+        reps.select("rep", (w * F.col("cents")).alias("wx"), w.alias("w"))
+        .groupBy("rep")
+        .agg(
+            F.round(F.sum("wx") / (F.lit(100.0) * F.sum("w")), 6).alias(
+                "mean"
+            )
+        )
+    )
+    means = F.sort_array(F.collect_list("mean"))
+    return per_rep.agg(
+        F.count(F.lit(1)).alias("n_reps"),
+        F.round(F.avg("mean"), 6).cast("double").alias("boot_mean"),
+        F.element_at(means, 2).cast("double").alias("ci_lo"),
+        F.element_at(means, 31).cast("double").alias("ci_hi"),
+    )
+
+
+register(
+    "stat_bootstrap_ci",
+    engine_fn=_bootstrap_ci_fn,
+    oracle=(
+        "WITH o AS (SELECT o_orderkey,\n"
+        "    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents"
+        " FROM orders),\n"
+        "r AS (SELECT o_orderkey, cents, i AS rep\n"
+        "  FROM o, UNNEST(RANGE(0, 32)) AS t(i)),\n"
+        "v AS (SELECT rep, cents,\n"
+        "    (((o_orderkey % 4294967296) * 1103515245\n"
+        "      + rep * 40503 + 12345) % 4294967296)"
+        " / 4294967296.0 AS u\n"
+        "  FROM r),\n"
+        "k AS (SELECT rep, cents, CASE\n"
+        "    WHEN u < 0.36787944117144233 THEN 0\n"
+        "    WHEN u < 0.7357588823428847 THEN 1\n"
+        "    WHEN u < 0.9196986029286058 THEN 2\n"
+        "    WHEN u < 0.9810118431238462 THEN 3\n"
+        "    WHEN u < 0.9963401531726563 THEN 4\n"
+        "    WHEN u < 0.9994058151824183 THEN 5\n"
+        "    WHEN u < 0.9999167588507119 THEN 6\n"
+        "    WHEN u < 0.9999897508033253 THEN 7\n"
+        "    ELSE 8 END AS w\n"
+        "  FROM v),\n"
+        "m AS (SELECT rep,\n"
+        "    ROUND(SUM(w * cents) / (100.0 * SUM(w)), 6) AS mean\n"
+        "  FROM k GROUP BY rep)\n"
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_reps,\n"
+        "  CAST(ROUND(AVG(mean), 6) AS DOUBLE) AS boot_mean,\n"
+        "  CAST(LIST_SORT(LIST(mean))[2] AS DOUBLE) AS ci_lo,\n"
+        "  CAST(LIST_SORT(LIST(mean))[31] AS DOUBLE) AS ci_hi\n"
+        "FROM m"
+    ),
+    category="statistics",
+    suite="extension",
+    doc=(
+        "Poisson-bootstrap CI for mean order price: per-(row, rep) "
+        "Poisson(1) weights from a deterministic LCG hash — 32 "
+        "replicates in one map pass + a 32-key partial aggregate (no "
+        "per-replicate shuffle); integer-cents sums, order-statistic CI"
+    ),
+)
+
+
+# -- additive trend/seasonal/residual decomposition ----------------------------
+
+# STL-style additive decomposition of the daily count series per metric
+# group: trend = centered 7-day moving average (full frames only, so the
+# edge days drop out), seasonal = day-of-week mean of the detrended
+# series, residual = the rest. Cross-engine determinism is all integer
+# discipline: the window carries the INTEGER 7-day sum s (exact in any
+# accumulation order), trend = s/7.0 is one correctly-rounded division,
+# and the seasonal mean is algebraically collapsed to
+# (7*SUM(n) - SUM(s)) / (7.0 * COUNT(*)) — exact BIGINT operands, one
+# division — instead of AVG(n - s/7.0), whose order-dependent double
+# accumulation flipped a 6-dp boundary in testing. Weekday numbering is
+# normalized to Monday=0 (Spark DAYOFWEEK is 1=Sunday, DuckDB's is
+# 0=Sunday — the ts_dow_profile recipe). All windows are
+# type-partitioned ROWS frames over the daily ROLLUP (resample-first
+# contract, like ts_acf) — no global sort, no single-partition funnel.
+
+_STL_SELECT = (
+    "SELECT t.event_type, CAST(t.day AS DATE) AS day, t.n,\n"
+    "  CAST(ROUND(t.s / 7.0, 6) AS DOUBLE) AS trend,\n"
+    "  CAST(s.seasonal AS DOUBLE) AS seasonal,\n"
+    "  CAST(ROUND(t.n - t.s / 7.0 - s.seasonal, 6) AS DOUBLE)"
+    " AS residual\n"
+    "FROM t JOIN s ON t.event_type = s.event_type AND {dow_t} = s.dow\n"
+    "WHERE t.s IS NOT NULL\n"
+    "ORDER BY t.event_type, t.day"
+)
+
+_STL_BODY = (
+    "WITH d AS (\n"
+    "  SELECT event_type, DATE_TRUNC('day', ts) AS day,\n"
+    "    CAST(COUNT(*) AS BIGINT) AS n\n"
+    "  FROM events GROUP BY 1, 2),\n"
+    "t AS (\n"
+    "  SELECT event_type, day, n,\n"
+    "    CASE WHEN COUNT(*) OVER fr = 7\n"
+    "      THEN CAST(SUM(n) OVER fr AS BIGINT) END AS s\n"
+    "  FROM d\n"
+    "  WINDOW fr AS (PARTITION BY event_type ORDER BY day\n"
+    "    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),\n"
+    "s AS (\n"
+    "  SELECT event_type, {dow} AS dow,\n"
+    "    ROUND((7.0 * SUM(n) - SUM(s)) / (7.0 * COUNT(*)), 6)"
+    " AS seasonal\n"
+    "  FROM t WHERE s IS NOT NULL GROUP BY 1, 2)\n"
+)
+
+register(
+    "ts_stl_decompose",
+    engine=(
+        _STL_BODY.format(dow="(DAYOFWEEK(day) + 5) % 7")
+        + _STL_SELECT.format(dow_t="(DAYOFWEEK(t.day) + 5) % 7")
+    ),
+    oracle=(
+        _STL_BODY.format(dow="(DAYOFWEEK(day) + 6) % 7")
+        + _STL_SELECT.format(dow_t="(DAYOFWEEK(t.day) + 6) % 7")
+    ),
+    category="timeseries",
+    suite="extension",
+    doc=(
+        "STL-style additive decomposition of daily counts per type: "
+        "centered 7-day MA trend (exact integer sums), Monday=0 "
+        "day-of-week seasonal means, 6-dp-pinned residuals — "
+        "type-partitioned ROWS frames over the daily rollup"
+    ),
+)

@@ -2216,3 +2216,150 @@ register(
         "cosine/L2 folds over the 2 x 64 constant-size handoff"
     ),
 )
+
+
+# -- shingle novelty curve ---------------------------------------------------
+
+
+def _shingle_novelty_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty: the fraction of a doc's 3-gram shingles that
+    no EARLIER doc (smaller doc_id = ingestion order) contains — the
+    curation signal for "is this batch still adding new content, or
+    re-crawling what we have". Plan: one shingle aggregate finds each
+    shingle's first-seen doc (partial map-side min), one join back per
+    (doc, shingle) row, one per-doc aggregate. No pair join anywhere —
+    cost tracks the shingle table, linear in corpus size."""
+    from nyuki_spark.functions.text import word_ngrams
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = word_ngrams(docs, n=3)
+    first = grams.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        grams.join(first, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(
+                (F.col("doc_id") == F.col("first_doc")).cast("long")
+            ).alias("novel"),
+        )
+    )
+    return (
+        per_doc.select(
+            "doc_id",
+            "n_shingles",
+            "novel",
+            F.round(F.col("novel") / F.col("n_shingles"), 6)
+            .cast("double")
+            .alias("novelty"),
+        )
+        .orderBy("doc_id")
+        .limit(100)
+    )
+
+
+register(
+    "llm_shingle_novelty",
+    engine_fn=_shingle_novelty_fn,
+    oracle=(
+        "WITH shd AS (\n"
+        "  SELECT DISTINCT doc_id, arr[i] || ' ' || arr[i+1] || ' ' ||"
+        " arr[i+2] AS s\n"
+        "  FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS arr"
+        " FROM documents),\n"
+        "       UNNEST(RANGE(1, GREATEST(LEN(arr) - 1, 1))) AS t(i)\n"
+        "), f AS (SELECT s, MIN(doc_id) AS first_doc FROM shd GROUP BY s)\n"
+        "SELECT shd.doc_id,\n"
+        "  CAST(COUNT(*) AS BIGINT) AS n_shingles,\n"
+        "  CAST(SUM(CASE WHEN shd.doc_id = f.first_doc THEN 1 ELSE 0 END)"
+        " AS BIGINT) AS novel,\n"
+        "  CAST(ROUND(SUM(CASE WHEN shd.doc_id = f.first_doc THEN 1"
+        " ELSE 0 END)\n"
+        "    / CAST(COUNT(*) AS DOUBLE), 6) AS DOUBLE) AS novelty\n"
+        "FROM shd JOIN f USING (s)\n"
+        "GROUP BY shd.doc_id ORDER BY shd.doc_id LIMIT 100"
+    ),
+    category="llm-dedup",
+    suite="extension",
+    doc=(
+        "per-doc shingle novelty vs all earlier docs (first-seen "
+        "aggregate + join back): the is-this-batch-new curation curve — "
+        "linear in the shingle table, no pair join"
+    ),
+)
+
+
+# -- cross-source shingle overlap ---------------------------------------------
+
+
+def _source_overlap_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination profile: for each source, the fraction
+    of its distinct 3-gram shingles that also appear in at least one
+    OTHER source — the "are my crawls re-collecting each other" monitor
+    that decides which source to deprioritize. Plan: one distinct
+    (source, shingle) projection of the shingle table, one per-shingle
+    source-count aggregate, one join back, one per-source rollup — every
+    stage a hash equi-join/aggregate linear in the shingle table, no
+    pair join (the same no-pairs discipline as llm_shingle_novelty)."""
+    from nyuki_spark.functions.text import word_ngrams
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = word_ngrams(docs, n=3)
+    src = (
+        grams.join(docs.select("doc_id", "source"), "doc_id")
+        .select("source", "shingle")
+        .distinct()
+    )
+    ns = src.groupBy("shingle").agg(
+        F.countDistinct("source").alias("ns")
+    )
+    return (
+        src.join(ns, "shingle")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum((F.col("ns") > 1).cast("long")).alias("shared"),
+        )
+        .select(
+            "source",
+            "n_shingles",
+            "shared",
+            F.round(F.col("shared") / F.col("n_shingles"), 6)
+            .cast("double")
+            .alias("overlap"),
+        )
+        .orderBy("source")
+    )
+
+
+register(
+    "llm_source_overlap",
+    engine_fn=_source_overlap_fn,
+    oracle=(
+        "WITH shd AS (\n"
+        "  SELECT DISTINCT doc_id, arr[i] || ' ' || arr[i+1] || ' ' ||"
+        " arr[i+2] AS s\n"
+        "  FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS arr"
+        " FROM documents),\n"
+        "       UNNEST(RANGE(1, GREATEST(LEN(arr) - 1, 1))) AS t(i)\n"
+        "), ss AS (\n"
+        "  SELECT DISTINCT d.source, shd.s\n"
+        "  FROM shd JOIN documents d USING (doc_id)\n"
+        "), ns AS (SELECT s, COUNT(DISTINCT source) AS ns FROM ss"
+        " GROUP BY s)\n"
+        "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_shingles,\n"
+        "  CAST(SUM(CASE WHEN ns.ns > 1 THEN 1 ELSE 0 END) AS BIGINT)"
+        " AS shared,\n"
+        "  CAST(ROUND(SUM(CASE WHEN ns.ns > 1 THEN 1 ELSE 0 END)\n"
+        "    / CAST(COUNT(*) AS DOUBLE), 6) AS DOUBLE) AS overlap\n"
+        "FROM ss JOIN ns USING (s)\n"
+        "GROUP BY source ORDER BY source"
+    ),
+    category="llm-dedup",
+    suite="extension",
+    doc=(
+        "per-source fraction of distinct 3-gram shingles shared with any "
+        "other source: cross-crawl contamination profile — distinct "
+        "projection + per-shingle source count, linear in the shingle table"
+    ),
+)

@@ -68,7 +68,7 @@ def _cells_hashable(pdf: pd.DataFrame) -> str | None:
 
 
 def main() -> int:
-    out_path = sys.argv[1] if len(sys.argv) > 1 else "CORRECTNESS_full_r04.json"
+    out_path = sys.argv[1] if len(sys.argv) > 1 else "CORRECTNESS_full_latest.json"
     sf_dir = os.environ.get("NYUKI_TEST_SF_DIR", "/root/testdata/sf0.01")
     spark = get_session("nyuki-correctness-full", master="local[*]")
     duck = duckdb.connect()

@@ -274,6 +274,13 @@ ALLOWLIST: dict[str, tuple[tuple[str, ...], str]] = {
         "prefix window over the 32-row bucket table (compile-time bucket "
         "count), never data rows — the two-phase rank.py shape",
     ),
+    "stat_mann_whitney": (
+        ("BroadcastNestedLoopJoin", "Exchange SinglePartition"),
+        "BNLJ = the 1-row value-bounds broadcast; SinglePartition = the "
+        "bucket-offset prefix window over the 32-row bucket table "
+        "(compile-time bucket count), never data rows — identical "
+        "two-phase shape to stat_ks_test",
+    ),
     "stat_benford": (
         ("Exchange SinglePartition",),
         "the OVER () grand-total window consumes the 9-row digit "
@@ -285,6 +292,14 @@ ALLOWLIST: dict[str, tuple[tuple[str, ...], str]] = {
         "global_row_number's offset merge: SinglePartition only ever "
         "consumes the num_buckets-row bucket-size table (operators/"
         "rank.py), never data rows — same bounded shape as win_rank",
+    ),
+    "stat_gini_spend": (
+        ("Exchange SinglePartition",),
+        "global_row_number's size-adaptive rank (operators/rank.py): at "
+        "fixture scale the input fits one 32 MB bucket so the plain "
+        "windowed plan runs (SinglePartition over a bounded input); at "
+        "scale the two-phase plan's SinglePartition only consumes the "
+        "n_buckets-row offset table — the win_rank shape",
     ),
     "win_rank": (
         ("Exchange SinglePartition",),
