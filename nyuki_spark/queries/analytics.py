@@ -2433,3 +2433,184 @@ register(
         "type-partitioned ROWS frames over the daily rollup"
     ),
 )
+
+
+# -- KMV distinct sketch -------------------------------------------------------
+
+
+def _kmv_distinct_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values distinct sketch (Bar-Yossef et al. RANDOM'02) of
+    users per event type, next to the exact count — the MERGEABLE
+    distinct estimator whose sketch union is just "k smallest of the
+    parts' k-smallest", i.e. a partial-aggregable top-k: the pattern a
+    100 TB pipeline uses where exact COUNT(DISTINCT)'s Expand shuffle
+    won't fly and HyperLogLog's register layout isn't portable across
+    engines. Unlike HLL this sketch is DETERMINISTIC given the hash, so
+    the estimate itself is oracle-checkable bit-for-bit: the hash is the
+    repo's portable 60-bit md5 (functions.text.token_hash60 recipe —
+    identical in Spark and DuckDB), the k-th minimum is found by a
+    type-partitioned row_number (parallel across groups; two-phase at
+    scale like operators/rank.py), and the estimate (k-1)/hk with hk
+    normalized by 2^60 divides exactly-representable operands (63*2^60
+    has 6 significant bits). Groups with fewer than k distinct hashes
+    report the exact sketch size."""
+    k = 64
+    ev = load_table(spark, sf_dir, "events")
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+    dh = ev.select("event_type", h.alias("h")).distinct()
+    w = Window.partitionBy("event_type").orderBy("h")
+    per = (
+        dh.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .groupBy("event_type")
+        .agg(F.max("h").alias("hk"), F.count(F.lit(1)).alias("kk"))
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    est = F.when(F.col("kk") < k, F.col("kk").cast("double")).otherwise(
+        F.lit(float(k - 1)) * F.lit(2**60) / F.col("hk")
+    )
+    return (
+        per.join(exact, "event_type")
+        .select(
+            "event_type",
+            "exact_distinct",
+            F.round(est, 4).cast("double").alias("kmv_estimate"),
+        )
+        .orderBy("event_type")
+    )
+
+
+register(
+    "stat_kmv_distinct",
+    engine_fn=_kmv_distinct_fn,
+    oracle=(
+        "WITH dh AS (\n"
+        "  SELECT DISTINCT event_type,\n"
+        "    ('0x' || SUBSTR(MD5(CAST(user_id AS VARCHAR)), 1, 15))"
+        "::BIGINT AS h\n"
+        "  FROM events),\n"
+        "tk AS (\n"
+        "  SELECT event_type, h FROM dh\n"
+        "  QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type"
+        " ORDER BY h) <= 64),\n"
+        "p AS (SELECT event_type, MAX(h) AS hk, COUNT(*) AS kk"
+        " FROM tk GROUP BY 1),\n"
+        "e AS (SELECT event_type, COUNT(DISTINCT user_id)"
+        " AS exact_distinct FROM events GROUP BY 1)\n"
+        "SELECT p.event_type,\n"
+        "  CAST(e.exact_distinct AS BIGINT) AS exact_distinct,\n"
+        "  CAST(ROUND(CASE WHEN kk < 64 THEN CAST(kk AS DOUBLE)\n"
+        "    ELSE 63.0 * 1152921504606846976 / hk END, 4) AS DOUBLE)"
+        " AS kmv_estimate\n"
+        "FROM p JOIN e USING (event_type) ORDER BY p.event_type"
+    ),
+    category="statistics",
+    suite="extension",
+    doc=(
+        "k-minimum-values distinct sketch per event type vs the exact "
+        "count: portable 60-bit md5 hash, type-partitioned k-th minimum, "
+        "deterministic (k-1)/hk estimate — the mergeable distinct "
+        "estimator (sketch union = top-k of partial top-k's), "
+        "hash-verified bit-for-bit unlike HLL"
+    ),
+)
+
+
+# -- rolling correlation of two metric series ----------------------------------
+
+# Trailing-24h Pearson correlation between hourly click and purchase
+# counts: the co-movement monitor next to ts_burst_zscore's univariate
+# spike detector. One conditional aggregate builds the joint hourly
+# series (no self-join), and every window moment (n, Σx, Σy, Σxy, Σx²,
+# Σy²) is an INTEGER sum — exact in any accumulation order — so the
+# correlation is derived from bit-identical operands on both engines and
+# the 6-dp round is a formality. Full 24-row frames only; zero-variance
+# frames are excluded on both sides (same guard discipline as
+# ts_burst_zscore).
+
+_ROLLCORR_SQL = (
+    "WITH h AS (\n"
+    "  SELECT DATE_TRUNC('hour', ts) AS hr,\n"
+    "    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)"
+    " AS BIGINT) AS x,\n"
+    "    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)"
+    " AS BIGINT) AS y\n"
+    "  FROM events GROUP BY 1),\n"
+    "w AS (\n"
+    "  SELECT hr,\n"
+    "    COUNT(*) OVER fr AS n,\n"
+    "    CAST(SUM(x) OVER fr AS BIGINT) AS sx,\n"
+    "    CAST(SUM(y) OVER fr AS BIGINT) AS sy,\n"
+    "    CAST(SUM(x * y) OVER fr AS BIGINT) AS sxy,\n"
+    "    CAST(SUM(x * x) OVER fr AS BIGINT) AS sxx,\n"
+    "    CAST(SUM(y * y) OVER fr AS BIGINT) AS syy\n"
+    "  FROM h\n"
+    "  WINDOW fr AS (ORDER BY hr"
+    " ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))\n"
+    "SELECT hr,\n"
+    "  CAST(ROUND((n * sxy - sx * sy)\n"
+    "    / SQRT(CAST(n * sxx - sx * sx AS DOUBLE)"
+    " * (n * syy - sy * sy)), 6) AS DOUBLE) AS roll_corr\n"
+    "FROM w\n"
+    "WHERE n = 24 AND n * sxx > sx * sx AND n * syy > sy * sy\n"
+    "ORDER BY hr"
+)
+
+register(
+    "ts_rolling_corr",
+    engine=_ROLLCORR_SQL,
+    oracle=_ROLLCORR_SQL,
+    category="timeseries",
+    suite="extension",
+    doc=(
+        "trailing-24h Pearson correlation between hourly click and "
+        "purchase counts: conditional aggregate joint series (no "
+        "self-join), exact integer window moments, engine-stable ratio. "
+        "NOTE: the hourly rollup is one global series, so the frame "
+        "window is a bounded single partition (time-range rows, not "
+        "data rows — the resample-first contract of ts_acf)"
+    ),
+)
+
+
+# -- per-user behavioral entropy -----------------------------------------------
+
+# Shannon entropy of each user's event-type mix: the behavioral-
+# diversity score (bots score ~0, organic users near log2(5)).
+# Counts are exact integers; each term p*log2(p) is computed from
+# identical operands on both engines and the <= 5-term sum's
+# accumulation-order noise (~1 ulp) vanishes under the 6-dp round.
+
+_UENTROPY_SQL = (
+    "WITH c AS (\n"
+    "  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n\n"
+    "  FROM events GROUP BY 1, 2),\n"
+    "t AS (SELECT user_id, CAST(SUM(n) AS BIGINT) AS tot FROM c"
+    " GROUP BY 1)\n"
+    "SELECT c.user_id, t.tot AS n_events,\n"
+    "  CAST(COUNT(*) AS BIGINT) AS n_types,\n"
+    "  CAST(ROUND(-SUM(CASE WHEN c.n = t.tot THEN 0.0\n"
+    "    ELSE (CAST(c.n AS DOUBLE) / t.tot)"
+    " * LOG2(CAST(c.n AS DOUBLE) / t.tot) END), 6) AS DOUBLE)"
+    " AS entropy\n"
+    "FROM c JOIN t ON c.user_id = t.user_id\n"
+    "GROUP BY c.user_id, t.tot\n"
+    "ORDER BY c.user_id LIMIT 100"
+)
+
+register(
+    "stat_user_entropy",
+    engine=_UENTROPY_SQL,
+    oracle=_UENTROPY_SQL,
+    category="statistics",
+    suite="extension",
+    doc=(
+        "Shannon entropy of each user's event-type mix (behavioral "
+        "diversity / bot score): two partial aggregates + a per-user "
+        "key join, exact integer counts, 6-dp-pinned <= 5-term entropy"
+    ),
+)

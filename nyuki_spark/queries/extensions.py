@@ -2806,3 +2806,93 @@ register(
         "oracle runs the literal COUNT(DISTINCT)"
     ),
 )
+
+
+# -- chained stateful operators: stream-stream join -> windowed aggregate ------
+#
+# The multi-stateful-operator pipeline (Spark 3.4+): view->purchase
+# attribution through StreamingSymmetricHashJoin feeding a watermarked
+# tumbling aggregate, all in ONE append-mode streaming query — the shape
+# real attribution pipelines run (join raw streams, roll up, emit each
+# hour exactly once). The flush sentinel must advance the watermark
+# THROUGH the event-type filters (deterministic filters get pushed below
+# the EventTimeWatermark node, so a '__flush__' type would be dropped
+# before the watermark sees it — the _live_append lesson); instead the
+# replay appends one far-future 'view' and one far-future 'purchase' row
+# for user -1: they pass the filters, advance both join inputs'
+# watermarks, join only with each other, and land in a window that never
+# closes — so they are never emitted, and every REAL window is.
+
+
+def _stream_join_agg_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime
+
+    events = load_table(spark, sf_dir, "events")
+    scratch = tempfile.mkdtemp(prefix="nyuki-live-")
+    try:
+        mx = events.agg(F.max("ts")).head()[0]
+        fts = mx + datetime.timedelta(days=80)
+        flush = spark.createDataFrame(
+            [
+                (-1, fts, -1, "view", 0.0, "{}"),
+                (-2, fts, -1, "purchase", 0.0, "{}"),
+            ],
+            events.schema,
+        )
+        sdf = replay_stream(
+            spark, events, n_chunks=4, scratch_dir=scratch, flush_df=flush
+        )
+        wm = sdf.withColumn("ts", F.col("ts").cast("timestamp")).withWatermark(
+            "ts", "35 days"
+        )
+        views = wm.filter(F.col("event_type") == "view").select(
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("view_ts"),
+        )
+        buys = wm.filter(F.col("event_type") == "purchase").select(
+            F.col("user_id").alias("b_user"),
+            F.col("ts").alias("buy_ts"),
+        )
+        joined = views.join(
+            buys,
+            (F.col("v_user") == F.col("b_user"))
+            & (F.col("buy_ts") >= F.col("view_ts"))
+            & (F.col("buy_ts") <= F.col("view_ts") + F.expr("INTERVAL 1 HOUR")),
+        )
+        agg = (
+            joined.groupBy(F.window("buy_ts", "1 hour"))
+            .agg(F.count(F.lit(1)).alias("n_attributions"))
+            .select(
+                F.col("window.start").alias("win_start"),
+                F.col("n_attributions"),
+            )
+        )
+        out = run_append_foreach_batch(agg, f"{scratch}/out", f"{scratch}/ckpt")
+        out = out.where(
+            F.col("win_start") <= F.lit(mx).cast("timestamp")
+        ).withColumn("win_start", F.col("win_start").cast("timestamp_ntz"))
+        return out.orderBy("win_start").localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+register(
+    "stream_join_agg_live",
+    engine_fn=_stream_join_agg_fn,
+    oracle=(
+        "SELECT CAST(DATE_TRUNC('hour', p.ts) AS TIMESTAMP) AS win_start,\n"
+        "  CAST(COUNT(*) AS BIGINT) AS n_attributions\n"
+        "FROM events v JOIN events p ON v.user_id = p.user_id\n"
+        "AND v.event_type = 'view' AND p.event_type = 'purchase'\n"
+        "AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR\n"
+        "GROUP BY 1 ORDER BY 1"
+    ),
+    category="streaming-live",
+    suite="extension",
+    doc=(
+        "chained stateful operators in one append-mode query: stream-"
+        "stream interval join -> watermarked tumbling rollup, emitted "
+        "exactly once per closed hour; typed flush sentinels advance the "
+        "watermark through the event-type filters"
+    ),
+)

@@ -281,6 +281,13 @@ ALLOWLIST: dict[str, tuple[tuple[str, ...], str]] = {
         "(compile-time bucket count), never data rows — identical "
         "two-phase shape to stat_ks_test",
     ),
+    "ts_rolling_corr": (
+        ("Exchange SinglePartition",),
+        "the trailing-24h frame runs over the HOURLY ROLLUP of the "
+        "joint click/purchase series — one row per hour of time range "
+        "(resample-first contract, like ts_acf), never data rows; the "
+        "series is global by definition so it cannot partition by key",
+    ),
     "stat_benford": (
         ("Exchange SinglePartition",),
         "the OVER () grand-total window consumes the 9-row digit "
