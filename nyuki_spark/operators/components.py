@@ -72,25 +72,34 @@ def connected_components(
         .withColumn("comp", F.col("id"))
         .localCheckpoint()
     )
+    # Convergence check without a join: min-label propagation is MONOTONE
+    # (a label only ever decreases), so the label sum strictly decreases
+    # on every non-converged round and "sum unchanged" == "no label
+    # changed". The old shape joined new-vs-old labels and counted diffs —
+    # a full extra shuffle join + action per round; the sum is one cheap
+    # scan over the just-checkpointed labels. decimal(38,0) keeps the sum
+    # exact at any node-count x id-width (a long sum could wrap at
+    # web-corpus scale and alias two different label states).
+    prev_sum = None
     for _ in range(max_iter):
         msgs = bidir.join(labels, bidir["s"] == labels["id"]).select(
             F.col("d").alias("id"), F.col("comp")
         )
-        new = (
+        # Lazy checkpoint: the convergence-sum action right below is what
+        # materializes it, so each round costs exactly ONE job (the old
+        # shape paid an eager-checkpoint job plus a join+count job).
+        labels = (
             labels.union(msgs)
             .groupBy("id")
             .agg(F.min("comp").alias("comp"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.comp") != F.col("o.comp"))
-            .count()
-        )
-        labels = new
-        if changed == 0:
+        cur_sum = labels.agg(
+            F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
+        ).head()[0]
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return labels.select(F.col("id").alias(id_out), F.col("comp").alias(comp_out))
 
 
