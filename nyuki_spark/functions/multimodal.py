@@ -380,3 +380,92 @@ def resize_media(
             )
 
     return df.select(id_col, payload_col).mapInPandas(fn, out_schema)
+
+
+def decode_wav_frames(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    frame: int = 160,
+) -> DataFrame:
+    """REAL WAV decode -> per-frame energy rows: (id, frame_idx,
+    n_samples, sum_sq) for every ``frame``-sample window (160 = 10 ms at
+    16 kHz — the standard speech framing; the final partial frame is
+    kept with its true length).
+
+    This is the audio FEATURE-EXTRACTION primitive (framing + energy,
+    the first stage of VAD / silence trimming / loudness normalization)
+    as a map-only Arrow stage: payload bytes never leave the executor,
+    output rows are four integers. ``sum_sq`` is an exact int64 (int16
+    samples: frame * 32768^2 << 2^63), so the downstream RMS divides
+    bit-identical operands on any engine — the oracle recomputes it from
+    the closed-form sample definition.
+    """
+    dec_wav = _codecs.decode_wav
+    out_schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("frame_idx", IntegerType()),
+            StructField("n_samples", LongType()),
+            StructField("sum_sq", LongType()),
+        ]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {k.name: [] for k in out_schema.fields}
+            for i, b in zip(pdf[id_col], pdf[payload_col]):
+                _, samples = dec_wav(bytes(b))
+                sq = samples.astype(np.int64) ** 2
+                for fi in range(0, len(sq), frame):
+                    chunk = sq[fi : fi + frame]
+                    rows[id_col].append(int(i))
+                    rows["frame_idx"].append(fi // frame)
+                    rows["n_samples"].append(int(chunk.size))
+                    rows["sum_sq"].append(int(chunk.sum()))
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, payload_col).mapInPandas(fn, out_schema)
+
+
+def decode_image_tiles(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    tile: int = 8,
+) -> DataFrame:
+    """REAL image decode -> per-tile rows: (id, tile_y, tile_x, n_px,
+    sum_px) for every ``tile`` x ``tile`` patch (edge tiles keep their
+    true size). Patch extraction is the vision-pipeline primitive (ViT
+    tokenization, tile-level quality filters, thumbnail grids) as a
+    map-only Arrow stage; sum_px is an exact int64 over uint8 pixels, so
+    downstream tile means divide bit-identical operands on any engine.
+    """
+    dec_bmp = _codecs.decode_bmp
+    out_schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("tile_y", IntegerType()),
+            StructField("tile_x", IntegerType()),
+            StructField("n_px", LongType()),
+            StructField("sum_px", LongType()),
+        ]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {k.name: [] for k in out_schema.fields}
+            for i, b in zip(pdf[id_col], pdf[payload_col]):
+                img = dec_bmp(bytes(b)).astype(np.int64)
+                h, w = img.shape
+                for ty in range(0, h, tile):
+                    for tx in range(0, w, tile):
+                        patch = img[ty : ty + tile, tx : tx + tile]
+                        rows[id_col].append(int(i))
+                        rows["tile_y"].append(ty // tile)
+                        rows["tile_x"].append(tx // tile)
+                        rows["n_px"].append(int(patch.size))
+                        rows["sum_px"].append(int(patch.sum()))
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, payload_col).mapInPandas(fn, out_schema)

@@ -2896,3 +2896,60 @@ register(
         "watermark through the event-type filters"
     ),
 )
+
+
+# -- salted skew-proof join ----------------------------------------------------
+
+
+def _salted_join_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deviation-from-type-mean via the SALTED join (operators/skew.py:
+    salted_join) — the companion to agg_salted_skew for the join side of
+    skew handling: event_type has 5 values, so a plain shuffle join lands
+    ~20% of the fact table on one task; salting spreads each hot key over
+    16 salt buckets while the 5-row dimension replicates 16x. Row-
+    identical to the plain join (the oracle runs the plain SQL). At THIS
+    dim size a broadcast join wins, and AQE's skew-join split handles
+    sort-merge cases — the salted form is for the remaining gap
+    (non-broadcastable dims, streaming state joins, engines without AQE),
+    exercised here end-to-end."""
+    from nyuki_spark.operators.skew import salted_join
+
+    events = load_table(spark, sf_dir, "events")
+    dim = events.groupBy("event_type").agg(
+        F.round(F.avg("value"), 6).alias("type_avg")
+    )
+    out = salted_join(
+        events.select("event_id", "event_type", "value"), dim, "event_type"
+    )
+    return (
+        out.select(
+            "event_id",
+            "event_type",
+            F.round(F.col("value") - F.col("type_avg"), 6)
+            .cast("double")
+            .alias("dev"),
+        )
+        .orderBy("event_id")
+        .limit(200)
+    )
+
+
+register(
+    "skew_salted_join",
+    engine_fn=_salted_join_fn,
+    oracle=(
+        "WITH d AS (SELECT event_type, ROUND(AVG(value), 6) AS type_avg\n"
+        "  FROM events GROUP BY 1)\n"
+        "SELECT e.event_id, e.event_type,\n"
+        "  CAST(ROUND(e.value - d.type_avg, 6) AS DOUBLE) AS dev\n"
+        "FROM events e JOIN d USING (event_type)\n"
+        "ORDER BY e.event_id LIMIT 200"
+    ),
+    category="join",
+    suite="extension",
+    doc=(
+        "skew-proof salted equi-join (operators/skew.py): hot fact keys "
+        "hash-spread over 16 salts, 5-row dim replicated 16x — "
+        "row-identical to the plain join the oracle runs"
+    ),
+)

@@ -233,3 +233,107 @@ register(
         "the closed-form payload rollup is a full value oracle"
     ),
 )
+
+
+def _mm_wav_rms_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-frame RMS energy from REAL decoded WAV bytes: encode
+    standards-conformant PCM, decode it back, frame at 160 samples
+    (10 ms @ 16 kHz), emit exact integer (n, sum of squares) per frame
+    and derive RMS engine-side — the framing/energy primitive every
+    audio pipeline (VAD, silence trim, loudness norm) starts with. The
+    oracle recomputes the frames from the closed-form sample definition,
+    so a header bug, an off-by-one in framing, or a dropped final
+    partial frame hash-fails."""
+    from nyuki_spark.functions.multimodal import (
+        attach_synthetic_media,
+        decode_wav_frames,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 48)
+    frames = decode_wav_frames(attach_synthetic_media(docs, kind="audio"))
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        "n_samples",
+        F.round(
+            F.sqrt(F.col("sum_sq") / F.col("n_samples").cast("double")), 6
+        )
+        .cast("double")
+        .alias("rms"),
+    ).orderBy("doc_id", "frame_idx")
+
+
+register(
+    "mm_wav_rms_frames",
+    engine_fn=_mm_wav_rms_fn,
+    oracle=(
+        "SELECT d.doc_id, CAST(t.i // 160 AS INT) AS frame_idx,\n"
+        "  CAST(COUNT(*) AS BIGINT) AS n_samples,\n"
+        "  CAST(ROUND(SQRT(SUM(CAST(s AS BIGINT) * s)\n"
+        "    / CAST(COUNT(*) AS DOUBLE)), 6) AS DOUBLE) AS rms\n"
+        "FROM documents d\n"
+        "JOIN range(880) t(i) ON t.i < 400 + (d.doc_id % 5)*80,\n"
+        "LATERAL (SELECT (t.i*(1 + d.doc_id % 13)) % 251 - 125 AS s)\n"
+        "WHERE d.doc_id < 48\n"
+        "GROUP BY 1, 2 ORDER BY 1, 2"
+    ),
+    category="llm-multimodal",
+    suite="extension",
+    doc=(
+        "REAL WAV decode -> 10 ms frame RMS energy (the audio feature-"
+        "extraction primitive): map-only Arrow decode emitting exact "
+        "integer (n, sum-of-squares) per frame, RMS from bit-identical "
+        "operands; oracle recomputes from the closed-form samples"
+    ),
+)
+
+
+def _mm_tiles_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ViT-style patch extraction from REAL decoded BMP bytes: encode,
+    decode, split into 8x8 tiles (edge tiles keep true size), emit exact
+    integer (n, sum) per tile and derive the tile mean engine-side. The
+    oracle recomputes every tile from the closed-form pixel definition —
+    a padding/bottom-up/palette bug shifts pixels between tiles and
+    hash-fails even when whole-image stats would still match."""
+    from nyuki_spark.functions.multimodal import (
+        attach_synthetic_media,
+        decode_image_tiles,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 48)
+    tiles = decode_image_tiles(attach_synthetic_media(docs, kind="image"))
+    return tiles.select(
+        "doc_id",
+        "tile_y",
+        "tile_x",
+        "n_px",
+        F.round(F.col("sum_px") / F.col("n_px").cast("double"), 6)
+        .cast("double")
+        .alias("mean_px"),
+    ).orderBy("doc_id", "tile_y", "tile_x")
+
+
+register(
+    "mm_image_tiles",
+    engine_fn=_mm_tiles_fn,
+    oracle=(
+        "SELECT d.doc_id, CAST(y.j // 8 AS INT) AS tile_y,\n"
+        "  CAST(x.i // 8 AS INT) AS tile_x,\n"
+        "  CAST(COUNT(*) AS BIGINT) AS n_px,\n"
+        "  CAST(ROUND(SUM((3*x.i + 7*y.j + 11*d.doc_id) % 251)\n"
+        "    / CAST(COUNT(*) AS DOUBLE), 6) AS DOUBLE) AS mean_px\n"
+        "FROM documents d\n"
+        "JOIN range(24) x(i) ON x.i < 16 + d.doc_id % 8\n"
+        "JOIN range(13) y(j) ON y.j < 8 + d.doc_id % 5\n"
+        "WHERE d.doc_id < 48\n"
+        "GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"
+    ),
+    category="llm-multimodal",
+    suite="extension",
+    doc=(
+        "REAL BMP decode -> 8x8 patch extraction (ViT tokenization "
+        "shape): map-only Arrow decode emitting exact integer (n, sum) "
+        "per tile; tile-position-sensitive oracle catches pixel-layout "
+        "bugs whole-image stats would miss"
+    ),
+)
