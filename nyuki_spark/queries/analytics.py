@@ -2614,3 +2614,80 @@ register(
         "key join, exact integer counts, 6-dp-pinned <= 5-term entropy"
     ),
 )
+
+
+# -- Herfindahl-Hirschman market concentration ----------------------------------
+
+# HHI per nation: sum of squared customer spend shares x 10000 — the
+# antitrust-style concentration index next to stat_gini_spend's
+# inequality curve. Integer-cents spend sums (exact in any accumulation
+# order) make every share a division of bit-identical operands; the
+# per-nation share-square sum is a partial-aggregable double pinned at
+# 6 dp. Two key joins (orders->customer->nation), all partial
+# aggregates, no window.
+
+_HHI_SQL = (
+    "WITH s AS (\n"
+    "  SELECT c.c_nationkey, o.o_custkey,\n"
+    "    CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))"
+    " AS BIGINT) AS cents\n"
+    "  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey\n"
+    "  GROUP BY 1, 2),\n"
+    "t AS (SELECT c_nationkey, CAST(SUM(cents) AS BIGINT) AS tot,\n"
+    "      CAST(COUNT(*) AS BIGINT) AS n_cust FROM s GROUP BY 1)\n"
+    "SELECT n.n_name, t.n_cust,\n"
+    "  CAST(ROUND(SUM((CAST(s.cents AS DOUBLE) / t.tot)\n"
+    "    * (CAST(s.cents AS DOUBLE) / t.tot)) * 10000, 6) AS DOUBLE)"
+    " AS hhi\n"
+    "FROM s JOIN t ON s.c_nationkey = t.c_nationkey\n"
+    "JOIN nation n ON s.c_nationkey = n.n_nationkey\n"
+    "GROUP BY n.n_name, t.n_cust\n"
+    "ORDER BY n.n_name"
+)
+
+register(
+    "stat_hhi_concentration",
+    engine=_HHI_SQL,
+    oracle=_HHI_SQL,
+    category="statistics",
+    suite="extension",
+    doc=(
+        "Herfindahl-Hirschman concentration of customer spend per "
+        "nation: integer-cents spend sums, share squares from "
+        "bit-identical operands, two key joins + partial aggregates"
+    ),
+)
+
+
+# -- week-over-week growth ------------------------------------------------------
+
+# WoW change per metric group: weekly integer counts (DATE_TRUNC('week')
+# is Monday-anchored on both engines), LAG over the type-partitioned
+# weekly rollup, growth from exact integer operands. The dashboard
+# staple next to ts_dow_profile.
+
+_WOW_SQL = (
+    "WITH w AS (\n"
+    "  SELECT event_type, DATE_TRUNC('week', ts) AS wk,\n"
+    "    CAST(COUNT(*) AS BIGINT) AS n\n"
+    "  FROM events GROUP BY 1, 2)\n"
+    "SELECT event_type, CAST(wk AS DATE) AS week_start, n,\n"
+    "  LAG(n) OVER (PARTITION BY event_type ORDER BY wk) AS prev_n,\n"
+    "  CAST(ROUND((n - LAG(n) OVER (PARTITION BY event_type"
+    " ORDER BY wk))\n"
+    "    / CAST(LAG(n) OVER (PARTITION BY event_type ORDER BY wk)"
+    " AS DOUBLE), 6) AS DOUBLE) AS wow_change\n"
+    "FROM w ORDER BY event_type, wk"
+)
+
+register(
+    "ts_wow_change",
+    engine=_WOW_SQL,
+    oracle=_WOW_SQL,
+    category="timeseries",
+    suite="extension",
+    doc=(
+        "week-over-week growth per metric group: Monday-anchored weekly "
+        "integer counts, type-partitioned LAG, exact-operand ratios"
+    ),
+)

@@ -2953,3 +2953,66 @@ register(
         "row-identical to the plain join the oracle runs"
     ),
 )
+
+
+# -- parquet schema evolution --------------------------------------------------
+
+
+def _schema_evolution_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution ingest: an early shard written WITHOUT the value
+    column and a later shard WITH it, read back as one dataset via
+    parquet mergeSchema — the lake reality every long-lived pipeline
+    hits (columns appear mid-history; old files must read as NULL).
+    The per-type census proves column alignment: row counts span both
+    shards, value facts come only from the evolved shard. Scratch files
+    live under /tmp and the result is pinned (localCheckpoint) before
+    cleanup, the _live_append lifetime pattern."""
+    import os
+
+    events = load_table(spark, sf_dir, "events")
+    scratch = tempfile.mkdtemp(prefix="nyuki-evo-")
+    try:
+        base = os.path.join(scratch, "d")
+        events.where(F.col("event_id") % 2 == 0).select(
+            "event_id", "event_type"
+        ).write.mode("overwrite").parquet(os.path.join(base, "shard=early"))
+        events.where(F.col("event_id") % 2 == 1).select(
+            "event_id", "event_type", "value"
+        ).write.mode("overwrite").parquet(os.path.join(base, "shard=late"))
+        merged = spark.read.option("mergeSchema", "true").parquet(base)
+        out = (
+            merged.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.count("value").alias("n_value"),
+                F.sum(F.col("value").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("value_sum"),
+            )
+            .orderBy("event_type")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+register(
+    "scan_schema_evolution",
+    engine_fn=_schema_evolution_fn,
+    oracle=(
+        "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,\n"
+        "  CAST(SUM(CASE WHEN event_id % 2 = 1 AND value IS NOT NULL"
+        " THEN 1 ELSE 0 END) AS BIGINT) AS n_value,\n"
+        "  CAST(SUM(CASE WHEN event_id % 2 = 1\n"
+        "    THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE)"
+        " AS value_sum\n"
+        "FROM events GROUP BY 1 ORDER BY 1"
+    ),
+    category="ingestion",
+    suite="extension",
+    doc=(
+        "parquet schema evolution: early shard without the value column "
+        "+ late shard with it, read as one dataset via mergeSchema — "
+        "old files surface NULLs, verified by a per-type census"
+    ),
+)
