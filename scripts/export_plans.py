@@ -53,6 +53,20 @@ HEADLINES = {
         "brute-force kNN: Arrow-batched BLAS matvec per partition + "
         "TakeOrderedAndProject — linear scan, embarrassingly parallel"
     ),
+    "stat_bootstrap_ci": (
+        "Poisson bootstrap: 32 replicates in ONE map pass (explode + "
+        "per-row weights) feeding a 32-key partial aggregate — no "
+        "per-replicate shuffle, the resampling method that distributes"
+    ),
+    "stat_kmv_distinct": (
+        "mergeable KMV distinct sketch: type-partitioned k-th minimum "
+        "(WindowGroupLimit prune), partial top-k's union to the global "
+        "sketch — COUNT(DISTINCT) without the Expand shuffle"
+    ),
+    "llm_shingle_novelty": (
+        "first-seen aggregate + join back: novelty against ALL earlier "
+        "docs with zero pair joins — cost tracks the shingle table"
+    ),
     "llm_decontaminate": (
         "shingle equi-join over duplicate-collapsed unique texts; "
         "member-list expansion after the >=3 filter — candidate volume "
