@@ -2691,3 +2691,107 @@ register(
         "integer counts, type-partitioned LAG, exact-operand ratios"
     ),
 )
+
+
+# -- five-number summary / IQR outlier profile ----------------------------------
+
+# Boxplot statistics per metric group: exact-interpolation quartiles
+# (Spark PERCENTILE == DuckDB QUANTILE_CONT, the ts_theilsen_trend
+# pairing), IQR fences from those quartiles, and outlier counts from
+# exact comparisons of 2-dp fixture values against 6-dp-pinned fences.
+# One partial-aggregable pass for the quantiles + one broadcast-joined
+# counting pass — the dashboard distribution panel.
+
+register(
+    "stat_boxplot_iqr",
+    engine=(
+        "WITH q AS (\n"
+        "  SELECT event_type,\n"
+        "    CAST(ROUND(PERCENTILE(value, 0.25), 6) AS DOUBLE) AS q1,\n"
+        "    CAST(ROUND(PERCENTILE(value, 0.5), 6) AS DOUBLE)"
+        " AS median,\n"
+        "    CAST(ROUND(PERCENTILE(value, 0.75), 6) AS DOUBLE) AS q3\n"
+        "  FROM events WHERE value IS NOT NULL GROUP BY 1)\n"
+        "SELECT e.event_type, q.q1, q.median, q.q3,\n"
+        "  CAST(ROUND(q.q3 - q.q1, 6) AS DOUBLE) AS iqr,\n"
+        "  CAST(SUM(CASE WHEN e.value < q.q1 - 1.5 * (q.q3 - q.q1)\n"
+        "    OR e.value > q.q3 + 1.5 * (q.q3 - q.q1) THEN 1 ELSE 0 END)"
+        " AS BIGINT) AS n_outliers,\n"
+        "  CAST(COUNT(*) AS BIGINT) AS n\n"
+        "FROM events e JOIN q ON e.event_type = q.event_type\n"
+        "WHERE e.value IS NOT NULL\n"
+        "GROUP BY e.event_type, q.q1, q.median, q.q3\n"
+        "ORDER BY e.event_type"
+    ),
+    oracle=(
+        "WITH q AS (\n"
+        "  SELECT event_type,\n"
+        "    CAST(ROUND(QUANTILE_CONT(value, 0.25), 6) AS DOUBLE) AS q1,\n"
+        "    CAST(ROUND(QUANTILE_CONT(value, 0.5), 6) AS DOUBLE)"
+        " AS median,\n"
+        "    CAST(ROUND(QUANTILE_CONT(value, 0.75), 6) AS DOUBLE) AS q3\n"
+        "  FROM events WHERE value IS NOT NULL GROUP BY 1)\n"
+        "SELECT e.event_type, q.q1, q.median, q.q3,\n"
+        "  CAST(ROUND(q.q3 - q.q1, 6) AS DOUBLE) AS iqr,\n"
+        "  CAST(SUM(CASE WHEN e.value < q.q1 - 1.5 * (q.q3 - q.q1)\n"
+        "    OR e.value > q.q3 + 1.5 * (q.q3 - q.q1) THEN 1 ELSE 0 END)"
+        " AS BIGINT) AS n_outliers,\n"
+        "  CAST(COUNT(*) AS BIGINT) AS n\n"
+        "FROM events e JOIN q ON e.event_type = q.event_type\n"
+        "WHERE e.value IS NOT NULL\n"
+        "GROUP BY e.event_type, q.q1, q.median, q.q3\n"
+        "ORDER BY e.event_type"
+    ),
+    category="statistics",
+    suite="extension",
+    doc=(
+        "boxplot five-number summary + IQR outlier counts per metric "
+        "group: exact-interpolation quartiles (PERCENTILE vs "
+        "QUANTILE_CONT), 6-dp-pinned fences, type-bounded quartile join"
+    ),
+)
+
+
+# -- degree distribution of the strong-tie backbone -----------------------------
+
+
+def _degree_dist_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the supplier backbone: node count per
+    degree — the first diagnostic of any co-occurrence graph (hub
+    detection, power-law sanity, orientation-bound checks for the
+    triangle counter). Degree table is one partial aggregate over the
+    (localCheckpoint-pinned) edge list; the distribution is a second
+    ~|distinct degrees|-key aggregate."""
+    backbone = _supplier_backbone(spark, sf_dir).localCheckpoint(eager=False)
+    und = backbone.unionByName(
+        backbone.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    return (
+        deg.groupBy("deg")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .orderBy("deg")
+    )
+
+
+SWEEP_INTERMEDIATES["net_degree_dist"] = _supplier_backbone
+
+register(
+    "net_degree_dist",
+    engine_fn=_degree_dist_fn,
+    oracle=(
+        "WITH " + _BACKBONE_SQL + ",\n"
+        "und AS (SELECT u, v FROM bb UNION ALL SELECT v, u FROM bb),\n"
+        "d AS (SELECT u, COUNT(*) AS deg FROM und GROUP BY u)\n"
+        "SELECT CAST(deg AS BIGINT) AS deg,\n"
+        "  CAST(COUNT(*) AS BIGINT) AS n_nodes\n"
+        "FROM d GROUP BY deg ORDER BY deg"
+    ),
+    category="graph",
+    suite="extension",
+    doc=(
+        "degree distribution of the strong-tie backbone: two partial "
+        "aggregates over the pinned edge list — hub/power-law "
+        "diagnostic for the graph panel"
+    ),
+)

@@ -2363,3 +2363,98 @@ register(
         "projection + per-shingle source count, linear in the shingle table"
     ),
 )
+
+
+# -- dedup tier evaluation ------------------------------------------------------
+
+
+def _dedup_eval_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall of the cheap near-dup tier against exact ground
+    truth — the methodological question every dedup pipeline must answer
+    before trusting its funnel: treating exact 3-gram Jaccard >= 0.5
+    pairs as truth and banded SimHash Hamming <= 3 pairs as the
+    prediction, report TP/FP/FN and P/R/F1. Both pair sets reuse the
+    standalone oracle-verified operators (llm_simhash_pairs,
+    llm_ngram_jaccard — duplicate-collapsed, banded equi-joins); the
+    comparison itself is one full-outer key join on (id_a, id_b) and a
+    1-row count aggregate, so the evaluation costs no more than the
+    tiers it audits. Ratios divide exact integer counts, pinned at 6 dp."""
+    truth = _jaccard_fn(spark, sf_dir).select("id_a", "id_b").withColumn(
+        "t", F.lit(1)
+    )
+    pred = _simhash_pairs_fn(spark, sf_dir).select("id_a", "id_b").withColumn(
+        "p", F.lit(1)
+    )
+    j = truth.join(pred, ["id_a", "id_b"], "full_outer")
+    return j.agg(
+        F.sum((F.col("t").isNotNull() & F.col("p").isNotNull()).cast("long")).alias("tp"),
+        F.sum((F.col("t").isNull() & F.col("p").isNotNull()).cast("long")).alias("fp"),
+        F.sum((F.col("t").isNotNull() & F.col("p").isNull()).cast("long")).alias("fn"),
+    ).select(
+        "tp",
+        "fp",
+        "fn",
+        F.round(F.col("tp") / (F.col("tp") + F.col("fp")), 6)
+        .cast("double")
+        .alias("precision"),
+        F.round(F.col("tp") / (F.col("tp") + F.col("fn")), 6)
+        .cast("double")
+        .alias("recall"),
+        F.round(
+            2.0 * F.col("tp") / (2.0 * F.col("tp") + F.col("fp") + F.col("fn")), 6
+        )
+        .cast("double")
+        .alias("f1"),
+    )
+
+
+register(
+    "llm_dedup_eval",
+    engine_fn=_dedup_eval_fn,
+    oracle=(
+        "WITH shd AS (\n"
+        "  SELECT DISTINCT doc_id, arr[i] || ' ' || arr[i+1] || ' ' ||"
+        " arr[i+2] AS s\n"
+        "  FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS arr"
+        " FROM documents),\n"
+        "       UNNEST(RANGE(1, GREATEST(LEN(arr) - 1, 1))) AS t(i)\n"
+        "), n AS (SELECT doc_id, COUNT(*) AS ns FROM shd GROUP BY doc_id),\n"
+        "pair AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,"
+        " COUNT(*) AS shared\n"
+        "         FROM shd a JOIN shd b ON a.s = b.s"
+        " AND a.doc_id < b.doc_id\n"
+        "         GROUP BY 1, 2),\n"
+        "truth AS (SELECT id_a, id_b FROM pair\n"
+        "  JOIN n na ON na.doc_id = id_a JOIN n nb ON nb.doc_id = id_b\n"
+        "  WHERE ROUND(shared / (na.ns + nb.ns - shared), 4) >= 0.5),\n"
+        "sh AS (" + _DUCK_SIMHASH + "),\n"
+        "pred AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b\n"
+        "  FROM sh a JOIN sh b ON a.doc_id < b.doc_id\n"
+        "  WHERE BIT_COUNT(XOR(a.simhash, b.simhash)) <= 3),\n"
+        "c AS (SELECT\n"
+        "  CAST((SELECT COUNT(*) FROM truth JOIN pred USING (id_a, id_b))"
+        " AS BIGINT) AS tp,\n"
+        "  CAST((SELECT COUNT(*) FROM pred WHERE NOT EXISTS (SELECT 1"
+        " FROM truth WHERE truth.id_a = pred.id_a AND truth.id_b ="
+        " pred.id_b)) AS BIGINT) AS fp,\n"
+        "  CAST((SELECT COUNT(*) FROM truth WHERE NOT EXISTS (SELECT 1"
+        " FROM pred WHERE pred.id_a = truth.id_a AND pred.id_b ="
+        " truth.id_b)) AS BIGINT) AS fn)\n"
+        "SELECT tp, fp, fn,\n"
+        "  CAST(ROUND(tp / CAST(tp + fp AS DOUBLE), 6) AS DOUBLE)"
+        " AS precision,\n"
+        "  CAST(ROUND(tp / CAST(tp + fn AS DOUBLE), 6) AS DOUBLE)"
+        " AS recall,\n"
+        "  CAST(ROUND(2.0 * tp / (2.0 * tp + fp + fn), 6) AS DOUBLE)"
+        " AS f1\n"
+        "FROM c"
+    ),
+    category="llm-dedup",
+    suite="extension",
+    doc=(
+        "dedup-tier audit: precision/recall/F1 of banded SimHash "
+        "(Hamming<=3) against exact 3-gram Jaccard>=0.5 ground truth — "
+        "one full-outer pair join + a 1-row count aggregate over the "
+        "two standalone-verified tiers"
+    ),
+)

@@ -194,6 +194,12 @@ ALLOWLIST: dict[str, tuple[tuple[str, ...], str]] = {
         "cutoff (partial-aggregated scalar) onto the pair-count table — "
         "the scalar-bounds shape (_supplier_backbone)",
     ),
+    "net_degree_dist": (
+        ("BroadcastNestedLoopJoin",),
+        "the backbone threshold 1-row broadcast (_supplier_backbone, "
+        "net_triangles precedent) — the only BNLJ build side is exactly "
+        "one row (the 95th-percentile scalar)",
+    ),
     "net_triangles": (
         ("BroadcastNestedLoopJoin",),
         "the backbone threshold 1-row broadcast (_supplier_backbone, "
