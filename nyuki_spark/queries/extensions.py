@@ -3016,3 +3016,59 @@ register(
         "old files surface NULLs, verified by a per-type census"
     ),
 )
+
+
+# -- partition pruning ----------------------------------------------------------
+
+
+def _partition_pruning_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-pruned scan: write events hive-partitioned by
+    event_type, read back with a partition-key filter — the layout that
+    turns a 100 TB full scan into a directory listing plus one
+    partition's files. The filter lands in the scan's PartitionFilters
+    (not a post-scan Filter), which the plan-sweep's companion
+    behavioral test asserts; the census result is verified against the
+    plain filtered aggregate the oracle runs."""
+    import os
+
+    events = load_table(spark, sf_dir, "events")
+    scratch = tempfile.mkdtemp(prefix="nyuki-part-")
+    try:
+        base = os.path.join(scratch, "d")
+        events.select(
+            "event_id", "user_id", "value", "event_type"
+        ).write.partitionBy("event_type").mode("overwrite").parquet(base)
+        part = spark.read.parquet(base).where(
+            F.col("event_type") == "purchase"
+        )
+        out = part.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("value_sum"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+register(
+    "scan_partition_pruning",
+    engine_fn=_partition_pruning_fn,
+    oracle=(
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n,\n"
+        "  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,\n"
+        "  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)"
+        " AS value_sum\n"
+        "FROM events WHERE event_type = 'purchase'"
+    ),
+    category="scan",
+    suite="extension",
+    doc=(
+        "hive-partitioned write + partition-pruned read: the "
+        "event_type filter resolves to PartitionFilters (directory "
+        "pruning, not row filtering) — verified against the plain "
+        "filtered aggregate"
+    ),
+)

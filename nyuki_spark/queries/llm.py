@@ -2458,3 +2458,78 @@ register(
         "two standalone-verified tiers"
     ),
 )
+
+
+# -- k-means cluster purity vs labels -------------------------------------------
+
+
+def _kmeans_purity_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster quality audit: per-cluster label purity of the
+    deterministic k-means assignment — the unsupervised-vs-labels sanity
+    check run before trusting clusters for data curation (topic
+    balancing, stratified eval splits). Assignments come from the same
+    deterministic 2-iteration k-means the hash-verified
+    llm_kmeans_assign twin proves; purity is one (cluster, label) count
+    aggregate, an argmax with a label tiebreak, and a size join — all
+    exact integers until the final pinned ratio."""
+    from pyspark.sql import Window
+
+    from nyuki_spark.operators.kmeans import kmeans_assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    asg = kmeans_assign(emb, k=8, iters=2).join(
+        emb.select("vec_id", "label"), "vec_id"
+    )
+    cl = asg.groupBy("cluster_id", "label").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n"), F.asc("label")
+    )
+    top = cl.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    size = cl.groupBy("cluster_id").agg(F.sum("n").alias("size"))
+    return (
+        top.join(size, "cluster_id")
+        .select(
+            "cluster_id",
+            F.col("label").alias("majority_label"),
+            F.col("n").alias("majority_n"),
+            "size",
+            F.round(F.col("n") / F.col("size"), 6)
+            .cast("double")
+            .alias("purity"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+register(
+    "llm_kmeans_purity",
+    engine_fn=_kmeans_purity_fn,
+    oracle=(
+        "WITH " + _DUCK_KMEANS_CTES + ",\n"
+        "cl AS (\n"
+        "  SELECT a2.cid AS cluster_id, e.label, COUNT(*) AS n\n"
+        "  FROM a2 JOIN embeddings e USING (vec_id)\n"
+        "  GROUP BY 1, 2),\n"
+        "top AS (\n"
+        "  SELECT cluster_id, label, n FROM cl\n"
+        "  QUALIFY ROW_NUMBER() OVER (PARTITION BY cluster_id\n"
+        "    ORDER BY n DESC, label) = 1),\n"
+        "sz AS (SELECT cluster_id, SUM(n) AS size FROM cl GROUP BY 1)\n"
+        "SELECT t.cluster_id, t.label AS majority_label,\n"
+        "  CAST(t.n AS BIGINT) AS majority_n,\n"
+        "  CAST(sz.size AS BIGINT) AS size,\n"
+        "  CAST(ROUND(t.n / CAST(sz.size AS DOUBLE), 6) AS DOUBLE)"
+        " AS purity\n"
+        "FROM top t JOIN sz USING (cluster_id) ORDER BY t.cluster_id"
+    ),
+    category="llm-similarity",
+    suite="extension",
+    doc=(
+        "per-cluster label purity of the deterministic k-means "
+        "assignment (majority label, tie to smaller label): the "
+        "cluster-quality audit — count aggregate + bounded argmax "
+        "window + size join, exact integers to the pinned ratio"
+    ),
+)

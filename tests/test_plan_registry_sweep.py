@@ -254,6 +254,12 @@ ALLOWLIST: dict[str, tuple[tuple[str, ...], str]] = {
         "aggregated) onto the tf/df join — the scalar-subquery shape as "
         "an explicit broadcast",
     ),
+    "llm_kmeans_purity": (
+        ("BroadcastNestedLoopJoin",),
+        "inherits llm_kmeans_assign's assignment step: crossJoin of each "
+        "vector with the broadcast k-row centroid table (k=8, "
+        "compile-time constant) — the only BNLJ build side is k rows",
+    ),
     "llm_kmeans_assign": (
         ("BroadcastNestedLoopJoin",),
         "assignment step crossJoins each vector with the broadcast k-row "

@@ -117,3 +117,24 @@ def test_parquet_schema_evolution_merge(spark, tmp_path):
     assert set(df.columns) == {"id", "name", "quality"}
     rows = {r["id"]: (r["name"], r["quality"]) for r in df.collect()}
     assert rows == {1: ("a", None), 2: ("b", 0.9)}
+
+
+def test_partition_pruning_reaches_scan(spark, tmp_path):
+    """A filter on a hive-partition column must resolve to the scan's
+    PartitionFilters (directory pruning), not a post-scan row Filter —
+    the property scan_partition_pruning's docstring promises. Asserted
+    on the formatted plan of the same partitioned-write -> filtered-read
+    shape the query runs."""
+    p = str(tmp_path / "part")
+    spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "a", 3.0)],
+        "id int, k string, v double",
+    ).write.partitionBy("k").parquet(p)
+    df = spark.read.parquet(p).where("k = 'a'")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    # The partition predicate must appear inside PartitionFilters...
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert any("k" in ln for ln in pf), pf
+    # ...and the result must actually prune: only partition 'a' rows.
+    assert sorted(r["id"] for r in df.collect()) == [1, 3]
