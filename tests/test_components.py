@@ -68,3 +68,10 @@ def test_dedup_keeps_one_per_group_and_all_singletons(spark):
     kept = sorted(r.doc_id for r in dedup_by_components(docs, pairs).collect())
     # group {1,3,5} -> keep 1; group {6,7} -> keep 6; 0,2,4 untouched
     assert kept == [0, 1, 2, 4, 6]
+
+
+def test_empty_edge_list_converges_immediately(spark):
+    # Empty graph: the monotone-sum convergence check compares NULL sums
+    # (None == None) and must break on round 0 — no nodes, no labels,
+    # and no infinite loop up to max_iter.
+    assert _run(spark, []) == {}
