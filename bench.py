@@ -53,6 +53,7 @@ def main() -> None:
     except ValueError:
         sf = -1.0
 
+    load_start = os.getloadavg()
     spark = get_session("nyuki-bench", master=f"local[{cpus}]")
     register_tables(spark, sf_dir)
 
@@ -114,6 +115,13 @@ def main() -> None:
         "sf": sf,
         "suites": suites,
         "streaming_rows_per_sec": streaming,
+        # Machine-readable contention evidence (r6 verdict #4): ambient host
+        # load drifts 1.3-2x within a session on this box, so every bench
+        # artifact carries the 1/5/15-min loadavg at start and end plus a
+        # wall-clock stamp. A run is "uncontended" iff loadavg_start[0] < 1.
+        "loadavg_start": [round(x, 2) for x in load_start],
+        "loadavg_end": [round(x, 2) for x in os.getloadavg()],
+        "timestamp_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
     }
     print(json.dumps(payload))
     # The driver records only the TAIL of the stdout line, so the head of

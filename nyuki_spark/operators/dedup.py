@@ -206,6 +206,29 @@ def minhash_neardup_pairs(
     )
 
 
+def _pair_shared_counts(
+    pairs: DataFrame, sh: DataFrame, id_col: str
+) -> DataFrame:
+    """Exact |shingles(a) ∩ shingles(b)| for an explicit candidate-pair
+    list: (id_a, id_b, shared).
+
+    Cost is |pairs| x shingles-per-doc — proportional to the candidate
+    list, never to per-shingle pair fanout. Pairs with an empty
+    intersection drop out (inner join), which is fine for every caller:
+    thresholds are > 0. This is the verification stage of the funnel; the
+    shingle self-join only ever has to NOMINATE pairs.
+    """
+    sh_a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    sh_b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    return (
+        pairs.select("id_a", "id_b")
+        .join(sh_a, "id_a")
+        .join(sh_b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     threshold: float = 0.5,
@@ -213,24 +236,75 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     candidates: DataFrame | None = None,
+    df_cap: int | None = None,
 ) -> DataFrame:
     """Exact word-n-gram Jaccard pairs: (id_a, id_b, jaccard), id_a < id_b.
 
     Self-join on shingle finds only pairs sharing >= 1 shingle — disjoint
-    docs never meet, so the join output is |shared-shingle incidences|, not
-    |corpus|^2. At 100 TB, pass ``candidates`` (id_a, id_b from an LSH
-    tier) to verify just those pairs instead.
+    docs never meet, so the join output is |shared-shingle incidences|,
+    not |corpus|^2. That bound has one failure mode at 100 TB: a single
+    viral shingle (boilerplate header/footer) shared by k documents
+    contributes C(k,2) join rows — quadratic in the duplication factor
+    (r6 verdict #3). Two scale escapes, composable:
+
+    ``candidates``
+        Verify only an explicit (id_a, id_b) list (e.g. from an LSH
+        tier). The verification is a bounded per-pair intersection count
+        (:func:`_pair_shared_counts`) — the shingle self-join is skipped
+        entirely, so no per-shingle fanout is ever paid.
+    ``df_cap``
+        Candidate NOMINATION ignores shingles whose document frequency
+        exceeds the cap, bounding per-shingle fanout at C(df_cap, 2);
+        nominated pairs are then verified with their FULL shingle sets
+        (hot shingles included), so every emitted jaccard value is exact.
+        The cap applies to candidate generation only: a true pair is
+        missed only when EVERY shared shingle is corpus-hot (df > cap) —
+        i.e. the pair is indistinguishable from boilerplate overlap.
+        Identical texts never reach this operator in the registry funnel
+        (collapse_text_groups removes them first), so the capped mode's
+        recall loss is confined to distinct documents whose entire
+        overlap is viral boilerplate — exactly the pairs a dedup pipeline
+        does not want. Uncapped (default) behavior is byte-identical to
+        the exact oracle.
     """
     sh = word_ngrams(df, n=n, id_col=id_col, text_col=text_col)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("ns"))
-    a, b = sh.alias("a"), sh.alias("b")
-    shared = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("shared"))
-    )
     if candidates is not None:
-        shared = shared.join(candidates.select("id_a", "id_b"), ["id_a", "id_b"], "left_semi")
+        shared = _pair_shared_counts(candidates, sh, id_col)
+    elif df_cap is not None:
+        # Nominate on the df-capped shingle table (bounded fanout), then
+        # verify nominated pairs against the FULL shingle sets so the
+        # jaccard values are exact. One extra narrow aggregate (df per
+        # shingle) buys the C(df_cap, 2) per-shingle bound.
+        cold = sh.join(
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") > df_cap)
+            .select("shingle"),
+            "shingle",
+            "left_anti",
+        )
+        a, b = cold.alias("a"), cold.alias("b")
+        nominated = (
+            a.join(
+                b,
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            )
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+            )
+            .distinct()
+        )
+        shared = _pair_shared_counts(nominated, sh, id_col)
+    else:
+        a, b = sh.alias("a"), sh.alias("b")
+        shared = (
+            a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+            .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+            .agg(F.count(F.lit(1)).alias("shared"))
+        )
     na = sizes.select(F.col(id_col).alias("id_a"), F.col("ns").alias("na"))
     nb = sizes.select(F.col(id_col).alias("id_b"), F.col("ns").alias("nb"))
     return (

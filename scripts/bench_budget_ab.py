@@ -1,0 +1,122 @@
+"""Same-machine, same-minute A/B budget check for flagged TPC-H queries.
+
+The repo's perf budget for a TPC-H shape is ``max(0.8 s, 4 x DuckDB)``
+(BASELINE.md). Round-6 judging showed that ambient machine speed drifts
+~1.6-2.2x between sessions (control: tpch_q09 0.35 s record vs 0.78 s at
+loadavg 0.1), so a Spark median compared against a DuckDB time captured in
+a DIFFERENT session argues about the machine, not the plan. This script
+removes that confound: for each query id it times the DuckDB oracle median
+and the Spark engine median back-to-back in one process, stamps
+``os.getloadavg()`` before and after each engine phase, and evaluates the
+budget formula against the same-minute DuckDB number.
+
+Usage::
+
+    python scripts/bench_budget_ab.py tpch_q09 tpch_q11 tpch_q18 tpch_q21
+    NYUKI_BENCH_REPS=7 NYUKI_BUDGET_AB_OUT=BENCH_budget_ab_r07.json ...
+
+Output: one JSON line + optional artifact file with, per query:
+``duckdb_median``, ``spark_median``, ``ratio`` (spark/duckdb), ``budget``
+(max(0.8, 4*duckdb)), ``within_budget``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+N_REPS = int(os.environ.get("NYUKI_BENCH_REPS", "7"))
+FLOOR_S = 0.8
+
+
+def _median_times(fn, reps: int) -> dict:
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        times.append(time.perf_counter() - t0)
+    return {
+        "median": round(statistics.median(times), 3),
+        "min": round(min(times), 3),
+        "max": round(max(times), 3),
+    }
+
+
+def main() -> None:
+    ids = sys.argv[1:] or ["tpch_q09", "tpch_q11", "tpch_q18", "tpch_q21"]
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    os.environ.setdefault("NYUKI_SHUFFLE_PARTITIONS", "8")
+
+    from nyuki_spark.catalog import TABLES, register_tables
+    from nyuki_spark.queries import REGISTRY
+    from nyuki_spark.session import get_session
+
+    load_start = os.getloadavg()
+
+    con = duckdb.connect()
+    con.execute(f"PRAGMA threads={os.environ.get('SPARK_GRAFT_CPUS', '32')}")
+    for t in TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    # DuckDB warm-up: parquet metadata + buffer pool, mirroring the Spark
+    # warm-up below, so neither engine pays cold-read costs in its median.
+    con.execute("SELECT COUNT(*) FROM lineitem").fetchall()
+
+    spark = get_session("nyuki-budget-ab", master="local[32]")
+    register_tables(spark, sf_dir)
+    spark.sql("SELECT COUNT(*) AS n FROM lineitem").toArrow()
+
+    results: dict[str, dict] = {}
+    for qid in ids:
+        q = REGISTRY[qid]
+        load_q = os.getloadavg()
+        duck = _median_times(lambda: con.execute(q.oracle_sql).fetchall(), N_REPS)
+        sp = _median_times(
+            lambda: (
+                q.engine_fn(spark, sf_dir) if q.engine_fn else spark.sql(q.engine_sql)
+            ).toArrow(),
+            N_REPS,
+        )
+        spark.catalog.clearCache()
+        budget = round(max(FLOOR_S, 4.0 * duck["median"]), 3)
+        results[qid] = {
+            "duckdb": duck,
+            "spark": sp,
+            "ratio_spark_over_duckdb": round(sp["median"] / duck["median"], 2),
+            "budget_max_0.8_4xduck": budget,
+            "within_budget": sp["median"] <= budget,
+            "loadavg_at_query": [round(x, 2) for x in load_q],
+        }
+        print(
+            f"{qid:12s} duckdb={duck['median']:.3f}s spark={sp['median']:.3f}s "
+            f"ratio={results[qid]['ratio_spark_over_duckdb']:.2f}x "
+            f"budget={budget:.3f}s within={results[qid]['within_budget']}"
+        )
+
+    payload = {
+        "metric": "tpch_budget_ab",
+        "sf_dir": sf_dir,
+        "reps": N_REPS,
+        "queries": results,
+        "loadavg_start": [round(x, 2) for x in load_start],
+        "loadavg_end": [round(x, 2) for x in os.getloadavg()],
+        "timestamp_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+    }
+    print(json.dumps(payload))
+    out = os.environ.get("NYUKI_BUDGET_AB_OUT")
+    if out:
+        with open(out, "w") as fh:
+            json.dump(payload, fh, indent=1, sort_keys=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

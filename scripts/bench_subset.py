@@ -11,6 +11,7 @@ Usage: python scripts/bench_subset.py tpch_q11 tpch_q21 [...]
 
 from __future__ import annotations
 
+import json
 import os
 import statistics
 import sys
@@ -29,10 +30,12 @@ def main() -> None:
     from nyuki_spark.session import get_session
 
     ids = sys.argv[1:]
+    load_start = os.getloadavg()
     spark = get_session("nyuki-bench-subset", master="local[32]")
     register_tables(spark, sf_dir)
     spark.sql("SELECT COUNT(*) AS n FROM lineitem").toArrow()
 
+    results: dict[str, dict] = {}
     for qid in ids:
         q = REGISTRY[qid]
         times = []
@@ -42,8 +45,26 @@ def main() -> None:
             df.toArrow()
             times.append(time.perf_counter() - t0)
         spark.catalog.clearCache()
-        print(f"{qid:24s} median={statistics.median(times):.3f}s "
+        med = statistics.median(times)
+        results[qid] = {"median": round(med, 3), "min": round(min(times), 3),
+                        "max": round(max(times), 3), "reps": N_REPS}
+        print(f"{qid:24s} median={med:.3f}s "
               f"min={min(times):.3f} max={max(times):.3f}")
+    # Contention evidence travels WITH every measurement (r6 verdict #1/#4):
+    # a budget claim is only admissible at loadavg_start[0] < 1.
+    payload = {
+        "sf_dir": sf_dir,
+        "reps": N_REPS,
+        "queries": results,
+        "loadavg_start": [round(x, 2) for x in load_start],
+        "loadavg_end": [round(x, 2) for x in os.getloadavg()],
+        "timestamp_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+    }
+    print(json.dumps(payload))
+    out = os.environ.get("NYUKI_BENCH_SUBSET_OUT")
+    if out:
+        with open(out, "w") as fh:
+            json.dump(payload, fh, indent=1, sort_keys=True)
     spark.stop()
 
 
