@@ -284,6 +284,68 @@ register(
 )
 
 
+def _jaccard_capped_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB-posture tier of the Jaccard funnel (r6 verdict #3):
+    candidate nomination ignores shingles with document frequency > 50,
+    bounding per-shingle join fanout at C(50,2)=1225 pairs no matter how
+    viral a boilerplate phrase gets; nominated pairs are verified with
+    their FULL shingle sets, so every emitted jaccard is exact. Runs
+    over the exact-dedup representatives (min doc_id per distinct text)
+    — the realistic pipeline order, and what keeps identical texts from
+    ever reaching the shingle join. The oracle replicates the capped
+    nomination + full verification literally, so the cap semantics
+    (not just the happy path) are hash-verified. Scale probe:
+    scripts/shingle_skew_probe.py injects a 10^4x-duplicated
+    boilerplate prefix and shows flat capped cost vs quadratic
+    uncapped candidate growth (table in BASELINE.md §r7).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    uniq = (
+        docs.where(F.col("text").isNotNull())
+        .groupBy("text")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id", "text")
+    )
+    return ngram_jaccard_pairs(uniq, threshold=0.5, n=3, df_cap=50).orderBy(
+        "id_a", "id_b"
+    )
+
+
+register(
+    "llm_ngram_jaccard_capped",
+    engine_fn=_jaccard_capped_fn,
+    oracle=(
+        "WITH reps AS (SELECT MIN(doc_id) AS doc_id, text FROM documents\n"
+        "              WHERE text IS NOT NULL GROUP BY text),\n"
+        "shd AS (\n"
+        "  SELECT DISTINCT doc_id, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS s\n"
+        "  FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS arr FROM reps),\n"
+        "       UNNEST(RANGE(1, GREATEST(LEN(arr) - 1, 1))) AS t(i)\n"
+        "), n AS (SELECT doc_id, COUNT(*) AS ns FROM shd GROUP BY doc_id),\n"
+        "cold AS (SELECT s FROM shd GROUP BY s HAVING COUNT(*) <= 50),\n"
+        "shc AS (SELECT shd.doc_id, shd.s FROM shd JOIN cold USING (s)),\n"
+        "nom AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b\n"
+        "        FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id),\n"
+        "pair AS (SELECT id_a, id_b, COUNT(*) AS shared\n"
+        "         FROM nom\n"
+        "         JOIN shd a ON a.doc_id = nom.id_a\n"
+        "         JOIN shd b ON b.doc_id = nom.id_b AND b.s = a.s\n"
+        "         GROUP BY id_a, id_b)\n"
+        "SELECT id_a, id_b,\n"
+        "       ROUND(shared / (na.ns + nb.ns - shared), 4) AS jaccard\n"
+        "FROM pair JOIN n na ON na.doc_id = id_a JOIN n nb ON nb.doc_id = id_b\n"
+        "WHERE ROUND(shared / (na.ns + nb.ns - shared), 4) >= 0.5\n"
+        "ORDER BY id_a, id_b"
+    ),
+    category="llm-dedup",
+    suite="extension",
+    doc=(
+        "df-capped Jaccard tier: hot-shingle (df>50) pruning in candidate "
+        "nomination, exact full-set verification of nominated pairs"
+    ),
+)
+
+
 # -- embedding-space near-dup ------------------------------------------------
 
 

@@ -63,6 +63,61 @@ def test_minhash_recall_on_planted_dups(planted):
     assert recall >= 0.9, f"minhash recall {recall:.2f} on planted dups"
 
 
+def test_jaccard_df_cap_lossless_below_cap(planted):
+    """On a corpus whose true pairs each share at least one cold shingle,
+    the df-capped tier emits EXACTLY the uncapped result: the cap prunes
+    nomination only, verification runs on full shingle sets."""
+    corpus, _ = planted
+    uncapped = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in ngram_jaccard_pairs(corpus, threshold=0.5).collect()
+    }
+    # Cap sized ABOVE the corpus's true near-dup cluster df (a group of m
+    # near-identical docs gives its distinguishing shingles df ~ m, so a
+    # cap under m loses real pairs — measured: cap=4 lost 195/256 pairs
+    # on raw sf0.1). 50 > max observed df (25 at sf0.1) => lossless.
+    capped = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in ngram_jaccard_pairs(corpus, threshold=0.5, df_cap=50).collect()
+    }
+    assert uncapped  # fixture plants real pairs
+    assert capped == uncapped
+
+
+def test_jaccard_df_cap_bounds_hot_shingle(spark):
+    """A boilerplate phrase duplicated across k docs with unique tails:
+    uncapped must nominate all C(k,2) boilerplate pairs; the capped tier
+    nominates none of them (every shared shingle is hot), and both agree
+    that none is a true >=0.5 pair."""
+    k = 40
+    boiler = "aa bb cc dd ee ff gg hh ii jj"
+    rows = [
+        (i, boiler + " " + " ".join(f"u{i}_{j}" for j in range(12)))
+        for i in range(k)
+    ]
+    corpus = spark.createDataFrame(rows, ["doc_id", "text"])
+    # cross-pair jaccard = 8 shared / (20 + 20 - 8) = 0.25 < 0.5
+    assert ngram_jaccard_pairs(corpus, threshold=0.5).count() == 0
+    assert ngram_jaccard_pairs(corpus, threshold=0.5, df_cap=4).count() == 0
+    # At a threshold the boilerplate overlap DOES satisfy, uncapped pays
+    # (and emits) the full C(k,2); capped emits nothing — documented
+    # recall loss confined to pairs whose entire overlap is viral.
+    assert ngram_jaccard_pairs(corpus, threshold=0.2).count() == k * (k - 1) // 2
+    assert ngram_jaccard_pairs(corpus, threshold=0.2, df_cap=4).count() == 0
+
+
+def test_jaccard_candidates_path_matches_direct(planted):
+    """Passing an explicit candidate list returns exactly the candidates'
+    exact scores — the bounded verification join, no shingle self-join."""
+    corpus, _ = planted
+    direct = ngram_jaccard_pairs(corpus, threshold=0.5)
+    cand = direct.select("id_a", "id_b")
+    via = ngram_jaccard_pairs(corpus, threshold=0.5, candidates=cand)
+    assert {tuple(r) for r in via.collect()} == {
+        tuple(r) for r in direct.collect()
+    }
+
+
 def test_simhash_banding_finds_planted_dups(planted):
     corpus, offset = planted
     # Dropping 2 tokens flips few simhash bits; banded search at a wider
