@@ -31,7 +31,25 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["global_row_number", "key_rank", "ntile_from_rn"]
+__all__ = ["global_row_number", "key_rank", "ntile_from_rn", "one_group"]
+
+
+def one_group(col: Column | str) -> Column:
+    """A constant-0 window partition key Catalyst cannot fold away.
+
+    ``partitionBy(lit(0))`` says "single group on purpose", but
+    ConstantFolding strips foldable partition expressions, leaving an
+    EMPTY spec — WindowExec then logs its move-all-data warning for a
+    window that is k-row-bounded by design (the one warning in the r6
+    full-registry run). Spark 4 also simplifies non-nullable
+    ``hash(c) * 0``, so the expression must depend on a column in a way
+    no rule folds: ``pmod(hash(c), 1)`` is 0 for every row, never null
+    (hash of NULL is the seed), and survives optimization. Same plan
+    shape, non-empty spec, no warning — and the registry plan sweep now
+    REJECTS any empty-partition WindowExec statically
+    (tests/test_plan_registry_sweep.py), so a regression cannot land.
+    """
+    return F.pmod(F.hash(col), F.lit(1))
 
 # One range bucket per this many input bytes when num_buckets="auto". 32 MB
 # keeps every per-bucket window sort comfortably in one task's memory.
@@ -102,11 +120,11 @@ def global_row_number(
     w = Window.partitionBy("_pid").orderBy(*order)
     local = tagged.withColumn("_lrn", F.row_number().over(w))
     # Offsets: cumulative sizes of the preceding buckets. This window spans
-    # num_buckets rows total — trivially single-node; partitionBy(lit(0))
-    # declares that on purpose (a partitionless window would emit Spark's
-    # move-all-data-to-one-partition warning for what is a k-row merge).
+    # num_buckets rows total — trivially single-node; the one_group
+    # partition declares that on purpose (a partitionless window would
+    # emit Spark's move-all-data-to-one-partition warning for a k-row merge).
     cw = (
-        Window.partitionBy(F.lit(0))
+        Window.partitionBy(one_group("_pid"))
         .orderBy("_pid")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
@@ -117,7 +135,7 @@ def global_row_number(
         # Total row count for free off the k-row bucket table — callers
         # needing it (NTILE arithmetic) would otherwise pay a whole extra
         # count() job over the full input.
-        tot_w = Window.partitionBy(F.lit(0)).rowsBetween(
+        tot_w = Window.partitionBy(one_group("_pid")).rowsBetween(
             Window.unboundedPreceding, Window.unboundedFollowing
         )
         offsets = offsets.withColumn(attach_total, F.sum("_n").over(tot_w))
@@ -141,9 +159,9 @@ def key_rank(
     Correct for any key cardinality; efficient when distinct(key) fits a
     broadcast (segments, categories, labels, dates — the usual RANK keys).
     The single-partition window here covers #distinct(key) rows — that
-    smallness is the design; lit(0) partitioning declares it intentional.
+    smallness is the design; one_group partitioning declares it intentional.
     """
-    kw = Window.partitionBy(F.lit(0)).orderBy(key_col)
+    kw = Window.partitionBy(one_group(key_col)).orderBy(key_col)
     # Key counts only need (key_col): let callers pass the cheap upstream
     # relation (a bare scan) so this branch doesn't re-execute whatever
     # expensive lineage produced ``df`` (e.g. a full ranking pipeline).

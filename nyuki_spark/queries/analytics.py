@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from nyuki_spark.catalog import load_table
 from nyuki_spark.operators.graph import triangle_summary
 from nyuki_spark.operators.linalg import gram_upper
+from nyuki_spark.operators.rank import one_group
 from nyuki_spark.queries.registry import SWEEP_INTERMEDIATES, register
 
 
@@ -1045,13 +1046,18 @@ register(
 register(
     "stat_benford",
     engine=(
+        # PARTITION BY PMOD(HASH(digit),1): constant-0 but non-foldable —
+        # the 9-row total window stays deliberately single-group without
+        # the empty-spec WindowExec warning (one_group, operators/rank.py).
         "SELECT digit,\n"
         "  CAST(COUNT(*) AS BIGINT) AS n,\n"
-        "  CAST(ROUND(COUNT(*) / SUM(COUNT(*)) OVER (), 6) AS DOUBLE)"
+        "  CAST(ROUND(COUNT(*) / SUM(COUNT(*)) OVER"
+        " (PARTITION BY PMOD(HASH(digit), 1)), 6) AS DOUBLE)"
         " AS observed,\n"
         "  CAST(ROUND(LOG10(1.0 + 1.0 / digit), 6) AS DOUBLE)"
         " AS benford,\n"
-        "  CAST(ROUND(POW(COUNT(*) / SUM(COUNT(*)) OVER ()"
+        "  CAST(ROUND(POW(COUNT(*) / SUM(COUNT(*)) OVER"
+        " (PARTITION BY PMOD(HASH(digit), 1))"
         " - LOG10(1.0 + 1.0 / digit), 2)\n"
         "    / LOG10(1.0 + 1.0 / digit), 6) AS DOUBLE) AS chi2_term\n"
         "FROM (\n"
@@ -1143,7 +1149,9 @@ def _ks_test_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     bcnt = bucketed.groupBy("b").agg(
         F.sum("c1").alias("t1"), F.sum("c2").alias("t2")
     )
-    wb = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    wb = Window.partitionBy(one_group("b")).orderBy("b").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
     offs = bcnt.select(
         "b",
         F.coalesce(F.sum("t1").over(wb), F.lit(0)).alias("o1"),
@@ -2163,7 +2171,9 @@ def _mann_whitney_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("b"),
     )
     bcnt = bucketed.groupBy("b").agg(F.sum("c").alias("t"))
-    wb = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    wb = Window.partitionBy(one_group("b")).orderBy("b").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
     offs = bcnt.select(
         "b", F.coalesce(F.sum("t").over(wb), F.lit(0)).alias("off")
     )
@@ -2562,7 +2572,14 @@ _ROLLCORR_SQL = (
 
 register(
     "ts_rolling_corr",
-    engine=_ROLLCORR_SQL,
+    # Engine-side only: the deliberate single-group frame over the hourly
+    # rollup gets a non-foldable constant partition (one_group shape) so
+    # WindowExec's spec is non-empty — no warning, same 24-row frames.
+    # DuckDB has no PMOD, so the oracle keeps the literal form.
+    engine=_ROLLCORR_SQL.replace(
+        "WINDOW fr AS (ORDER BY hr",
+        "WINDOW fr AS (PARTITION BY PMOD(HASH(hr), 1) ORDER BY hr",
+    ),
     oracle=_ROLLCORR_SQL,
     category="timeseries",
     suite="extension",

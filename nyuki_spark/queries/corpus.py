@@ -622,7 +622,9 @@ def _tok_ids_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     # THEN rank: the single-partition row_number window only ever sees 100
     # rows, not the full vocabulary (billions of distinct tokens at
     # web-corpus scale).
-    vw = Window.orderBy(F.desc("n"), "w")
+    from nyuki_spark.operators.rank import one_group
+
+    vw = Window.partitionBy(one_group("w")).orderBy(F.desc("n"), "w")
     vocab = (
         freq.orderBy(F.desc("n"), "w")
         .limit(100)

@@ -307,15 +307,17 @@ def _win_rank_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         global_row_number,
         key_rank,
         ntile_from_rn,
+        one_group,
     )
 
     cust = load_table(spark, sf_dir, "customer")
     if _auto_buckets(cust) == 1:
         from pyspark.sql import Window
 
-        # lit(0) partition = deliberate single-group window on a bounded
-        # input (house style: declares the smallness is intentional).
-        w0 = Window.partitionBy(F.lit(0))
+        # one_group partition = deliberate single-group window on a bounded
+        # input (house style: declares the smallness is intentional; a
+        # foldable lit(0) would be stripped and WindowExec would warn).
+        w0 = Window.partitionBy(one_group("c_custkey"))
         bal = w0.orderBy(F.desc("c_acctbal"), "c_custkey")
         seg = w0.orderBy("c_mktsegment")
         return (

@@ -620,7 +620,11 @@ register(
         "  WHERE term <> '' GROUP BY term),\n"
         "top AS (SELECT term, cnt FROM tf ORDER BY cnt DESC, term"
         " LIMIT 500),\n"
-        "r AS (SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, term)"
+        # PMOD(HASH(term),1) = constant 0 but non-foldable: declares the
+        # deliberate single group over the 500-row cut WITHOUT the empty
+        # partition spec that makes WindowExec warn (one_group, rank.py).
+        "r AS (SELECT cnt, ROW_NUMBER() OVER (PARTITION BY"
+        " PMOD(HASH(term), 1) ORDER BY cnt DESC, term)"
         " AS rnk FROM top)\n"
         "SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,\n"
         "  CAST(ROUND(REGR_SLOPE(LN(cnt), LN(rnk)), 6) AS DOUBLE)"

@@ -17,7 +17,12 @@ import pytest
 from nyuki_spark.queries import REGISTRY
 from nyuki_spark.queries.registry import SWEEP_INTERMEDIATES
 
-_PATTERNS = ("CartesianProduct", "BroadcastNestedLoopJoin", "Exchange SinglePartition")
+_PATTERNS = (
+    "CartesianProduct",
+    "BroadcastNestedLoopJoin",
+    "Exchange SinglePartition",
+    "Window EmptyPartitionSpec",
+)
 
 # Physical node classes that wrap another plan without changing what data
 # moves through them — descended through when locating an Exchange's
@@ -120,6 +125,15 @@ def _found_patterns(jplan) -> set[str]:
         ):
             if not _is_partial_aggregate(_producer(n)):
                 found.add("Exchange SinglePartition")
+        elif cls in ("WindowExec", "WindowInPandasExec", "WindowGroupLimitExec"):
+            # An EMPTY partition spec makes WindowExec demand AllTuples
+            # (move-all-rows-to-one-partition + the runtime warning). Every
+            # deliberate single-group window in the engine partitions by
+            # one_group(...) (operators/rank.py) — constant 0, but a
+            # NON-EMPTY spec — so any empty spec here is an accident.
+            # This is the static form of the r6 "zero-warning sweep" ask.
+            if n.partitionSpec().isEmpty():
+                found.add("Window EmptyPartitionSpec")
     return found
 
 # qid -> (patterns allowed, reason). Every reason must describe why the
@@ -280,53 +294,16 @@ ALLOWLIST: dict[str, tuple[tuple[str, ...], str]] = {
         "scalar-subquery shape as an explicit broadcast",
     ),
     "stat_ks_test": (
-        ("BroadcastNestedLoopJoin", "Exchange SinglePartition"),
+        ("BroadcastNestedLoopJoin",),
         "BNLJ = two 1-row broadcasts (value bounds; sample totals — both "
-        "partial-aggregated scalars); SinglePartition = the bucket-offset "
-        "prefix window over the 32-row bucket table (compile-time bucket "
-        "count), never data rows — the two-phase rank.py shape",
+        "partial-aggregated scalars); the bucket-offset prefix window now "
+        "partitions by one_group (r7), so no SinglePartition exchange",
     ),
     "stat_mann_whitney": (
-        ("BroadcastNestedLoopJoin", "Exchange SinglePartition"),
-        "BNLJ = the 1-row value-bounds broadcast; SinglePartition = the "
-        "bucket-offset prefix window over the 32-row bucket table "
-        "(compile-time bucket count), never data rows — identical "
-        "two-phase shape to stat_ks_test",
-    ),
-    "ts_rolling_corr": (
-        ("Exchange SinglePartition",),
-        "the trailing-24h frame runs over the HOURLY ROLLUP of the "
-        "joint click/purchase series — one row per hour of time range "
-        "(resample-first contract, like ts_acf), never data rows; the "
-        "series is global by definition so it cannot partition by key",
-    ),
-    "stat_benford": (
-        ("Exchange SinglePartition",),
-        "the OVER () grand-total window consumes the 9-row digit "
-        "aggregate (first significant digits 1-9 — a compile-time-"
-        "bounded domain), never data rows",
-    ),
-    "llm_shuffle_order": (
-        ("Exchange SinglePartition",),
-        "global_row_number's offset merge: SinglePartition only ever "
-        "consumes the num_buckets-row bucket-size table (operators/"
-        "rank.py), never data rows — same bounded shape as win_rank",
-    ),
-    "stat_gini_spend": (
-        ("Exchange SinglePartition",),
-        "global_row_number's size-adaptive rank (operators/rank.py): at "
-        "fixture scale the input fits one 32 MB bucket so the plain "
-        "windowed plan runs (SinglePartition over a bounded input); at "
-        "scale the two-phase plan's SinglePartition only consumes the "
-        "n_buckets-row offset table — the win_rank shape",
-    ),
-    "win_rank": (
-        ("Exchange SinglePartition",),
-        "size-adaptive rank (queries/declared.py): below one 32 MB bucket "
-        "the plain windowed plan runs (SinglePartition over a bounded "
-        "input — the sweep sees this branch at sf0.001); at scale the "
-        "two-phase range-bucketed plan runs and SinglePartition only ever "
-        "consumes the n_buckets-row offset table (operators/rank.py)",
+        ("BroadcastNestedLoopJoin",),
+        "BNLJ = the 1-row value-bounds broadcast; the bucket-offset "
+        "prefix window now partitions by one_group (r7), so no "
+        "SinglePartition exchange",
     ),
 }
 
