@@ -31,6 +31,9 @@ __all__ = [
     "label_centroids",
     "embedding_candidates_lsh",
     "build_ivf_index",
+    "assign_to_frozen_cells",
+    "append_ivf_index",
+    "compact_ivf_cells",
     "knn_cosine_ivf_indexed",
     "srp_hyperplanes",
     "srp_key_exprs",
@@ -487,6 +490,141 @@ def build_ivf_index(
     cent.select(
         F.col("cid").alias("cell"), F.col("c").alias("centroid")
     ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/centroids")
+
+
+def assign_to_frozen_cells(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """(id, embedding, cell) against a FROZEN centroid table — the
+    assignment step of daily index maintenance, with the quantizer held
+    fixed (the FAISS ``train()``-then-``add()`` contract: appends never
+    retrain). Identical math to the fit's assignment (operators/
+    kmeans.py): broadcast k-row centroids, crossJoin (map-side, the
+    N-row side never shuffles), left-to-right squared-distance fold,
+    ``min(struct(dist, cell))`` argmin with the cell-id tie-break — so
+    an appended vector lands in exactly the cell a bulk build with the
+    same quantizer would put it in, and the DuckDB oracle twin
+    re-derives it with a ROW_NUMBER-over-distance CTE.
+
+    ``centroids`` is the persisted ``{index_dir}/centroids`` table:
+    (cell int, centroid array<double>).
+    """
+    from nyuki_spark.operators.kmeans import _sq_dist
+
+    e = df.select(
+        F.col(id_col),
+        F.col(emb_col),
+        F.col(emb_col).cast("array<double>").alias("_e"),
+    )
+    cent = centroids.select(
+        F.col("cell").alias("_cell"), F.col("centroid").alias("_c")
+    )
+    scored = e.crossJoin(F.broadcast(cent)).select(
+        id_col,
+        emb_col,
+        F.struct(
+            _sq_dist(F.col("_e"), F.col("_c")).alias("dist"),
+            F.col("_cell").alias("cid"),
+        ).alias("_dc"),
+    )
+    return scored.groupBy(id_col, emb_col).agg(
+        F.min("_dc").getField("cid").alias("cell")
+    )
+
+
+def append_ivf_index(
+    df_new: DataFrame,
+    index_dir: str,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> None:
+    """Append new vectors to a prebuilt IVF index WITHOUT a rebuild —
+    the operation a growing corpus performs daily (r6 next-round #6).
+
+    New vectors are assigned against the index's frozen centroids
+    (:func:`assign_to_frozen_cells`) and appended to the cell-partitioned
+    parquet layout (``mode("append")`` adds files inside each touched
+    cell directory; existing files are never touched, so a crashed
+    append never corrupts served data). Search needs no change: the
+    probe's directory pruning sees the new files immediately. The cost
+    is one map-side assignment pass over ONLY the new vectors — no
+    k-means refit, no rewrite of the existing corpus. Each append adds
+    >= 1 file per touched cell; run :func:`compact_ivf_cells` when the
+    per-cell file count crosses the compaction threshold.
+    """
+    spark = df_new.sparkSession
+    centroids = spark.read.parquet(f"{index_dir}/centroids")
+    assigned = assign_to_frozen_cells(
+        df_new, centroids, id_col=id_col, emb_col=emb_col
+    )
+    assigned.select(id_col, emb_col, "cell").write.mode("append").partitionBy(
+        "cell"
+    ).parquet(f"{index_dir}/vectors")
+
+
+def compact_ivf_cells(
+    spark,
+    index_dir: str,
+    max_files_per_cell: int = 8,
+) -> dict:
+    """Rewrite cells whose file count exceeds the threshold — the
+    compaction half of daily maintenance (many small append files kill
+    scan throughput: each parquet footer is a round trip, and row
+    groups shrink toward row-at-a-time).
+
+    Only oversized cells are rewritten (dynamic partition overwrite —
+    untouched cells keep their files byte-identical), each coalesced to
+    ceil(rows-proportional) files via a single narrow coalesce(1) per
+    cell at test scale; a real deployment sizes it to target-file-size.
+    Returns ``{"cells_compacted": n, "files_before": b, "files_after":
+    a}`` so callers can log the reclaim.
+    """
+    import os
+
+    vec_dir = f"{index_dir}/vectors"
+    counts: dict[str, int] = {}
+    for entry in os.listdir(vec_dir):
+        if not entry.startswith("cell="):
+            continue
+        n = len(
+            [
+                f
+                for f in os.listdir(os.path.join(vec_dir, entry))
+                if f.endswith(".parquet")
+            ]
+        )
+        counts[entry] = n
+    over = sorted(
+        int(c.split("=", 1)[1]) for c, n in counts.items() if n > max_files_per_cell
+    )
+    files_before = sum(counts.values())
+    if over:
+        df = spark.read.parquet(vec_dir).where(F.col("cell").isin(over))
+        (
+            df.coalesce(1)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("cell")
+            .parquet(vec_dir)
+        )
+    files_after = 0
+    for entry in os.listdir(vec_dir):
+        if entry.startswith("cell="):
+            files_after += len(
+                [
+                    f
+                    for f in os.listdir(os.path.join(vec_dir, entry))
+                    if f.endswith(".parquet")
+                ]
+            )
+    return {
+        "cells_compacted": len(over),
+        "files_before": files_before,
+        "files_after": files_after,
+    }
 
 
 def knn_cosine_ivf_indexed(

@@ -39,7 +39,7 @@ from nyuki_spark.operators.dedup import (
 from nyuki_spark.operators.kmeans import kmeans_assign
 from nyuki_spark.operators.similarity import knn_cosine_lsh
 from nyuki_spark.operators.spans import duplicated_substring_spans
-from nyuki_spark.queries.registry import register
+from nyuki_spark.queries.registry import SWEEP_INTERMEDIATES, register
 
 # Shared DuckDB CTE: 60-bit md5-derived token hashes (matches
 # functions.text.token_hash60 bit-for-bit — verified primitive parity).
@@ -771,6 +771,128 @@ register(
         "floor at sf1 in scripts/ann_recall_sf1.py"
     ),
 )
+
+
+# -- incremental IVF maintenance (append without rebuild) ---------------------
+
+
+def _ivf_append_dir(sf_dir: str) -> str:
+    import hashlib
+    import os
+    import tempfile
+
+    key = hashlib.md5(f"{sf_dir}|cells=16|append|v1".encode()).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), f"nyuki-ivfapp-{key}")
+
+
+def _ivf_splits(emb):
+    """(base, new): the 80% the index is built on, the 20% appended
+    daily. vec 0 is the query vector — excluded from both, as in
+    llm_knn_ivf."""
+    base = emb.where((F.col("vec_id") != 0) & (F.col("vec_id") % 5 != 0))
+    new = emb.where((F.col("vec_id") != 0) & (F.col("vec_id") % 5 == 0))
+    return base, new
+
+
+def _knn_ivf_append_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF daily-maintenance path: the index is BUILT on 80% of the
+    corpus, the remaining 20% arrives later and is APPENDED — assigned
+    against the frozen centroids and written into the cell-partitioned
+    layout with no refit and no rewrite of existing files (operators/
+    similarity.py: append_ivf_index; the FAISS train-then-add contract).
+    Search is unchanged: directory pruning sees appended files
+    immediately. The oracle re-derives the frozen quantizer from the
+    base subset and assigns ALL vectors against it, so the append-path
+    assignment itself is hash-verified. If a partial build/append crashed
+    (no marker), the build's mode("overwrite") clears the layout and the
+    sequence reruns from scratch — append is never applied twice.
+    """
+    import os
+
+    from nyuki_spark.operators.similarity import (
+        append_ivf_index,
+        build_ivf_index,
+        knn_cosine_ivf_indexed,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
+    index_dir = _ivf_append_dir(sf_dir)
+    marker = os.path.join(index_dir, "_APPEND_DONE")
+    if not os.path.exists(marker):
+        base, new = _ivf_splits(emb)
+        build_ivf_index(base, index_dir, n_cells=16)
+        append_ivf_index(new, index_dir)
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    return knn_cosine_ivf_indexed(spark, index_dir, [float(x) for x in q], k=10)
+
+
+def _ivf_append_assign_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The append path's pre-write plan for the registry sweep: frozen-
+    centroid assignment of the new vectors (the index write hides it
+    behind parquet, like every persisted artifact)."""
+    from nyuki_spark.operators.similarity import assign_to_frozen_cells
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    _, new = _ivf_splits(emb)
+    index_dir = _ivf_append_dir(sf_dir)
+    centroids = spark.read.parquet(f"{index_dir}/centroids")
+    return assign_to_frozen_cells(new, centroids)
+
+
+_IVF_APPEND_ORACLE = (
+    "WITH "
+    + _duck_kmeans_ctes(
+        k=16,
+        src="(SELECT * FROM embeddings WHERE vec_id <> 0 AND vec_id % 5 <> 0)",
+    )
+    + ",\n"
+    # Frozen-quantizer assignment of the FULL corpus (base + appended)
+    # against c1 — the deterministic twin of build + append: base rows
+    # reproduce a2, appended rows reproduce assign_to_frozen_cells.
+    "f AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings"
+    " WHERE vec_id <> 0),\n"
+    "aall AS (SELECT vec_id, cid FROM (\n"
+    "    SELECT f.vec_id, c1.cid,\n"
+    "      ROW_NUMBER() OVER (PARTITION BY f.vec_id ORDER BY\n"
+    "        LIST_REDUCE(LIST_TRANSFORM(GENERATE_SERIES(1, 64),\n"
+    "          i -> (f.e[i] - c1.c[i]) * (f.e[i] - c1.c[i])),"
+    " (a, b) -> a + b),\n"
+    "        c1.cid) AS rn\n"
+    "    FROM f CROSS JOIN c1) WHERE rn = 1),\n"
+    "q AS (SELECT embedding::DOUBLE[] AS e FROM embeddings"
+    " WHERE vec_id = 0),\n"
+    "cs AS (SELECT cid,\n"
+    f"  {_fold('c1.c[i] * q.e[i]')}\n"
+    f"  / (SQRT({_fold('c1.c[i] * c1.c[i]')})"
+    f" * SQRT({_fold('q.e[i] * q.e[i]')})) AS sim\n"
+    "  FROM c1 CROSS JOIN q),\n"
+    "probe AS (SELECT cid FROM cs ORDER BY sim DESC, cid LIMIT 4),\n"
+    "cand AS (SELECT vec_id FROM aall WHERE cid IN (SELECT cid FROM probe))\n"
+    "SELECT e.vec_id, CAST(ROUND(LIST_COSINE_SIMILARITY("
+    "CAST(e.embedding AS DOUBLE[]), q.e), 4) AS DOUBLE) AS sim\n"
+    "FROM embeddings e JOIN cand USING (vec_id) CROSS JOIN q\n"
+    "ORDER BY sim DESC, e.vec_id LIMIT 10"
+)
+
+
+register(
+    "llm_knn_ivf_append",
+    engine_fn=_knn_ivf_append_fn,
+    oracle=_IVF_APPEND_ORACLE,
+    category="llm-similarity",
+    suite="extension",
+    doc=(
+        "incremental IVF maintenance: 20% of the corpus appended to a "
+        "prebuilt index against FROZEN centroids (no refit, no rewrite; "
+        "compaction in operators/similarity.py), search unchanged — "
+        "assignment + probe + rerank hash-verified by a frozen-quantizer "
+        "DuckDB twin; append==bulk equivalence in tests/test_similarity.py"
+    ),
+)
+
+SWEEP_INTERMEDIATES["llm_knn_ivf_append"] = _ivf_append_assign_stage
 
 
 # -- near-dup clustering (pairs -> groups) -----------------------------------

@@ -274,6 +274,13 @@ ALLOWLIST: dict[str, tuple[tuple[str, ...], str]] = {
         "vector with the broadcast k-row centroid table (k=8, "
         "compile-time constant) — the only BNLJ build side is k rows",
     ),
+    "llm_knn_ivf_append": (
+        ("BroadcastNestedLoopJoin",),
+        "the registered SWEEP intermediate (frozen-centroid assignment of "
+        "appended vectors) crossJoins each new vector with the broadcast "
+        "16-row centroid table — the kmeans_assign shape; the query's own "
+        "search plan is a pruned scan + TakeOrdered and is clean",
+    ),
     "llm_kmeans_assign": (
         ("BroadcastNestedLoopJoin",),
         "assignment step crossJoins each vector with the broadcast k-row "

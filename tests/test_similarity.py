@@ -143,3 +143,93 @@ def test_ts_profile_lsh_recall_at_floor(spark, sf_dir):
     missed = truth - cand
     recall = 1 - len(missed) / len(truth)
     assert recall >= 0.9, f"count-profile LSH recall {recall:.3f}; missed {sorted(missed)[:5]}"
+
+
+def test_ivf_append_equals_bulk_same_quantizer(spark, sf_dir, tmp_path):
+    """Daily maintenance invariant: appending new vectors to a prebuilt
+    index (frozen centroids, incremental files) yields BYTE-IDENTICAL
+    search results to bulk-writing the same corpus against the same
+    quantizer in one shot — and identical index CONTENTS (id -> cell).
+    The quantizer is frozen by contract (FAISS train-then-add): a full
+    re-FIT on base+new would move centroids, which is a retrain, not an
+    append."""
+    from nyuki_spark.operators.similarity import (
+        append_ivf_index,
+        assign_to_frozen_cells,
+        build_ivf_index,
+        knn_cosine_ivf_indexed,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
+    qv = [float(x) for x in q]
+    base = emb.where((F.col("vec_id") != 0) & (F.col("vec_id") % 5 != 0))
+    new = emb.where((F.col("vec_id") != 0) & (F.col("vec_id") % 5 == 0))
+
+    inc_dir = str(tmp_path / "inc")
+    build_ivf_index(base, inc_dir, n_cells=8)
+    append_ivf_index(new, inc_dir)
+
+    bulk_dir = str(tmp_path / "bulk")
+    build_ivf_index(base, bulk_dir, n_cells=8)
+    cent = spark.read.parquet(f"{bulk_dir}/centroids")
+    bulk_all = assign_to_frozen_cells(
+        emb.where(F.col("vec_id") != 0), cent
+    )
+    bulk_all.select("vec_id", "embedding", "cell").write.mode(
+        "overwrite"
+    ).partitionBy("cell").parquet(f"{bulk_dir}/vectors")
+
+    inc_res = [tuple(r) for r in knn_cosine_ivf_indexed(spark, inc_dir, qv, k=10).collect()]
+    bulk_res = [tuple(r) for r in knn_cosine_ivf_indexed(spark, bulk_dir, qv, k=10).collect()]
+    assert inc_res == bulk_res
+
+    inc_cells = {
+        (r.vec_id, r.cell)
+        for r in spark.read.parquet(f"{inc_dir}/vectors").select("vec_id", "cell").collect()
+    }
+    bulk_cells = {
+        (r.vec_id, r.cell)
+        for r in spark.read.parquet(f"{bulk_dir}/vectors").select("vec_id", "cell").collect()
+    }
+    assert inc_cells == bulk_cells
+    # And the appended vectors are actually searchable: a planted copy of
+    # the query vector appended post-build must surface as top-1 sim 1.0.
+    planted = spark.createDataFrame([(999_999, list(q))], "vec_id long, embedding array<float>")
+    append_ivf_index(planted, inc_dir)
+    top = knn_cosine_ivf_indexed(spark, inc_dir, qv, k=1).collect()[0]
+    assert top.vec_id == 999_999 and top.sim == 1.0
+
+
+def test_ivf_compaction_threshold(spark, sf_dir, tmp_path):
+    """Repeated appends accumulate small files; compaction rewrites only
+    the oversized cells and search results are unchanged."""
+    from nyuki_spark.operators.similarity import (
+        append_ivf_index,
+        build_ivf_index,
+        compact_ivf_cells,
+        knn_cosine_ivf_indexed,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
+    qv = [float(x) for x in q]
+    base = emb.where((F.col("vec_id") != 0) & (F.col("vec_id") % 5 != 0))
+    d = str(tmp_path / "idx")
+    build_ivf_index(base, d, n_cells=4)
+    # 6 daily appends of small slices -> many files per cell.
+    for day in range(6):
+        slice_df = emb.where(
+            (F.col("vec_id") != 0) & (F.col("vec_id") % 30 == day)
+        )
+        append_ivf_index(slice_df, d)
+    before = [tuple(r) for r in knn_cosine_ivf_indexed(spark, d, qv, k=10).collect()]
+    stats = compact_ivf_cells(spark, d, max_files_per_cell=3)
+    assert stats["cells_compacted"] >= 1
+    assert stats["files_after"] < stats["files_before"]
+    after = [tuple(r) for r in knn_cosine_ivf_indexed(spark, d, qv, k=10).collect()]
+    # Some appended slices overlap the base split (vec_id%30==day with
+    # day!=0 intersects %5!=0), so the index deliberately holds duplicate
+    # ids — compaction must preserve the multiset exactly: same rows,
+    # same duplicates, same top-k.
+    assert before == after
