@@ -205,7 +205,10 @@ def serve(store: TemplateStore, spark=None, tables: dict[str, DataFrame] | None 
                 try:
                     return self._send(200, store.put(parts[1], self._body()))
                 except SpecError as e:
-                    return self._send(400, {"error": str(e)})
+                    # Jsonschema-shaped listing: every violation with its
+                    # JSON-pointer path, not just the first (the
+                    # reference's validate-before-publish error contract).
+                    return self._send(400, {"error": str(e), "errors": e.errors})
             self._send(404, {"error": "no such route"})
 
         def do_DELETE(self):

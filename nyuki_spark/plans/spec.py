@@ -41,13 +41,169 @@ from pyspark.sql import functions as F
 from nyuki_spark.functions.evaluate import compile_condition
 from nyuki_spark.functions.transform import Extract, Lookup, Rule, Set, Sub, Unset
 
-__all__ = ["PipelineSpec", "compile_pipeline", "SpecError"]
+__all__ = ["PipelineSpec", "compile_pipeline", "validate_spec", "SpecError"]
 
 PipelineFn = Callable[[DataFrame], DataFrame]
 
 
 class SpecError(ValueError):
-    """Malformed pipeline spec (unknown op / missing key / bad condition)."""
+    """Malformed pipeline spec (unknown op / missing key / bad condition).
+
+    ``errors`` carries the full jsonschema-shaped listing — one
+    ``{"path", "message", "validator"}`` dict per violation (the
+    reference validates workflow templates by jsonschema before publish
+    and returns the whole listing, not just the first failure)."""
+
+    def __init__(self, message: str, errors: list[dict] | None = None):
+        super().__init__(message)
+        self.errors = errors if errors is not None else []
+
+
+# Per-op step schema: required/optional properties with their JSON types.
+# ``object`` means any type. This is the engine's equivalent of the
+# reference's jsonschema template documents — kept as data so the
+# validator below reports EVERY violation with a JSON-pointer path.
+_STEP_SCHEMAS: dict[str, dict[str, dict[str, type]]] = {
+    "filter": {"required": {"condition": str}, "optional": {}},
+    "extract": {
+        "required": {"field": str, "pattern": str},
+        "optional": {"group": int, "src": str},
+    },
+    "sub": {"required": {"field": str, "pattern": str, "repl": str}, "optional": {}},
+    "set": {"required": {"field": str}, "optional": {"value": object}},
+    "unset": {"required": {"field": str}, "optional": {}},
+    "lookup": {
+        "required": {"field": str, "table": dict},
+        "optional": {"icase": bool},
+    },
+    "select": {"required": {"fields": list}, "optional": {}},
+    "branch": {
+        "required": {"field": str, "cases": list},
+        "optional": {"default": object},
+    },
+}
+
+_TYPE_NAMES = {str: "string", int: "integer", bool: "boolean", dict: "object", list: "array"}
+
+
+def _err(path: str, message: str, validator: str) -> dict:
+    return {"path": path, "message": message, "validator": validator}
+
+
+def _check_type(val, typ: type) -> bool:
+    if typ is object:
+        return True
+    if typ is int:
+        return isinstance(val, int) and not isinstance(val, bool)
+    return isinstance(val, typ)
+
+
+def _validate_condition(path: str, cond, errors: list[dict]) -> None:
+    if not isinstance(cond, str):
+        return  # the type error is already recorded
+    try:
+        compile_condition(cond)
+    except Exception as e:  # noqa: BLE001 — any compile failure is a spec error
+        errors.append(_err(path, f"invalid condition: {e}", "format"))
+
+
+def validate_spec(spec: dict | str) -> list[dict]:
+    """Jsonschema-shaped validation: the COMPLETE error listing for a
+    pipeline-spec document, each entry ``{"path": <json-pointer>,
+    "message": str, "validator": <jsonschema keyword>}`` — empty when the
+    spec is publishable. Unlike :func:`compile_pipeline` (which stops at
+    the first problem by construction), this walks the whole document, so
+    an API client gets every violation in one round trip — the
+    reference's validate-before-publish contract.
+    """
+    import re as _re
+
+    errors: list[dict] = []
+    if isinstance(spec, str):
+        try:
+            spec = json.loads(spec)
+        except json.JSONDecodeError as e:
+            return [_err("", f"invalid JSON: {e}", "format")]
+    if not isinstance(spec, dict):
+        return [_err("", "spec must be an object", "type")]
+    if "steps" not in spec:
+        return [_err("", "'steps' is a required property", "required")]
+    steps = spec["steps"]
+    if not isinstance(steps, list):
+        return [_err("/steps", "expected array", "type")]
+    for i, step in enumerate(steps):
+        p = f"/steps/{i}"
+        if not isinstance(step, dict):
+            errors.append(_err(p, "expected object", "type"))
+            continue
+        op = step.get("op")
+        if op is None:
+            errors.append(_err(p, "'op' is a required property", "required"))
+            continue
+        schema = _STEP_SCHEMAS.get(op)
+        if schema is None:
+            errors.append(
+                _err(f"{p}/op", f"'{op}' is not one of {sorted(_STEP_SCHEMAS)}", "enum")
+            )
+            continue
+        for key, typ in schema["required"].items():
+            if key not in step:
+                errors.append(
+                    _err(p, f"'{key}' is a required property for op '{op}'", "required")
+                )
+            elif not _check_type(step[key], typ):
+                errors.append(
+                    _err(f"{p}/{key}", f"expected {_TYPE_NAMES.get(typ, 'value')}", "type")
+                )
+        for key, typ in schema["optional"].items():
+            if key in step and not _check_type(step[key], typ):
+                errors.append(
+                    _err(f"{p}/{key}", f"expected {_TYPE_NAMES.get(typ, 'value')}", "type")
+                )
+        known = {"op", *schema["required"], *schema["optional"]}
+        for key in step:
+            if key not in known:
+                errors.append(
+                    _err(
+                        f"{p}/{key}",
+                        f"unexpected property for op '{op}'",
+                        "additionalProperties",
+                    )
+                )
+        if op == "filter":
+            _validate_condition(f"{p}/condition", step.get("condition"), errors)
+        if op in ("extract", "sub") and isinstance(step.get("pattern"), str):
+            try:
+                _re.compile(step["pattern"])
+            except _re.error as e:
+                errors.append(_err(f"{p}/pattern", f"invalid regex: {e}", "format"))
+        if op == "select" and isinstance(step.get("fields"), list):
+            for j, fld in enumerate(step["fields"]):
+                if not isinstance(fld, str):
+                    errors.append(_err(f"{p}/fields/{j}", "expected string", "type"))
+        if op == "lookup" and isinstance(step.get("table"), dict):
+            for kk, vv in step["table"].items():
+                if not isinstance(vv, str):
+                    errors.append(
+                        _err(f"{p}/table/{kk}", "expected string value", "type")
+                    )
+        if op == "branch" and isinstance(step.get("cases"), list):
+            if not step["cases"]:
+                errors.append(
+                    _err(f"{p}/cases", "at least one case is required", "minItems")
+                )
+            for j, case in enumerate(step["cases"]):
+                cp = f"{p}/cases/{j}"
+                if not isinstance(case, dict):
+                    errors.append(_err(cp, "expected object", "type"))
+                    continue
+                for k2 in ("condition", "value"):
+                    if k2 not in case:
+                        errors.append(
+                            _err(cp, f"'{k2}' is a required property", "required")
+                        )
+                _validate_condition(f"{cp}/condition", case.get("condition"), errors)
+    return errors
 
 
 def _rule_for(step: dict) -> Rule:
@@ -126,11 +282,16 @@ def compile_pipeline(spec: dict | str) -> PipelineSpec:
     """
     if isinstance(spec, str):
         spec = json.loads(spec)
-    if not isinstance(spec, dict) or "steps" not in spec:
-        raise SpecError("spec must be an object with a 'steps' list")
+    listing = validate_spec(spec)
+    if listing:
+        raise SpecError(
+            f"invalid spec: {len(listing)} error(s): "
+            + "; ".join(f"{e['path'] or '<root>'}: {e['message']}" for e in listing),
+            errors=listing,
+        )
     try:
         step_fns = [_compile_step(s) for s in spec["steps"]]
-    except KeyError as e:
+    except KeyError as e:  # backstop — validate_spec should have caught it
         raise SpecError(f"step missing key: {e}") from e
 
     def fn(df: DataFrame) -> DataFrame:

@@ -6,6 +6,7 @@ HTTP wire layer (stdlib server, ephemeral port).
 from __future__ import annotations
 
 import json
+import urllib.error
 import urllib.request
 
 import pytest
@@ -92,7 +93,8 @@ def test_http_round_trip(spark, sf_dir):
         code, out = call("PUT", "/templates/route", SPEC_V2)
         assert out["version"] == 2
         code, bad = call("PUT", "/templates/bad", {"steps": [{"op": "nope"}]})
-        assert code == 400 and "unknown" in bad["error"]
+        assert code == 400 and "not one of" in bad["error"]
+        assert bad["errors"][0]["path"] == "/steps/0/op"
 
         code, lst = call("GET", "/templates")
         assert [t["name"] for t in lst] == ["route"]
@@ -109,5 +111,88 @@ def test_http_round_trip(spark, sf_dir):
         assert code == 200
         code, _ = call("GET", "/templates/route")
         assert code == 404
+    finally:
+        server.shutdown()
+
+
+def test_validation_error_listing_shape(spark):
+    """The reference validates templates by jsonschema before publish and
+    returns a structured listing. Three malformed specs -> every
+    violation reported with {path, message, validator}, nothing stored."""
+    from nyuki_spark.plans.spec import validate_spec
+
+    store = TemplateStore()
+
+    # 1. unknown op + missing required key, in one document: BOTH reported.
+    bad1 = {
+        "steps": [
+            {"op": "warp-drive"},
+            {"op": "extract", "field": "k"},  # missing 'pattern'
+        ]
+    }
+    errs = validate_spec(bad1)
+    assert {e["validator"] for e in errs} == {"enum", "required"}
+    assert {e["path"] for e in errs} == {"/steps/0/op", "/steps/1"}
+    with pytest.raises(SpecError) as ei:
+        store.put("bad1", bad1)
+    assert ei.value.errors == errs
+    assert store.list() == []  # nothing published
+
+    # 2. type violations with JSON-pointer paths into nested structures.
+    bad2 = {
+        "steps": [
+            {"op": "select", "fields": ["ok", 7]},
+            {"op": "lookup", "field": "k", "table": {"a": 1}, "icase": "yes"},
+        ]
+    }
+    errs = validate_spec(bad2)
+    by_path = {e["path"]: e["validator"] for e in errs}
+    assert by_path == {
+        "/steps/0/fields/1": "type",
+        "/steps/1/table/a": "type",
+        "/steps/1/icase": "type",
+    }
+
+    # 3. semantic format checks: bad DSL condition, bad regex, empty cases.
+    bad3 = {
+        "steps": [
+            {"op": "filter", "condition": "__import__('os')"},
+            {"op": "sub", "field": "t", "pattern": "(unclosed", "repl": ""},
+            {"op": "branch", "field": "sev", "cases": []},
+        ]
+    }
+    errs = validate_spec(bad3)
+    by_path = {e["path"]: e["validator"] for e in errs}
+    assert by_path["/steps/0/condition"] == "format"
+    assert by_path["/steps/1/pattern"] == "format"
+    assert by_path["/steps/2/cases"] == "minItems"
+
+
+def test_http_put_returns_error_listing(spark):
+    """The wire contract: PUT of an invalid spec -> 400 with the full
+    jsonschema-shaped listing in the body."""
+    store = TemplateStore()
+    server = serve(store)
+    port = server.server_address[1]
+    try:
+        body = json.dumps(
+            {"steps": [{"op": "nope"}, {"op": "set"}]}
+        ).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/templates/bad",
+            data=body,
+            method="PUT",
+            headers={"Content-Type": "application/json"},
+        )
+        try:
+            urllib.request.urlopen(req)
+            raise AssertionError("expected HTTP 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+            payload = json.loads(e.read())
+        assert "error" in payload
+        errs = payload["errors"]
+        assert {x["path"] for x in errs} == {"/steps/0/op", "/steps/1"}
+        assert all({"path", "message", "validator"} <= set(x) for x in errs)
     finally:
         server.shutdown()
