@@ -210,6 +210,63 @@ class _BusStreamReader(DataSourceStreamReader):
         pass
 
 
+class _TopicRangePartition(InputPartition):
+    def __init__(self, topic: str, start: int, end: int):
+        self.topic = topic
+        self.start = start
+        self.end = end
+
+
+class _BusSocketStreamReader(DataSourceStreamReader):
+    """The same offset/replay contract as :class:`_BusStreamReader`, but
+    over a LIVE TCP broker (``option("broker", "host:port")`` —
+    :mod:`nyuki_spark.sources.broker`) instead of segment files: offsets
+    are per-topic message counts served by the broker's ``offsets`` verb,
+    and each micro-batch fetches exactly [start, end) per topic over a
+    worker-side socket. One partition per (topic, batch-range) — a real
+    broker's partition count would fan this out; the transport swap is
+    the point, not the parallelism. Restart-from-checkpoint replays the
+    unconsumed suffix only, exercised over the wire in tests/test_bus.py.
+    """
+
+    def __init__(self, options):
+        self.address = options["broker"]
+        self.topic = options.get("topic")
+
+    def _client(self):
+        from nyuki_spark.sources.broker import BusBrokerClient
+
+        return BusBrokerClient(self.address)
+
+    def initialOffset(self):
+        return {"topics": {}}
+
+    def latestOffset(self):
+        topics = self._client().offsets()
+        if self.topic:
+            topics = {t: n for t, n in topics.items() if t == self.topic}
+        return {"topics": topics}
+
+    def partitions(self, start: dict, end: dict):
+        start_t = start.get("topics", {})
+        out = []
+        for topic, n_end in end.get("topics", {}).items():
+            n_start = start_t.get(topic, 0)
+            if n_end > n_start:
+                out.append(_TopicRangePartition(topic, n_start, n_end))
+        return out
+
+    def read(self, partition):
+        # Runs in the worker process: a fresh loopback connection per
+        # fetch (the client holds only host/port — picklable).
+        msgs = self._client().fetch(partition.topic, partition.start, partition.end)
+        for payload in msgs:
+            yield (partition.topic, payload)
+
+    def commit(self, end: dict) -> None:
+        pass  # checkpoint WAL owns progress; a real broker trims here
+
+
 class _BusCommit(WriterCommitMessage):
     def __init__(self, rel: str | None):
         self.rel = rel
@@ -289,6 +346,8 @@ class BusDataSource(DataSource):
         return _BusBatchReader(self.options)
 
     def streamReader(self, schema: StructType):
+        if self.options.get("broker"):
+            return _BusSocketStreamReader(self.options)
         return _BusStreamReader(self.options)
 
     def writer(self, schema: StructType, overwrite: bool):
