@@ -1596,6 +1596,86 @@ register(
 )
 
 
+# -- embedding outlier detection (round 7) ------------------------------------
+
+
+def _emb_outliers_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space data QA: the 20 vectors farthest from their own
+    cluster, by per-cluster distance z-score — the standard screen for
+    mis-embedded / corrupted / off-distribution rows before training.
+
+    Plan: deterministic k-means (the oracle-reproducible quantizer every
+    embedding query shares), one broadcast join to the k-row centroid
+    table for the squared distance (left-to-right fold, rounded 6 dp so
+    both engines aggregate identical operands), ONE (cluster) aggregate
+    for mean/stddev — all map-side-partial — and a TakeOrdered top-20.
+    Singleton clusters have stddev 0 -> NULL z (never an outlier), same
+    NULLIF guard on both engines. At 100 TB: the distance pass is a scan
+    + k-row broadcast, the stats are k rows, nothing pairwise.
+    """
+    from nyuki_spark.operators.kmeans import _sq_dist, kmeans_fit
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, cent = kmeans_fit(emb, k=8, iters=2)
+    e = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    d = (
+        assigned.join(e, "vec_id")
+        .join(F.broadcast(cent), F.col("cluster_id") == F.col("cid"))
+        .select(
+            "vec_id",
+            "cluster_id",
+            F.round(_sq_dist(F.col("e"), F.col("c")), 6).alias("dist"),
+        )
+    )
+    s = d.groupBy("cluster_id").agg(
+        F.avg("dist").alias("mu"), F.stddev_pop("dist").alias("sd")
+    )
+    return (
+        d.join(s, "cluster_id")
+        .select(
+            "vec_id",
+            "cluster_id",
+            F.col("dist").cast("double").alias("dist"),
+            F.round(
+                (F.col("dist") - F.col("mu")) / F.expr("NULLIF(sd, 0)"), 4
+            )
+            .cast("double")
+            .alias("z"),
+        )
+        .orderBy(F.col("z").desc_nulls_last(), "vec_id")
+        .limit(20)
+    )
+
+
+register(
+    "llm_embedding_outliers",
+    engine_fn=_emb_outliers_fn,
+    oracle=(
+        "WITH " + _DUCK_KMEANS_CTES + ",\n"
+        "d AS (SELECT a2.vec_id, a2.cid,\n"
+        "    ROUND(LIST_REDUCE(LIST_TRANSFORM(GENERATE_SERIES(1, 64),\n"
+        "      i -> (emb.e[i] - c1.c[i]) * (emb.e[i] - c1.c[i])),\n"
+        "      (a, b) -> a + b), 6) AS dist\n"
+        "  FROM a2 JOIN emb USING (vec_id) JOIN c1 ON c1.cid = a2.cid),\n"
+        "s AS (SELECT cid, AVG(dist) AS mu, STDDEV_POP(dist) AS sd\n"
+        "  FROM d GROUP BY cid)\n"
+        "SELECT d.vec_id, d.cid AS cluster_id, CAST(d.dist AS DOUBLE) AS dist,\n"
+        "  CAST(ROUND((d.dist - s.mu) / NULLIF(s.sd, 0), 4) AS DOUBLE) AS z\n"
+        "FROM d JOIN s USING (cid)\n"
+        "ORDER BY z DESC NULLS LAST, vec_id LIMIT 20"
+    ),
+    category="llm-similarity",
+    suite="extension",
+    doc=(
+        "per-cluster distance z-score outliers over the embedding table "
+        "(mis-embedded/off-distribution row screen): k-row broadcast "
+        "distance pass + k-row stats + TakeOrdered top-20, hash-verified"
+    ),
+)
+
+
 # -- reproducible global shuffle order (round 4b) ----------------------------
 
 

@@ -32,6 +32,11 @@ class _Progress:
     state_rows: int = 0
     state_memory_bytes: int = 0
     state_rows_dropped_by_watermark: int = 0
+    # Per-operator breakdown [(operatorName, rows, bytes)] — how a
+    # multi-stateful query (stream-stream join -> windowed rollup) is
+    # attributed: which operator's store dominates decides the tuning
+    # lever (join watermark delay vs rollup window size).
+    state_by_operator: list = None  # type: ignore[assignment]
 
 
 class MetricsListener(StreamingQueryListener):
@@ -65,6 +70,14 @@ class MetricsListener(StreamingQueryListener):
                 state_rows_dropped_by_watermark=sum(
                     o.numRowsDroppedByWatermark for o in ops
                 ),
+                state_by_operator=[
+                    (
+                        getattr(o, "operatorName", None) or f"op{i}",
+                        o.numRowsTotal,
+                        o.memoryUsedBytes,
+                    )
+                    for i, o in enumerate(ops)
+                ],
             )
         )
 
