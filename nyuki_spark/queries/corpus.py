@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 from nyuki_spark.catalog import load_table
 from nyuki_spark.functions.text import PII_RULES, pii_counts, redact_pii
 from nyuki_spark.operators.sample import hash_fraction
-from nyuki_spark.queries.registry import register
+from nyuki_spark.queries.registry import SWEEP_INTERMEDIATES, register
 
 # -- PII redaction -----------------------------------------------------------
 
@@ -144,6 +144,81 @@ register(
     doc=(
         "URL decomposition (host/path/query/registrable domain) via Spark's "
         "JVM parse_url; oracle re-derives each part with RE2 regexes"
+    ),
+)
+
+
+# -- canonical-URL dedup (round 7) --------------------------------------------
+
+# Deterministic messy-URL generator: four wire variants per canonical
+# target (doc_id % 97 targets), differing only in noise a crawler sees —
+# scheme/host case + www + trailing slash, utm_* tracking params, a
+# fragment. Every variant canonicalizes to 'example.com/p/<n>'.
+_MESSY_URL_CASE = (
+    "CASE CAST(doc_id % 4 AS INT)\n"
+    "  WHEN 0 THEN 'https://example.com/p/' || CAST(doc_id % 97 AS STRING)\n"
+    "  WHEN 1 THEN 'HTTP://WWW.EXAMPLE.COM/p/'"
+    " || CAST(doc_id % 97 AS STRING) || '/'\n"
+    "  WHEN 2 THEN 'https://example.com/p/' || CAST(doc_id % 97 AS STRING)"
+    " || '?utm_source=x&utm_campaign=y'\n"
+    "  ELSE 'https://example.com/p/' || CAST(doc_id % 97 AS STRING)"
+    " || '#sec2'\n"
+    "END"
+)
+
+
+def _canon_sql(dialect: str) -> str:
+    """Canonical-URL dedup in each dialect. Canonicalization: strip
+    fragment, lowercase host, drop 'www.', drop the scheme (http==https
+    for dedup), strip utm_* params, strip a trailing slash. All regexes
+    are single-occurrence (anchored or $-bound), so Spark's replace-all
+    REGEXP_REPLACE and DuckDB's replace-first agree by construction."""
+    if dialect == "spark":
+        split_q = (
+            "ARRAY_JOIN(FILTER(SPLIT(REGEXP_EXTRACT(u2, '\\\\?(.*)$', 1),"
+            " '&'), p -> p NOT LIKE 'utm_%'), '&')"
+        )
+    else:
+        # COALESCE: DuckDB's ARRAY_TO_STRING([]) is NULL where Spark's
+        # ARRAY_JOIN([]) is '' — normalize to '' so both group keys agree.
+        split_q = (
+            "COALESCE(ARRAY_TO_STRING(LIST_FILTER(STRING_SPLIT("
+            "REGEXP_EXTRACT(u2, '\\?(.*)$', 1), '&'),"
+            " p -> p NOT LIKE 'utm_%'), '&'), '')"
+        )
+    return (
+        "WITH u AS (SELECT doc_id, " + _MESSY_URL_CASE + " AS url"
+        " FROM documents),\n"
+        "d AS (SELECT doc_id, REGEXP_REPLACE(url, '#.*$', '') AS u2 FROM u),\n"
+        "c AS (SELECT doc_id,\n"
+        # '[.]' instead of '\.': Spark SQL unescapes backslashes inside
+        # string literals (DuckDB does not), a char class needs neither.
+        "  REGEXP_REPLACE(LOWER(REGEXP_EXTRACT(u2,"
+        " '^[A-Za-z]+://([^/?#]+)', 1)), '^www[.]', '') AS host,\n"
+        "  REGEXP_REPLACE(REGEXP_EXTRACT(u2,"
+        " '^[A-Za-z]+://[^/?#]+([^?#]*)', 1), '/$', '') AS path,\n"
+        f"  {split_q} AS q2\n"
+        "  FROM d)\n"
+        "SELECT host || path || (CASE WHEN q2 = '' THEN '' ELSE '?' || q2"
+        " END) AS canonical_url,\n"
+        "  CAST(COUNT(*) AS BIGINT) AS n_urls,\n"
+        "  MIN(doc_id) AS keep_id\n"
+        "FROM c GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY canonical_url"
+    ).replace("AS STRING", "AS VARCHAR" if dialect == "duckdb" else "AS STRING")
+
+
+register(
+    "llm_url_canonical_dedup",
+    engine=_canon_sql("spark"),
+    oracle=_canon_sql("duckdb"),
+    category="llm-dedup",
+    suite="extension",
+    doc=(
+        "canonical-URL dedup groups: defragment, case-fold host, strip "
+        "www/scheme/utm-params/trailing slash, then ONE hash aggregate on "
+        "the canonical key (map-side partial) — the crawl-frontier dedup "
+        "every web-scale corpus runs before fetch; hash-verified across "
+        "dialects incl. the list-filter param strip"
     ),
 )
 
@@ -922,3 +997,156 @@ register(
         "doc_id-keyed hash aggs"
     ),
 )
+
+
+# -- BPE tokenizer training steps (round 7) ------------------------------------
+
+
+def _bpe_oracle(k: int = 3) -> str:
+    """DuckDB twin of the first ``k`` BPE merges, fully unrolled. Symbol
+    sequences are '<sym>' wrapped-token strings, so the merge is a plain
+    (non-regex) REPLACE of '<a><b>' with '<ab>' — substring-safe (symbols
+    are alphabetic, never contain '<'/'>') and left-to-right
+    non-overlapping in both engines, which IS the BPE merge rule."""
+    parts = [
+        "WITH words AS (SELECT LOWER(t) AS w, COUNT(*) AS f FROM (\n"
+        "    SELECT UNNEST(STRING_SPLIT(text, ' ')) AS t FROM documents\n"
+        "    WHERE text IS NOT NULL) s\n"
+        "  WHERE regexp_matches(LOWER(t), '^[a-z]+$') GROUP BY 1),\n"
+        "s0 AS (SELECT REGEXP_REPLACE(w, '(.)', '<\\1>', 'g') AS seq, f"
+        " FROM words)"
+    ]
+    for i in range(1, k + 1):
+        prev = f"s{i - 1}"
+        parts.append(
+            f",\np{i} AS (SELECT a[i] AS l, a[i + 1] AS r, SUM(f) AS cnt"
+            " FROM (\n"
+            "    SELECT STRING_SPLIT(SUBSTRING(seq, 2, LENGTH(seq) - 2),"
+            f" '><') AS a, f FROM {prev}) t,\n"
+            "    UNNEST(GENERATE_SERIES(1, LEN(a) - 1)) AS u(i)\n"
+            "  GROUP BY 1, 2),\n"
+            f"m{i} AS (SELECT l, r, cnt FROM p{i}"
+            " ORDER BY cnt DESC, l, r LIMIT 1)"
+        )
+        if i < k:
+            parts.append(
+                f",\ns{i} AS (SELECT REPLACE(seq,"
+                f" '<' || m{i}.l || '><' || m{i}.r || '>',"
+                f" '<' || m{i}.l || m{i}.r || '>') AS seq, f"
+                f" FROM {prev} CROSS JOIN m{i})"
+            )
+    sel = "\nUNION ALL ".join(
+        f"SELECT {i} AS step, l AS sym_a, r AS sym_b,"
+        f" CAST(cnt AS BIGINT) AS pair_freq FROM m{i}"
+        for i in range(1, k + 1)
+    )
+    return "".join(parts) + "\n" + sel + " ORDER BY step"
+
+
+def _bpe_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 3 merges of byte-pair-encoding tokenizer training (Sennrich
+    et al., ACL 2016) over the corpus's alphabetic words — the vocabulary
+    induction step every LLM data pipeline runs before tokenizing.
+
+    Scale shape per merge: ONE (pair) hash aggregate over the exploded
+    adjacent-symbol pairs, weighted by word frequency (map-side partial —
+    pair count is bounded by vocab x word length, never corpus size),
+    a 1-row argmax collect (cnt DESC, pair asc tiebreak), then a map-only
+    REPLACE over the vocab table. Sequences are '<sym>' wrapped so the
+    plain REPLACE is boundary-safe and left-to-right non-overlapping —
+    exactly the BPE merge rule, and exactly what the DuckDB twin's
+    REPLACE does, so every (pair, frequency) decision is hash-verified.
+    The vocab table (not the corpus) is the working set: at 100 TB the
+    word-frequency aggregate is the only corpus-sized pass.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("t"))
+        .select(F.lower("t").alias("w"))
+        .where(F.col("w").rlike("^[a-z]+$"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    seq = words.select(
+        F.regexp_replace("w", "(.)", "<$1>").alias("seq"), "f"
+    ).persist()
+    merges = []
+    for step in range(1, 4):
+        syms = seq.select(
+            F.split(F.expr("substring(seq, 2, length(seq) - 2)"), "><").alias("a"),
+            "f",
+        ).where(F.size("a") >= 2)
+        pairs = syms.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(a) - 1),"
+                    " i -> struct(element_at(a, i) AS l,"
+                    " element_at(a, i + 1) AS r))"
+                )
+            ).alias("p"),
+            "f",
+        )
+        top = (
+            pairs.groupBy("p.l", "p.r")
+            .agg(F.sum("f").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "l", "r")
+            .limit(1)
+            .collect()[0]
+        )
+        merges.append((step, top["l"], top["r"], int(top["cnt"])))
+        seq = seq.select(
+            F.expr(
+                f"replace(seq, '<{top['l']}><{top['r']}>',"
+                f" '<{top['l']}{top['r']}>')"
+            ).alias("seq"),
+            "f",
+        )
+    return spark.createDataFrame(
+        merges, "step int, sym_a string, sym_b string, pair_freq bigint"
+    ).orderBy("step")
+
+
+register(
+    "llm_tokenizer_bpe",
+    engine_fn=_bpe_fn,
+    oracle=_bpe_oracle(3),
+    category="llm-text",
+    suite="extension",
+    doc=(
+        "BPE tokenizer training, first 3 merges (pair-frequency argmax + "
+        "boundary-safe vocab REPLACE per step): vocab-sized working set, "
+        "one corpus pass total; every merge decision hash-verified vs an "
+        "unrolled DuckDB twin"
+    ),
+)
+
+
+def _bpe_pairs_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Step-1 pair-count plan for the registry sweep (the query's own
+    returned frame is a 3-row driver literal, which would hide the
+    corpus-sized aggregation from the plan walk)."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("t"))
+        .select(F.lower("t").alias("w"))
+        .where(F.col("w").rlike("^[a-z]+$"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    syms = words.select(
+        F.split(F.regexp_replace("w", "(.)", "$1 "), " ").alias("a"), "f"
+    ).where(F.size("a") >= 2)
+    pairs = syms.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(a) - 1),"
+                " i -> struct(element_at(a, i) AS l,"
+                " element_at(a, i + 1) AS r))"
+            )
+        ).alias("p"),
+        "f",
+    )
+    return pairs.groupBy("p.l", "p.r").agg(F.sum("f").alias("cnt"))
+
+
+SWEEP_INTERMEDIATES["llm_tokenizer_bpe"] = _bpe_pairs_stage

@@ -3072,3 +3072,52 @@ register(
         "filtered aggregate"
     ),
 )
+
+
+# -- Z-order (Morton) curve for multi-column data skipping (round 7) -----------
+
+
+def _zorder_sql(dialect: str) -> str:
+    """Morton z-value of the bucketized (o_custkey, o_orderdate) pair —
+    the interleaved-bit clustering key behind multi-column data skipping
+    (Delta/Iceberg OPTIMIZE ZORDER): sorting by z keeps BOTH columns'
+    ranges tight within every file, so min/max stats prune 2-D predicate
+    boxes that a single-column sort can only prune on one axis (behavioral
+    proof: tests/test_layout.py). 8 bits per axis (256x256 grid); the
+    16 interleave terms are static integer shift/mask arithmetic, so the
+    z-values are bit-identical across engines. Spark spells shift as
+    SHIFTRIGHT(x, b), DuckDB as (x >> b); '&' and the rest are shared.
+    """
+    def bit(col: str, b: int, pos: int) -> str:
+        shifted = (
+            f"SHIFTRIGHT({col}, {b})" if dialect == "spark" else f"({col} >> {b})"
+        )
+        return f"(({shifted} & 1) * {1 << pos})"
+
+    terms = " + ".join(
+        bit("x", b, 2 * b) + " + " + bit("y", b, 2 * b + 1) for b in range(8)
+    )
+    return (
+        "WITH g AS (SELECT o_orderkey,\n"
+        "    CAST(o_custkey % 256 AS BIGINT) AS x,\n"
+        "    CAST(DAYOFYEAR(o_orderdate) % 256 AS BIGINT) AS y\n"
+        "  FROM orders)\n"
+        f"SELECT o_orderkey, x, y, CAST({terms} AS BIGINT) AS zval\n"
+        "FROM g ORDER BY zval, o_orderkey LIMIT 100"
+    )
+
+
+register(
+    "scan_zorder_curve",
+    engine=_zorder_sql("spark"),
+    oracle=_zorder_sql("duckdb"),
+    category="scan",
+    suite="extension",
+    doc=(
+        "Morton z-order clustering key over (custkey, day-of-year): 16 "
+        "static shift/mask interleave terms, bit-identical across engines "
+        "(the oracle-verified twin of sources/layout.py:zvalue); the "
+        "layout win (per-file 2-D bounding boxes shrink on BOTH axes) is "
+        "proven behaviorally in tests/test_layout.py"
+    ),
+)

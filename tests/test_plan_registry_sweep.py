@@ -281,6 +281,19 @@ ALLOWLIST: dict[str, tuple[tuple[str, ...], str]] = {
         "16-row centroid table — the kmeans_assign shape; the query's own "
         "search plan is a pruned scan + TakeOrdered and is clean",
     ),
+    "llm_embedding_outliers": (
+        ("BroadcastNestedLoopJoin",),
+        "inherits kmeans_fit's assignment crossJoin with the broadcast "
+        "k-row centroid table (k=8, compile-time constant); the distance "
+        "pass itself is a broadcast hash equi-join on cluster_id",
+    ),
+    "stat_quantile_sketch": (
+        ("BroadcastNestedLoopJoin",),
+        "two 1-row broadcasts of the global value bounds (partial-"
+        "aggregated MIN/MAX scalars) — the scalar-bounds shape "
+        "(profile_histogram precedent); the sketch itself is one "
+        "(type, 128)-cell aggregate",
+    ),
     "llm_kmeans_assign": (
         ("BroadcastNestedLoopJoin",),
         "assignment step crossJoins each vector with the broadcast k-row "
