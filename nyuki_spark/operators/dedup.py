@@ -272,32 +272,77 @@ def ngram_jaccard_pairs(
     if candidates is not None:
         shared = _pair_shared_counts(candidates, sh, id_col)
     elif df_cap is not None:
-        # Nominate on the df-capped shingle table (bounded fanout), then
-        # verify nominated pairs against the FULL shingle sets so the
-        # jaccard values are exact. One extra narrow aggregate (df per
-        # shingle) buys the C(df_cap, 2) per-shingle bound.
-        cold = sh.join(
+        # Nominate AND count on the df-capped shingle table in one
+        # aggregate (bounded fanout: C(df_cap, 2) per shingle), then make
+        # the result exact in two cheap steps instead of re-intersecting
+        # every nominated pair's full shingle sets (the r7 first cut did
+        # that — 24 s at sf0.1, the slowest query in the bench):
+        #   1. LOSSLESS pre-filter: a pair's true shared count is at most
+        #      s_cold + min(hot_a, hot_b) (it can't share more hot
+        #      shingles than either side HAS), and jaccard is monotone in
+        #      shared — so pairs whose upper bound misses the threshold
+        #      are discarded without touching hot shingles. On a 0.5
+        #      threshold this kills ~all of the nominated mass.
+        #   2. Exact hot-intersection count for the few survivors only.
+        hot_keys = (
             sh.groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("df"))
             .where(F.col("df") > df_cap)
-            .select("shingle"),
-            "shingle",
-            "left_anti",
+            .select("shingle")
         )
+        cold = sh.join(hot_keys, "shingle", "left_anti")
+        hot = sh.join(hot_keys, "shingle", "left_semi")
         a, b = cold.alias("a"), cold.alias("b")
-        nominated = (
+        s_cold = (
             a.join(
                 b,
                 (F.col("a.shingle") == F.col("b.shingle"))
                 & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
             )
-            .select(
+            .groupBy(
                 F.col(f"a.{id_col}").alias("id_a"),
                 F.col(f"b.{id_col}").alias("id_b"),
             )
-            .distinct()
+            .agg(F.count(F.lit(1)).alias("s_cold"))
         )
-        shared = _pair_shared_counts(nominated, sh, id_col)
+        hcnt = hot.groupBy(id_col).agg(F.count(F.lit(1)).alias("h"))
+        ha = hcnt.select(F.col(id_col).alias("id_a"), F.col("h").alias("ha"))
+        hb = hcnt.select(F.col(id_col).alias("id_b"), F.col("h").alias("hb"))
+        na_ = sizes.select(F.col(id_col).alias("id_a"), F.col("ns").alias("_na"))
+        nb_ = sizes.select(F.col(id_col).alias("id_b"), F.col("ns").alias("_nb"))
+        bounded = (
+            s_cold.join(na_, "id_a")
+            .join(nb_, "id_b")
+            .join(ha, "id_a", "left")
+            .join(hb, "id_b", "left")
+            .withColumn(
+                "_smax",
+                F.col("s_cold")
+                + F.least(
+                    F.coalesce(F.col("ha"), F.lit(0)),
+                    F.coalesce(F.col("hb"), F.lit(0)),
+                ),
+            )
+            .where(
+                F.col("_smax")
+                / (F.col("_na") + F.col("_nb") - F.col("_smax"))
+                >= threshold
+            )
+            .select("id_a", "id_b", "s_cold")
+        )
+        hot_shared = _pair_shared_counts(bounded, hot, id_col).withColumnRenamed(
+            "shared", "s_hot"
+        )
+        shared = (
+            bounded.join(hot_shared, ["id_a", "id_b"], "left")
+            .select(
+                "id_a",
+                "id_b",
+                (F.col("s_cold") + F.coalesce(F.col("s_hot"), F.lit(0))).alias(
+                    "shared"
+                ),
+            )
+        )
     else:
         a, b = sh.alias("a"), sh.alias("b")
         shared = (
