@@ -2867,3 +2867,44 @@ register(
         "diagnostic for the graph panel"
     ),
 )
+
+
+# -- seasonal-naive forecast evaluation (round 7) -------------------------------
+
+# The baseline every forecasting pipeline is judged against: forecast(d) =
+# actual(d - 7 observations) per event type (weekly seasonality), scored
+# on the last 14 days. Per-day sMAPE terms instead of an aggregated score:
+# every output value is scalar arithmetic on two integers — no
+# order-dependent fp aggregation anywhere, so the twin is bit-exact.
+# LAG(7) counts OBSERVED days (the fixture's daily series is dense; a
+# sparse series would re-index first — ts_stl_decompose's contract).
+_SEASONAL_NAIVE_SQL = (
+    "WITH d AS (SELECT event_type, CAST(DATE_TRUNC('day', ts) AS DATE)"
+    " AS day,\n"
+    "    CAST(COUNT(*) AS BIGINT) AS n\n"
+    "  FROM events GROUP BY 1, 2),\n"
+    "l AS (SELECT event_type, day, n,\n"
+    "    LAG(n, 7) OVER (PARTITION BY event_type ORDER BY day) AS fc,\n"
+    "    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day DESC)"
+    " AS rn\n"
+    "  FROM d)\n"
+    "SELECT event_type, day, n AS actual, CAST(fc AS BIGINT) AS forecast,\n"
+    "  CAST(ROUND(2.0 * ABS(n - fc) / (n + fc), 6) AS DOUBLE)"
+    " AS smape_term\n"
+    "FROM l WHERE rn <= 14 AND fc IS NOT NULL\n"
+    "ORDER BY event_type, day"
+)
+
+register(
+    "ts_seasonal_naive",
+    engine=_SEASONAL_NAIVE_SQL,
+    oracle=_SEASONAL_NAIVE_SQL,
+    category="timeseries",
+    suite="extension",
+    doc=(
+        "seasonal-naive (lag-7) forecast vs actuals with per-day sMAPE "
+        "terms over the last 14 days per event type: one daily rollup + "
+        "type-partitioned LAG — the baseline score every forecaster must "
+        "beat; exact-integer operands, no order-dependent aggregation"
+    ),
+)

@@ -2801,3 +2801,87 @@ register(
         "window + size join, exact integers to the pinned ratio"
     ),
 )
+
+
+# -- subset containment (round 7) ----------------------------------------------
+
+
+def _containment_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-SUBSET detection: containment = |A ∩ B| / min(|A|, |B|) —
+    the overlap measure Jaccard misses when sizes differ (a paragraph
+    quoted inside a 10x larger doc has Jaccard ~0.1 but containment
+    ~1.0; curation pipelines drop or attribute such pairs). Same scale
+    shape as the Jaccard tier: shingle self-join bounded by shared-
+    shingle incidences over the exact-dedup representatives, pure
+    integer counts up to the final pinned ratio. The 0.8 floor keeps
+    the output at true near-subset pairs.
+    """
+    from nyuki_spark.functions.text import word_ngrams
+
+    docs = load_table(spark, sf_dir, "documents")
+    uniq = (
+        docs.where(F.col("text").isNotNull())
+        .groupBy("text")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id", "text")
+    )
+    sh = word_ngrams(uniq, n=3)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("ns"))
+    a, b = sh.alias("a"), sh.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    na = sizes.select(F.col("doc_id").alias("id_a"), F.col("ns").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("id_b"), F.col("ns").alias("nb"))
+    return (
+        shared.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("shared") / F.least(F.col("na"), F.col("nb")), 4
+            ).alias("containment"),
+        )
+        .where(F.col("containment") >= 0.8)
+        .orderBy("id_a", "id_b")
+    )
+
+
+register(
+    "llm_subset_containment",
+    engine_fn=_containment_fn,
+    oracle=(
+        "WITH reps AS (SELECT MIN(doc_id) AS doc_id, text FROM documents\n"
+        "              WHERE text IS NOT NULL GROUP BY text),\n"
+        "shd AS (\n"
+        "  SELECT DISTINCT doc_id, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS s\n"
+        "  FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS arr FROM reps),\n"
+        "       UNNEST(RANGE(1, GREATEST(LEN(arr) - 1, 1))) AS t(i)\n"
+        "), n AS (SELECT doc_id, COUNT(*) AS ns FROM shd GROUP BY doc_id),\n"
+        "pair AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared\n"
+        "         FROM shd a JOIN shd b ON a.s = b.s AND a.doc_id < b.doc_id\n"
+        "         GROUP BY 1, 2)\n"
+        "SELECT id_a, id_b,\n"
+        "       ROUND(shared / LEAST(na.ns, nb.ns), 4) AS containment\n"
+        "FROM pair JOIN n na ON na.doc_id = id_a JOIN n nb ON nb.doc_id = id_b\n"
+        "WHERE ROUND(shared / LEAST(na.ns, nb.ns), 4) >= 0.8\n"
+        "ORDER BY id_a, id_b"
+    ),
+    category="llm-dedup",
+    suite="extension",
+    doc=(
+        "near-subset containment pairs (shared / min set size >= 0.8) "
+        "over exact-dedup reps — the quote/excerpt detector Jaccard "
+        "misses on size-skewed pairs; shingle self-join, integer counts "
+        "to the pinned ratio"
+    ),
+)

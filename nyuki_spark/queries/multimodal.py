@@ -337,3 +337,119 @@ register(
         "bugs whole-image stats would miss"
     ),
 )
+
+
+def _mm_keyframes_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyframe selection from a REAL multi-frame video container
+    (round 7): per doc the engine encodes 12 BMP frames of a synthetic
+    scene — pixel(f, i, j) = (3i + 7j + 11*doc_id + 40*(f//4) + f%4)
+    % 251, i.e. three 4-frame scenes with +1/frame drift inside a scene
+    and a +40 brightness cut between scenes — CONCATENATES them into one
+    binary blob, then a second map-only Arrow stage DEMUXES the blob by
+    walking the BMP file-header size fields, decodes every frame, and
+    computes the mean absolute pixel difference vs the previous frame.
+    Keyframes are frame 0 plus every frame whose diff exceeds 10 (scene
+    cuts land ~37, in-scene drift ~1 — wide margins on both sides). The
+    oracle recomputes every per-pixel diff from the closed form, so a
+    demux off-by-one, a header-size misread, or a frame-order bug
+    hash-fails. Per-frame mad = integer-sum / 128 (a power of two), so
+    the double is EXACT and carried unrounded — numpy's pairwise mean and
+    SQL AVG agree bit-for-bit (a 6-dp round actually split the engines on
+    the half boundary x.xxx3125 during bring-up).
+    """
+    import struct
+
+    import numpy as np
+    import pandas as pd
+
+    from nyuki_spark.functions.codecs import decode_bmp, encode_bmp_gray8
+
+    W, H, N_FRAMES = 16, 8, 12
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 48)
+
+    def _encode(batches):
+        jj, ii = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+        base = 3 * ii + 7 * jj
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                frames = [
+                    encode_bmp_gray8(
+                        ((base + 11 * int(d) + 40 * (f // 4) + f % 4) % 251).astype(
+                            np.uint8
+                        )
+                    )
+                    for f in range(N_FRAMES)
+                ]
+                rows.append((int(d), b"".join(frames)))
+            yield pd.DataFrame(rows, columns=["doc_id", "video"])
+
+    def _keyframes(batches):
+        for pdf in batches:
+            out = []
+            for d, blob in zip(pdf["doc_id"], pdf["video"]):
+                # Demux: each BMP's total byte length sits in its file
+                # header (offset 2, little-endian u32) — walk the blob.
+                frames, off = [], 0
+                while off < len(blob):
+                    (size,) = struct.unpack_from("<I", blob, off + 2)
+                    frames.append(decode_bmp(bytes(blob[off: off + size])))
+                    off += size
+                prev = None
+                for f, img in enumerate(frames):
+                    cur = img.astype(np.int64)
+                    if prev is None:
+                        out.append((int(d), f, None, True))
+                    else:
+                        # mad = integer-sum / 128 (2^7): EXACT in
+                        # float64, so no rounding — a 6-dp round hit the
+                        # .5 boundary (x.xxx3125) and split the engines'
+                        # half-even vs half-away rules.
+                        mad = float(np.abs(cur - prev).mean())
+                        out.append((int(d), f, mad, mad > 10))
+                    prev = cur
+            yield pd.DataFrame(
+                out, columns=["doc_id", "frame_no", "mad", "is_keyframe"]
+            )
+
+    videos = docs.select("doc_id").mapInPandas(_encode, "doc_id long, video binary")
+    return (
+        videos.mapInPandas(
+            _keyframes,
+            "doc_id long, frame_no int, mad double, is_keyframe boolean",
+        )
+        .orderBy("doc_id", "frame_no")
+    )
+
+
+register(
+    "mm_video_keyframes",
+    engine_fn=_mm_keyframes_fn,
+    oracle=(
+        "WITH p AS (\n"
+        "  SELECT d.doc_id, f.f, x.i, y.j,\n"
+        "    (3*x.i + 7*y.j + 11*d.doc_id + 40*(f.f // 4) + f.f % 4) % 251"
+        " AS px\n"
+        "  FROM documents d, range(12) f(f), range(16) x(i), range(8) y(j)\n"
+        "  WHERE d.doc_id < 48),\n"
+        "m AS (SELECT a.doc_id, a.f AS frame_no,\n"
+        "    AVG(ABS(a.px - b.px)) AS mad\n"
+        "  FROM p a JOIN p b ON a.doc_id = b.doc_id AND a.i = b.i"
+        " AND a.j = b.j AND b.f = a.f - 1\n"
+        "  GROUP BY 1, 2)\n"
+        "SELECT doc_id, CAST(frame_no AS INT) AS frame_no,\n"
+        "  CAST(mad AS DOUBLE) AS mad, mad > 10 AS is_keyframe FROM m\n"
+        "UNION ALL\n"
+        "SELECT doc_id, 0, CAST(NULL AS DOUBLE), true FROM documents"
+        " WHERE doc_id < 48\n"
+        "ORDER BY doc_id, frame_no"
+    ),
+    category="llm-multimodal",
+    suite="extension",
+    doc=(
+        "REAL video-container round trip: 12 concatenated BMP frames per "
+        "doc, demuxed by walking file-header size fields, decoded, and "
+        "keyframed by mean-abs-diff scene-cut detection (frame 0 + "
+        "diff>10) — map-only Arrow stages, per-pixel-verified oracle"
+    ),
+)
