@@ -3121,3 +3121,95 @@ register(
         "proven behaviorally in tests/test_layout.py"
     ),
 )
+
+
+# -- stream-stream LEFT OUTER interval join, live (round 7) ---------------------
+
+
+def _stream_join_outer_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every view emits — matched
+    views immediately (same state machine as stream_join_live's inner
+    join), UNMATCHED views as null-extended rows only once the watermark
+    passes view_ts + 1h and the state store can prove no purchase can
+    still arrive (the outer-join-correctness rule Spark enforces). The
+    typed flush sentinels (+80 days, one per side) advance the watermark
+    past every real row so the finite replay flushes all pending outer
+    rows; sentinel rows themselves join each other and are dropped by
+    the view_id >= 0 filter (negative sentinel ids), mirroring the
+    '__flush__' convention of the windowed replays. Oracle is the batch
+    LEFT JOIN with the identical interval predicate.
+    """
+    import datetime
+
+    events = load_table(spark, sf_dir, "events")
+    scratch = tempfile.mkdtemp(prefix="nyuki-live-")
+    name = f"nyuki_live_{uuid.uuid4().hex[:12]}"
+    try:
+        mx = events.agg(F.max("ts")).head()[0]
+        fts = mx + datetime.timedelta(days=80)
+        flush = spark.createDataFrame(
+            [
+                (-1, fts, -1, "view", 0.0, "{}"),
+                (-2, fts, -1, "purchase", 0.0, "{}"),
+            ],
+            events.schema,
+        )
+        sdf = replay_stream(
+            spark, events, n_chunks=4, scratch_dir=scratch, flush_df=flush
+        )
+        wm = sdf.withColumn("ts", F.col("ts").cast("timestamp")).withWatermark(
+            "ts", "35 days"
+        )
+        views = wm.filter(F.col("event_type") == "view").select(
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("view_ts"),
+            F.col("event_id").alias("view_id"),
+        )
+        buys = wm.filter(F.col("event_type") == "purchase").select(
+            F.col("user_id").alias("b_user"),
+            F.col("ts").alias("buy_ts"),
+            F.col("event_id").alias("buy_id"),
+        )
+        joined = views.join(
+            buys,
+            (F.col("v_user") == F.col("b_user"))
+            & (F.col("buy_ts") >= F.col("view_ts"))
+            & (F.col("buy_ts") <= F.col("view_ts") + F.expr("INTERVAL 1 HOUR")),
+            "leftOuter",
+        ).select(F.col("v_user").alias("user_id"), "view_id", "buy_id")
+        out = run_to_table(joined, mode="append", name=name)
+        out = (
+            out.where(F.col("view_id") >= 0)
+            .orderBy("user_id", "view_id", "buy_id")
+            .cache()
+        )
+        out.count()
+        return out
+    finally:
+        try:
+            spark.catalog.dropTempView(name)
+        except Exception:
+            pass
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+register(
+    "stream_join_outer_live",
+    engine_fn=_stream_join_outer_fn,
+    oracle=(
+        "SELECT v.user_id, v.event_id AS view_id, p.event_id AS buy_id\n"
+        "FROM events v LEFT JOIN events p ON v.user_id = p.user_id\n"
+        "AND p.event_type = 'purchase'\n"
+        "AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR\n"
+        "WHERE v.event_type = 'view'\n"
+        "ORDER BY v.user_id, view_id, buy_id"
+    ),
+    category="streaming-live",
+    suite="extension",
+    doc=(
+        "stream-stream LEFT OUTER interval join: matches emit "
+        "immediately, unmatched views null-extend once the watermark "
+        "closes their 1h window (flush sentinels drain the tail) — "
+        "checked against the batch LEFT JOIN oracle"
+    ),
+)

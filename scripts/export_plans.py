@@ -99,6 +99,22 @@ HEADLINES = {
         "BM25: token explode collapses to per-doc conditional-sum stats; "
         "1-row corpus model broadcast; top-k is TakeOrderedAndProject"
     ),
+    "llm_ngram_jaccard_capped": (
+        "df-capped pair funnel: cold-shingle self-join counts shared "
+        "directly (C(cap,2) fanout bound), the lossless s_cold+min(hot) "
+        "upper bound pre-filters, and the exact hot-intersection join "
+        "runs on survivors only — no nominated-pair re-verification"
+    ),
+    "scan_zorder_curve": (
+        "Morton interleave as 16 static shift/mask terms in one "
+        "WholeStageCodegen projection + TakeOrdered — the clustering key "
+        "is free at scan time"
+    ),
+    "llm_tokenizer_bpe": (
+        "BPE pair-count stage: explode of adjacent symbols over the "
+        "VOCAB table (not the corpus) into one partial-agg hash "
+        "aggregate; the merge is a map-only REPLACE"
+    ),
     "sample_weighted_aes": (
         "weighted sample without replacement: 32 static pow-mod hash "
         "terms in one codegen projection, then TakeOrderedAndProject — "
@@ -120,9 +136,18 @@ def main() -> None:
         "headline subset, each annotated with the property it demonstrates.",
         "",
     ]
+    from nyuki_spark.queries.registry import SWEEP_INTERMEDIATES
+
     for qid, note in HEADLINES.items():
         q = REGISTRY[qid]
-        if q.engine_fn is not None:
+        # Queries that materialize driver-side (iterative argmax loops)
+        # or hide stages behind persisted artifacts register their real
+        # data-sized plan as a sweep intermediate — show THAT plan, not
+        # the k-row literal the query returns.
+        inter = SWEEP_INTERMEDIATES.get(qid)
+        if inter is not None:
+            df = inter(spark, sf_dir)
+        elif q.engine_fn is not None:
             df = q.engine_fn(spark, sf_dir)
         else:
             from nyuki_spark.catalog import register_tables
