@@ -2908,3 +2908,112 @@ register(
         "beat; exact-integer operands, no order-dependent aggregation"
     ),
 )
+
+
+# -- Page one-sided CUSUM alarms (round 7) --------------------------------------
+
+
+def _page_cusum_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM changepoint detector on the daily count series per
+    event type: s_d = max(0, s_{d-1} + (n_d - mu)), alarm when s exceeds
+    mu/2 — the sustained-upward-shift monitor (Page 1954) that a
+    point-in-time z-score (ts_burst_zscore) cannot replace.
+
+    CUSUM is inherently SEQUENTIAL (each s depends on the previous), so
+    it cannot be a window frame; but the series is the DAILY ROLLUP —
+    time-range-bounded, ~40 rows per type — so each type's series
+    collapses to one array and the recursion runs as an order-pinned
+    aggregate fold over it (the same resample-first contract as ts_acf:
+    the corpus-sized pass is the rollup, the sequential part is
+    domain-sized). The DuckDB twin executes the identical recursion as a
+    recursive CTE stepping rn -> rn+1, so every s is derived from the
+    same left-to-right operation sequence — bit-identical before the
+    6-dp round. mu is AVG of integers (exact sum, one division —
+    order-independent on both engines).
+    """
+    d = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.date_trunc("day", "ts").cast("date").alias("day"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    m = d.groupBy("event_type").agg(F.avg("n").alias("mu"))
+    series = (
+        d.groupBy("event_type")
+        .agg(F.array_sort(F.collect_list(F.struct("day", "n"))).alias("ser"))
+        .join(m, "event_type")
+    )
+    # Sequential fold: accumulator carries (last s, all s values so far).
+    folded = series.select(
+        "event_type",
+        "mu",
+        F.col("ser.day").alias("days"),
+        F.aggregate(
+            F.col("ser.n"),
+            F.struct(
+                F.lit(0.0).alias("s"),
+                F.array().cast("array<double>").alias("out"),
+            ),
+            lambda acc, n: F.struct(
+                F.greatest(F.lit(0.0), acc.s + (n - F.col("mu"))).alias("s"),
+                F.concat(
+                    acc.out,
+                    F.array(
+                        F.greatest(F.lit(0.0), acc.s + (n - F.col("mu")))
+                    ),
+                ).alias("out"),
+            ),
+            lambda acc: acc.out,
+        ).alias("cusums"),
+    )
+    return (
+        folded.select(
+            "event_type",
+            "mu",
+            F.posexplode(F.arrays_zip("days", "cusums")).alias("_i", "z"),
+        )
+        .select(
+            "event_type",
+            F.col("z.days").alias("day"),
+            F.round(F.col("z.cusums"), 6).cast("double").alias("cusum"),
+            (F.col("z.cusums") > 0.5 * F.col("mu")).alias("alarm"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+register(
+    "ts_page_cusum",
+    engine_fn=_page_cusum_fn,
+    oracle=(
+        "WITH RECURSIVE d AS (\n"
+        "  SELECT event_type, CAST(DATE_TRUNC('day', ts) AS DATE) AS day,\n"
+        "    COUNT(*) AS n,\n"
+        "    ROW_NUMBER() OVER (PARTITION BY event_type\n"
+        "      ORDER BY CAST(DATE_TRUNC('day', ts) AS DATE)) AS rn\n"
+        "  FROM events GROUP BY 1, 2),\n"
+        "m AS (SELECT event_type, AVG(n) AS mu FROM d GROUP BY 1),\n"
+        "c AS (\n"
+        "  SELECT d.event_type, d.rn, d.day,\n"
+        "    GREATEST(0.0, d.n - m.mu) AS s, m.mu\n"
+        "  FROM d JOIN m USING (event_type) WHERE d.rn = 1\n"
+        "  UNION ALL\n"
+        "  SELECT d.event_type, d.rn, d.day,\n"
+        "    GREATEST(0.0, c.s + (d.n - c.mu)) AS s, c.mu\n"
+        "  FROM c JOIN d ON d.event_type = c.event_type"
+        " AND d.rn = c.rn + 1)\n"
+        "SELECT event_type, day,\n"
+        "  CAST(ROUND(s, 6) AS DOUBLE) AS cusum, s > 0.5 * mu AS alarm\n"
+        "FROM c ORDER BY event_type, day"
+    ),
+    category="timeseries",
+    suite="extension",
+    doc=(
+        "one-sided CUSUM changepoint detection per event type (Page "
+        "1954): corpus pass = daily rollup; the inherently-sequential "
+        "recursion folds over the time-range-bounded series, twin = "
+        "recursive CTE stepping the same sequence — bit-identical"
+    ),
+)
