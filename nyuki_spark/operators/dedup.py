@@ -48,6 +48,7 @@ __all__ = [
     "minhash_band_pairs",
     "minhash_neardup_pairs",
     "ngram_jaccard_pairs",
+    "containment_pairs",
     "embedding_neardup_pairs",
 ]
 
@@ -217,15 +218,107 @@ def _pair_shared_counts(
     intersection drop out (inner join), which is fine for every caller:
     thresholds are > 0. This is the verification stage of the funnel; the
     shingle self-join only ever has to NOMINATE pairs.
+
+    The candidate list is normalized first (r7 advice): pairs are swapped
+    to id_a < id_b, self-pairs dropped, and duplicates collapsed — an
+    unnormalized list ((b, a), (x, x), or repeats) would otherwise emit
+    contract-violating rows or double-counted intersections. The
+    dropDuplicates shuffle is on the candidate list, the small side of
+    the funnel by construction.
     """
+    norm = (
+        pairs.select(
+            F.least(F.col("id_a"), F.col("id_b")).alias("id_a"),
+            F.greatest(F.col("id_a"), F.col("id_b")).alias("id_b"),
+        )
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
     sh_a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     sh_b = sh.select(F.col(id_col).alias("id_b"), "shingle")
     return (
-        pairs.select("id_a", "id_b")
-        .join(sh_a, "id_a")
+        norm.join(sh_a, "id_a")
         .join(sh_b, ["id_b", "shingle"])
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("shared"))
+    )
+
+
+def _capped_shared_counts(
+    sh: DataFrame,
+    sizes: DataFrame,
+    id_col: str,
+    df_cap: int,
+    bound_pred,
+) -> DataFrame:
+    """df-capped nomination + lossless upper-bound prefilter + exact hot
+    verification: (id_a, id_b, shared), exact for every pair surviving
+    ``bound_pred``.
+
+    Shared by every set-overlap metric that is MONOTONE in ``shared``
+    (Jaccard, containment, overlap coefficient, Dice): nomination runs the
+    shingle self-join on cold shingles only (document frequency <= df_cap,
+    bounding per-shingle fanout at C(df_cap, 2)); a pair's true shared
+    count is at most s_cold + min(hot_a, hot_b) (it cannot share more hot
+    shingles than either side HAS), so ``bound_pred(_smax, _na, _nb)`` —
+    the metric's threshold test evaluated at that upper bound — discards
+    pairs losslessly before the exact hot-intersection count runs on the
+    few survivors. A true pair is missed only when EVERY shared shingle is
+    corpus-hot, i.e. the pair is indistinguishable from boilerplate
+    overlap.
+
+    ``bound_pred(smax, na, nb) -> Column[boolean]`` must be monotone
+    non-decreasing in its first argument for the prefilter to be lossless.
+    """
+    hot_keys = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > df_cap)
+        .select("shingle")
+    )
+    cold = sh.join(hot_keys, "shingle", "left_anti")
+    hot = sh.join(hot_keys, "shingle", "left_semi")
+    a, b = cold.alias("a"), cold.alias("b")
+    s_cold = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("s_cold"))
+    )
+    hcnt = hot.groupBy(id_col).agg(F.count(F.lit(1)).alias("h"))
+    ha = hcnt.select(F.col(id_col).alias("id_a"), F.col("h").alias("ha"))
+    hb = hcnt.select(F.col(id_col).alias("id_b"), F.col("h").alias("hb"))
+    na_ = sizes.select(F.col(id_col).alias("id_a"), F.col("ns").alias("_na"))
+    nb_ = sizes.select(F.col(id_col).alias("id_b"), F.col("ns").alias("_nb"))
+    bounded = (
+        s_cold.join(na_, "id_a")
+        .join(nb_, "id_b")
+        .join(ha, "id_a", "left")
+        .join(hb, "id_b", "left")
+        .withColumn(
+            "_smax",
+            F.col("s_cold")
+            + F.least(
+                F.coalesce(F.col("ha"), F.lit(0)),
+                F.coalesce(F.col("hb"), F.lit(0)),
+            ),
+        )
+        .where(bound_pred(F.col("_smax"), F.col("_na"), F.col("_nb")))
+        .select("id_a", "id_b", "s_cold")
+    )
+    hot_shared = _pair_shared_counts(bounded, hot, id_col).withColumnRenamed(
+        "shared", "s_hot"
+    )
+    return bounded.join(hot_shared, ["id_a", "id_b"], "left").select(
+        "id_a",
+        "id_b",
+        (F.col("s_cold") + F.coalesce(F.col("s_hot"), F.lit(0))).alias("shared"),
     )
 
 
@@ -272,76 +365,21 @@ def ngram_jaccard_pairs(
     if candidates is not None:
         shared = _pair_shared_counts(candidates, sh, id_col)
     elif df_cap is not None:
-        # Nominate AND count on the df-capped shingle table in one
-        # aggregate (bounded fanout: C(df_cap, 2) per shingle), then make
-        # the result exact in two cheap steps instead of re-intersecting
-        # every nominated pair's full shingle sets (the r7 first cut did
-        # that — 24 s at sf0.1, the slowest query in the bench):
-        #   1. LOSSLESS pre-filter: a pair's true shared count is at most
-        #      s_cold + min(hot_a, hot_b) (it can't share more hot
-        #      shingles than either side HAS), and jaccard is monotone in
-        #      shared — so pairs whose upper bound misses the threshold
-        #      are discarded without touching hot shingles. On a 0.5
-        #      threshold this kills ~all of the nominated mass.
-        #   2. Exact hot-intersection count for the few survivors only.
-        hot_keys = (
-            sh.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .where(F.col("df") > df_cap)
-            .select("shingle")
-        )
-        cold = sh.join(hot_keys, "shingle", "left_anti")
-        hot = sh.join(hot_keys, "shingle", "left_semi")
-        a, b = cold.alias("a"), cold.alias("b")
-        s_cold = (
-            a.join(
-                b,
-                (F.col("a.shingle") == F.col("b.shingle"))
-                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-            )
-            .groupBy(
-                F.col(f"a.{id_col}").alias("id_a"),
-                F.col(f"b.{id_col}").alias("id_b"),
-            )
-            .agg(F.count(F.lit(1)).alias("s_cold"))
-        )
-        hcnt = hot.groupBy(id_col).agg(F.count(F.lit(1)).alias("h"))
-        ha = hcnt.select(F.col(id_col).alias("id_a"), F.col("h").alias("ha"))
-        hb = hcnt.select(F.col(id_col).alias("id_b"), F.col("h").alias("hb"))
-        na_ = sizes.select(F.col(id_col).alias("id_a"), F.col("ns").alias("_na"))
-        nb_ = sizes.select(F.col(id_col).alias("id_b"), F.col("ns").alias("_nb"))
-        bounded = (
-            s_cold.join(na_, "id_a")
-            .join(nb_, "id_b")
-            .join(ha, "id_a", "left")
-            .join(hb, "id_b", "left")
-            .withColumn(
-                "_smax",
-                F.col("s_cold")
-                + F.least(
-                    F.coalesce(F.col("ha"), F.lit(0)),
-                    F.coalesce(F.col("hb"), F.lit(0)),
-                ),
-            )
-            .where(
-                F.col("_smax")
-                / (F.col("_na") + F.col("_nb") - F.col("_smax"))
-                >= threshold
-            )
-            .select("id_a", "id_b", "s_cold")
-        )
-        hot_shared = _pair_shared_counts(bounded, hot, id_col).withColumnRenamed(
-            "shared", "s_hot"
-        )
-        shared = (
-            bounded.join(hot_shared, ["id_a", "id_b"], "left")
-            .select(
-                "id_a",
-                "id_b",
-                (F.col("s_cold") + F.coalesce(F.col("s_hot"), F.lit(0))).alias(
-                    "shared"
-                ),
-            )
+        # Shared capped funnel (bounded nomination fanout C(df_cap, 2) per
+        # shingle + lossless monotone upper-bound prefilter + exact hot
+        # verification of the survivors — the r7 re-plan that took this
+        # query 24.5 s -> 4.25 s at sf0.1). Jaccard's threshold test at
+        # the shared upper bound: smax / (na + nb - smax) >= t. The 5e-5
+        # slack covers the final filter's round-4 half-boundary (a true
+        # value of t - 0.00004 rounds UP to t and must survive the
+        # prefilter); slack only admits extra candidates, exact
+        # verification still decides.
+        shared = _capped_shared_counts(
+            sh,
+            sizes,
+            id_col,
+            df_cap,
+            lambda smax, na, nb: smax / (na + nb - smax) >= threshold - 5e-5,
         )
     else:
         a, b = sh.alias("a"), sh.alias("b")
@@ -363,6 +401,73 @@ def ngram_jaccard_pairs(
             ).alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)
+    )
+
+
+def containment_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    candidates: DataFrame | None = None,
+    df_cap: int | None = None,
+) -> DataFrame:
+    """Near-subset containment pairs: (id_a, id_b, containment), id_a <
+    id_b, where containment = |shingles(a) ∩ shingles(b)| / min(|a|, |b|)
+    — the overlap measure Jaccard misses when sizes differ (a paragraph
+    quoted inside a 10x larger doc has Jaccard ~0.1 but containment ~1.0).
+
+    Same scale posture as :func:`ngram_jaccard_pairs`, with which it
+    shares the whole funnel: ``candidates`` verifies an explicit pair list
+    with no self-join at all; ``df_cap`` bounds per-shingle nomination
+    fanout at C(df_cap, 2) and prefilters with the lossless monotone bound
+    shared <= s_cold + min(hot_a, hot_b) evaluated at containment's
+    threshold test smax / min(na, nb) >= t (containment is monotone in
+    shared, so the prefilter loses nothing); uncapped default is the exact
+    all-shared-shingle self-join for oracle verification only.
+    """
+    sh = word_ngrams(df, n=n, id_col=id_col, text_col=text_col)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("ns"))
+    if candidates is not None:
+        shared = _pair_shared_counts(candidates, sh, id_col)
+    elif df_cap is not None:
+        # 5e-5 slack for the final round-4 filter boundary, as in
+        # ngram_jaccard_pairs.
+        shared = _capped_shared_counts(
+            sh,
+            sizes,
+            id_col,
+            df_cap,
+            lambda smax, na, nb: smax / F.least(na, nb) >= threshold - 5e-5,
+        )
+    else:
+        a, b = sh.alias("a"), sh.alias("b")
+        shared = (
+            a.join(
+                b,
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            )
+            .groupBy(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+            )
+            .agg(F.count(F.lit(1)).alias("shared"))
+        )
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("ns").alias("na"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("ns").alias("nb"))
+    return (
+        shared.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("shared") / F.least(F.col("na"), F.col("nb")), 4
+            ).alias("containment"),
+        )
+        .where(F.col("containment") >= threshold)
     )
 
 

@@ -2814,9 +2814,11 @@ def _containment_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape as the Jaccard tier: shingle self-join bounded by shared-
     shingle incidences over the exact-dedup representatives, pure
     integer counts up to the final pinned ratio. The 0.8 floor keeps
-    the output at true near-subset pairs.
+    the output at true near-subset pairs. This uncapped form is the
+    exact truth tier (like llm_ngram_jaccard); the 100 TB posture is
+    llm_subset_containment_capped below.
     """
-    from nyuki_spark.functions.text import word_ngrams
+    from nyuki_spark.operators.dedup import containment_pairs
 
     docs = load_table(spark, sf_dir, "documents")
     uniq = (
@@ -2825,35 +2827,7 @@ def _containment_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id", "text")
     )
-    sh = word_ngrams(uniq, n=3)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("ns"))
-    a, b = sh.alias("a"), sh.alias("b")
-    shared = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
-        )
-        .agg(F.count(F.lit(1)).alias("shared"))
-    )
-    na = sizes.select(F.col("doc_id").alias("id_a"), F.col("ns").alias("na"))
-    nb = sizes.select(F.col("doc_id").alias("id_b"), F.col("ns").alias("nb"))
-    return (
-        shared.join(na, "id_a")
-        .join(nb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.round(
-                F.col("shared") / F.least(F.col("na"), F.col("nb")), 4
-            ).alias("containment"),
-        )
-        .where(F.col("containment") >= 0.8)
-        .orderBy("id_a", "id_b")
-    )
+    return containment_pairs(uniq, threshold=0.8, n=3).orderBy("id_a", "id_b")
 
 
 register(
@@ -2883,5 +2857,68 @@ register(
         "over exact-dedup reps — the quote/excerpt detector Jaccard "
         "misses on size-skewed pairs; shingle self-join, integer counts "
         "to the pinned ratio"
+    ),
+)
+
+
+def _containment_capped_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB-posture tier of the containment funnel (r7 verdict #1):
+    the SAME df_cap=50 nomination + lossless upper-bound prefilter the
+    Jaccard tier uses, with the bound evaluated at containment's
+    threshold test — containment = shared / min(na, nb) is monotone in
+    shared, so shared <= s_cold + min(hot_a, hot_b) prunes losslessly
+    before the exact hot-intersection count. One viral boilerplate
+    shingle shared by k docs now contributes at most C(50, 2) nominated
+    pairs instead of C(k, 2); the oracle replicates the capped nomination
+    + full-set verification literally so the cap semantics are
+    hash-verified, and scripts/shingle_skew_probe.py asserts the capped
+    funnel flat (and output-identical) at 10^4x boilerplate duplication.
+    """
+    from nyuki_spark.operators.dedup import containment_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    uniq = (
+        docs.where(F.col("text").isNotNull())
+        .groupBy("text")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id", "text")
+    )
+    return containment_pairs(uniq, threshold=0.8, n=3, df_cap=50).orderBy(
+        "id_a", "id_b"
+    )
+
+
+register(
+    "llm_subset_containment_capped",
+    engine_fn=_containment_capped_fn,
+    oracle=(
+        "WITH reps AS (SELECT MIN(doc_id) AS doc_id, text FROM documents\n"
+        "              WHERE text IS NOT NULL GROUP BY text),\n"
+        "shd AS (\n"
+        "  SELECT DISTINCT doc_id, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS s\n"
+        "  FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS arr FROM reps),\n"
+        "       UNNEST(RANGE(1, GREATEST(LEN(arr) - 1, 1))) AS t(i)\n"
+        "), n AS (SELECT doc_id, COUNT(*) AS ns FROM shd GROUP BY doc_id),\n"
+        "cold AS (SELECT s FROM shd GROUP BY s HAVING COUNT(*) <= 50),\n"
+        "shc AS (SELECT shd.doc_id, shd.s FROM shd JOIN cold USING (s)),\n"
+        "nom AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b\n"
+        "        FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id),\n"
+        "pair AS (SELECT id_a, id_b, COUNT(*) AS shared\n"
+        "         FROM nom\n"
+        "         JOIN shd a ON a.doc_id = nom.id_a\n"
+        "         JOIN shd b ON b.doc_id = nom.id_b AND b.s = a.s\n"
+        "         GROUP BY id_a, id_b)\n"
+        "SELECT id_a, id_b,\n"
+        "       ROUND(shared / LEAST(na.ns, nb.ns), 4) AS containment\n"
+        "FROM pair JOIN n na ON na.doc_id = id_a JOIN n nb ON nb.doc_id = id_b\n"
+        "WHERE ROUND(shared / LEAST(na.ns, nb.ns), 4) >= 0.8\n"
+        "ORDER BY id_a, id_b"
+    ),
+    category="llm-dedup",
+    suite="extension",
+    doc=(
+        "df-capped containment tier: hot-shingle (df>50) pruning in "
+        "candidate nomination + monotone upper-bound prefilter, exact "
+        "full-set verification of survivors"
     ),
 )

@@ -30,7 +30,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
-from nyuki_spark.operators.dedup import ngram_jaccard_pairs
+from nyuki_spark.operators.dedup import containment_pairs, ngram_jaccard_pairs
 from nyuki_spark.session import get_session
 
 BOILER = "all rights reserved unauthorized reproduction of this page is prohibited"
@@ -65,8 +65,8 @@ def main() -> None:
     os.environ.setdefault("NYUKI_SHUFFLE_PARTITIONS", "32")
     spark = get_session("shingle-skew-probe", master="local[32]")
     print("loadavg", [round(x, 2) for x in os.getloadavg()])
-    print("| k (boiler dups) | uncapped nominated pairs | uncapped full (s) | capped full (s) | capped pairs out |")
-    print("|---|---|---|---|---|")
+    print("| k (boiler dups) | uncapped nominated pairs | uncapped full (s) | capped full (s) | capped pairs out | cont uncapped (s) | cont capped (s) | cont pairs out |")
+    print("|---|---|---|---|---|---|---|---|")
     for k in (0, 1_000, 10_000):
         corpus = skewed_corpus(spark, sf_dir, k).localCheckpoint(eager=True)
         # Quadratic term: distinct pairs the uncapped self-join must nominate.
@@ -102,9 +102,31 @@ def main() -> None:
             assert rows_capped == rows_uncapped, (
                 f"cap lost pairs at k={k}: {rows_capped} vs {rows_uncapped}"
             )
+        # Containment funnel (r7 verdict #1): same cap, bound evaluated at
+        # containment's threshold test. Synthetic docs share only the 8
+        # pure-boiler shingles out of min 20 per doc (containment 0.4 <
+        # 0.8), so capped and uncapped emit identical pairs here too.
+        if k <= 1_000:
+            t0 = time.perf_counter()
+            rows_cont_unc = containment_pairs(corpus, threshold=0.8, n=3).count()
+            t_cont_unc = f"{time.perf_counter() - t0:.1f}"
+        else:
+            rows_cont_unc = None
+            t_cont_unc = "skipped"
+        t0 = time.perf_counter()
+        rows_cont_cap = containment_pairs(
+            corpus, threshold=0.8, n=3, df_cap=50
+        ).count()
+        t_cont_cap = time.perf_counter() - t0
+        if rows_cont_unc is not None:
+            assert rows_cont_cap == rows_cont_unc, (
+                f"containment cap lost pairs at k={k}: "
+                f"{rows_cont_cap} vs {rows_cont_unc}"
+            )
         print(
             f"| {k} | {nom_uncapped} ({t_nom:.1f}s) | {t_unc} | "
-            f"{t_cap:.1f} | {rows_capped} |"
+            f"{t_cap:.1f} | {rows_capped} | {t_cont_unc} | "
+            f"{t_cont_cap:.1f} | {rows_cont_cap} |"
         )
         corpus.unpersist()
         spark.catalog.clearCache()
