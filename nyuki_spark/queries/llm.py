@@ -241,14 +241,16 @@ register(
 # -- n-gram Jaccard ----------------------------------------------------------
 
 
-def _jaccard_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _jaccard_fn(
+    spark: SparkSession, sf_dir: str, df_cap: int | None = None
+) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     # Duplicate collapse with FULL member lists (every qualifying pair is
     # emitted, nothing sliceable). Intra pairs are gated on the text
     # yielding >=1 3-gram shingle: jaccard is undefined for shingle-less
     # texts and the oracle emits nothing for them (r4 code review).
     groups, uniq, has_dups = collapse_text_groups(docs)
-    rep_pairs = ngram_jaccard_pairs(uniq, threshold=0.5, n=3)
+    rep_pairs = ngram_jaccard_pairs(uniq, threshold=0.5, n=3, df_cap=df_cap)
     if not has_dups:
         return rep_pairs.orderBy("id_a", "id_b")
     return expand_collapsed_pairs(
@@ -2646,10 +2648,20 @@ def _dedup_eval_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     llm_ngram_jaccard — duplicate-collapsed, banded equi-joins); the
     comparison itself is one full-outer key join on (id_a, id_b) and a
     1-row count aggregate, so the evaluation costs no more than the
-    tiers it audits. Ratios divide exact integer counts, pinned at 6 dp."""
-    truth = _jaccard_fn(spark, sf_dir).select("id_a", "id_b").withColumn(
-        "t", F.lit(1)
-    )
+    tiers it audits. Ratios divide exact integer counts, pinned at 6 dp.
+
+    The truth tier runs through the df_cap=50 funnel (r7 verdict #3):
+    lossless here because the cap exceeds the corpus's max legitimate
+    shingle document frequency (25 — BASELINE.md r7 cap-vs-cluster-size
+    analysis), so capped output is identical to the uncapped exact tier
+    the oracle computes, while at 100 TB the truth pass inherits the
+    flat-under-boilerplate-skew nomination the probe proves. On a corpus
+    where true near-dup clusters exceed the cap, raise df_cap above the
+    max expected cluster size (recall is lost only for pairs whose EVERY
+    shared shingle is corpus-hot)."""
+    truth = _jaccard_fn(spark, sf_dir, df_cap=50).select(
+        "id_a", "id_b"
+    ).withColumn("t", F.lit(1))
     pred = _simhash_pairs_fn(spark, sf_dir).select("id_a", "id_b").withColumn(
         "p", F.lit(1)
     )
