@@ -581,22 +581,16 @@ def compact_ivf_cells(
     cell at test scale; a real deployment sizes it to target-file-size.
     Returns ``{"cells_compacted": n, "files_before": b, "files_after":
     a}`` so callers can log the reclaim.
+
+    The file census goes through the Hadoop FileSystem API (r7 advice:
+    ``os.listdir`` silently required a driver-local index_dir; the rest
+    of the index code already worked on hdfs://|s3a:// URIs). Listings
+    stay bounded — one status call per cell directory.
     """
-    import os
+    from nyuki_spark.functions.fsutil import list_cell_file_counts
 
     vec_dir = f"{index_dir}/vectors"
-    counts: dict[str, int] = {}
-    for entry in os.listdir(vec_dir):
-        if not entry.startswith("cell="):
-            continue
-        n = len(
-            [
-                f
-                for f in os.listdir(os.path.join(vec_dir, entry))
-                if f.endswith(".parquet")
-            ]
-        )
-        counts[entry] = n
+    counts = list_cell_file_counts(spark, vec_dir)
     over = sorted(
         int(c.split("=", 1)[1]) for c, n in counts.items() if n > max_files_per_cell
     )
@@ -610,16 +604,7 @@ def compact_ivf_cells(
             .partitionBy("cell")
             .parquet(vec_dir)
         )
-    files_after = 0
-    for entry in os.listdir(vec_dir):
-        if entry.startswith("cell="):
-            files_after += len(
-                [
-                    f
-                    for f in os.listdir(os.path.join(vec_dir, entry))
-                    if f.endswith(".parquet")
-                ]
-            )
+    files_after = sum(list_cell_file_counts(spark, vec_dir).values())
     return {
         "cells_compacted": len(over),
         "files_before": files_before,

@@ -722,9 +722,11 @@ def _knn_ivf_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     # DuckDB twin below re-derives the identical cells and the whole
     # approximate result — assignment, probe selection, rerank — is
     # hash-verified (rows-only through r5 under MLlib's seeded k-means||).
+    from nyuki_spark.functions.fsutil import fs_exists
+
     key = hashlib.md5(f"{sf_dir}|cells=16|det|v3".encode()).hexdigest()[:12]
     index_dir = os.path.join(tempfile.gettempdir(), f"nyuki-ivf-{key}")
-    if not os.path.exists(os.path.join(index_dir, "vectors", "_SUCCESS")):
+    if not fs_exists(spark, os.path.join(index_dir, "vectors", "_SUCCESS")):
         build_ivf_index(emb.where(F.col("vec_id") != 0), index_dir, n_cells=16)
     return knn_cosine_ivf_indexed(spark, index_dir, [float(x) for x in q], k=10)
 
@@ -811,6 +813,7 @@ def _knn_ivf_append_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import os
 
+    from nyuki_spark.functions.fsutil import fs_exists, fs_write_marker
     from nyuki_spark.operators.similarity import (
         append_ivf_index,
         build_ivf_index,
@@ -821,12 +824,11 @@ def _knn_ivf_append_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
     index_dir = _ivf_append_dir(sf_dir)
     marker = os.path.join(index_dir, "_APPEND_DONE")
-    if not os.path.exists(marker):
+    if not fs_exists(spark, marker):
         base, new = _ivf_splits(emb)
         build_ivf_index(base, index_dir, n_cells=16)
         append_ivf_index(new, index_dir)
-        with open(marker, "w") as fh:
-            fh.write("ok")
+        fs_write_marker(spark, marker)
     return knn_cosine_ivf_indexed(spark, index_dir, [float(x) for x in q], k=10)
 
 
