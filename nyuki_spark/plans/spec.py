@@ -162,7 +162,13 @@ def validate_spec(spec: dict | str) -> list[dict]:
                 )
         known = {"op", *schema["required"], *schema["optional"]}
         for key in step:
-            if key not in known:
+            # "x-" is the reserved annotation prefix (r7 advice: the old
+            # compiler silently ignored unknown keys, so stored specs may
+            # carry vendor/tooling annotations; rejecting them outright is
+            # a breaking change). Keys like "x-owner" / "x-comment" are
+            # accepted and ignored by the compiler — same convention as
+            # OpenAPI extension fields.
+            if key not in known and not key.startswith("x-"):
                 errors.append(
                     _err(
                         f"{p}/{key}",

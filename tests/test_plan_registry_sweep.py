@@ -22,6 +22,7 @@ _PATTERNS = (
     "BroadcastNestedLoopJoin",
     "Exchange SinglePartition",
     "Window EmptyPartitionSpec",
+    "Exchange OneGroupConstant",
 )
 
 # Physical node classes that wrap another plan without changing what data
@@ -110,6 +111,44 @@ def _is_partial_aggregate(node) -> bool:
     )
 
 
+def _is_one_group_shaped(expr) -> bool:
+    """True iff ``expr`` is pmod(<anything>, 1) — the one_group()
+    constant (operators/rank.py). Constant for every row, so a hash
+    Exchange keyed ONLY by such expressions routes all rows to a single
+    partition exactly like Exchange SinglePartition, while printing as an
+    innocent hashpartitioning (r7 advice: when one_group replaced
+    lit(0) windows, six SinglePartition allowlist entries vanished and
+    the funnel went invisible to this sweep)."""
+    if expr.getClass().getSimpleName() != "Pmod":
+        return False
+    ch = expr.children()
+    return (
+        ch.size() == 2
+        and ch.apply(1).getClass().getSimpleName() == "Literal"
+        and ch.apply(1).toString() == "1"
+    )
+
+
+def _one_group_alias_ids(subtree) -> set:
+    """exprIds that ProjectExec nodes in ``subtree`` define as
+    pmod(x, 1) aliases. Window planning projects one_group(col) into a
+    ``_w0`` attribute BELOW the exchange, so the exchange's partitioning
+    key is a plain AttributeReference — the constant shape is only
+    visible at its defining Alias."""
+    ids = set()
+    for n, cls in _iter_plan_nodes(subtree):
+        if cls != "ProjectExec":
+            continue
+        pl = n.projectList()
+        for i in range(pl.size()):
+            a = pl.apply(i)
+            if a.getClass().getSimpleName() == "Alias" and _is_one_group_shaped(
+                a.child()
+            ):
+                ids.add(a.exprId().id())
+    return ids
+
+
 def _found_patterns(jplan) -> set[str]:
     """The scale-killer patterns present in a plan tree, with the
     scalar-collect exemption applied per Exchange (a SinglePartition
@@ -125,6 +164,24 @@ def _found_patterns(jplan) -> set[str]:
         ):
             if not _is_partial_aggregate(_producer(n)):
                 found.add("Exchange SinglePartition")
+        elif cls == "ShuffleExchangeExec":
+            part = n.outputPartitioning()
+            if part.getClass().getSimpleName() == "HashPartitioning":
+                exprs = part.expressions()
+                alias_ids = None
+                one_group_keys = 0
+                for i in range(exprs.size()):
+                    e = exprs.apply(i)
+                    if _is_one_group_shaped(e):
+                        one_group_keys += 1
+                    elif e.getClass().getSimpleName() == "AttributeReference":
+                        if alias_ids is None:
+                            alias_ids = _one_group_alias_ids(n.child())
+                        if e.exprId().id() in alias_ids:
+                            one_group_keys += 1
+                if exprs.size() > 0 and one_group_keys == exprs.size():
+                    if not _is_partial_aggregate(_producer(n)):
+                        found.add("Exchange OneGroupConstant")
         elif cls in ("WindowExec", "WindowInPandasExec", "WindowGroupLimitExec"):
             # An EMPTY partition spec makes WindowExec demand AllTuples
             # (move-all-rows-to-one-partition + the runtime warning). Every
@@ -324,6 +381,19 @@ ALLOWLIST: dict[str, tuple[tuple[str, ...], str]] = {
         "BNLJ = the 1-row value-bounds broadcast; the bucket-offset "
         "prefix window now partitions by one_group (r7), so no "
         "SinglePartition exchange",
+    ),
+    "win_rank": (
+        ("Exchange OneGroupConstant",),
+        "two-phase range-bucketed rank: the one_group window consumes "
+        "the per-bucket count table (n_buckets rows) to compute offsets, "
+        "never the data rows (operators/rank.py)",
+    ),
+    "ts_rolling_corr": (
+        ("Exchange OneGroupConstant",),
+        "the trailing-24h frame runs over the HOURLY ROLLUP of the joint "
+        "click/purchase series — one row per hour of time range "
+        "(resample-first contract, like ts_acf), never data rows; the "
+        "series is global by definition so it cannot partition by key",
     ),
 }
 

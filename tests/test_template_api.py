@@ -196,3 +196,25 @@ def test_http_put_returns_error_listing(spark):
         assert all({"path", "message", "validator"} <= set(x) for x in errs)
     finally:
         server.shutdown()
+
+
+def test_x_prefixed_annotation_keys_accepted():
+    """The reserved x- annotation prefix (MIGRATION.md): stored specs may
+    carry vendor/tooling keys the old compiler silently ignored; x-*
+    validates cleanly and compiles (ignored), while a genuinely
+    misspelled parameter still fails with a JSON-pointer path."""
+    from nyuki_spark.plans.spec import compile_pipeline, validate_spec
+
+    spec = {
+        "steps": [
+            {"op": "set", "field": "k", "value": "v", "x-owner": "data-team"},
+            {"op": "unset", "field": "tmp", "x-comment": "cleanup"},
+        ]
+    }
+    assert validate_spec(spec) == []
+    compile_pipeline(spec)  # annotations ignored, no SpecError
+
+    bad = {"steps": [{"op": "set", "field": "k", "valu": "typo"}]}
+    errs = validate_spec(bad)
+    assert [e["validator"] for e in errs] == ["additionalProperties"]
+    assert errs[0]["path"] == "/steps/0/valu"
