@@ -40,15 +40,25 @@ def main() -> int:
     print(f"# stream_join_agg_live sf1 probe: {n_events} events,"
           f" loadavg {[round(x, 2) for x in os.getloadavg()]}")
     print("| query | store | sec | rows/s | peak state rows (per op) |"
-          " peak state MB (per op) | wm-dropped | out rows |")
-    print("|---|---|---|---|---|---|---|---|")
+          " peak state MB (per op) | wm-dropped | out rows | outer-null rows |")
+    print("|---|---|---|---|---|---|---|---|---|")
 
-    def run_one(qid: str, store: str) -> None:
+    def run_one(qid: str, store: str, null_col: str | None = None) -> None:
+        from pyspark.sql import functions as F
+
         listener.progress.clear()
         t0 = time.perf_counter()
         out = REGISTRY[qid].run(spark, sf_dir)
         n_out = out.count()
         dt = time.perf_counter() - t0
+        # Rows that emitted via the watermark-close null-extension path
+        # (r7 verdict ask) — the result is cached by the query fn, so this
+        # second count is a scan of the cached rows, not a replay.
+        n_null = (
+            out.where(F.col(null_col).isNull()).count()
+            if null_col is not None
+            else None
+        )
         time.sleep(2)  # listener events are async
         # Peak per operator name across batches.
         peak_rows: dict[str, int] = {}
@@ -60,16 +70,22 @@ def main() -> int:
         dropped = sum(p.state_rows_dropped_by_watermark for p in listener.progress)
         rows_s = ", ".join(f"{k}={v}" for k, v in peak_rows.items()) or "0"
         mb_s = ", ".join(f"{k}={v:.1f}" for k, v in peak_mb.items()) or "0"
+        null_s = "-" if n_null is None else str(n_null)
         print(f"| {qid} | {store} | {dt:.1f} | {n_events / dt:.0f} |"
-              f" {rows_s} | {mb_s} | {dropped} | {n_out} |")
+              f" {rows_s} | {mb_s} | {dropped} | {n_out} | {null_s} |")
 
-    for qid in ("stream_join_live", "stream_join_agg_live"):
-        run_one(qid, "hdfs-map")
+    suite = (
+        ("stream_join_live", None),
+        ("stream_join_agg_live", None),
+        ("stream_join_outer_live", "buy_id"),
+    )
+    for qid, ncol in suite:
+        run_one(qid, "hdfs-map", ncol)
     prev = spark.conf.get(KEY, None)
     try:
         spark.conf.set(KEY, ROCKS)
-        for qid in ("stream_join_live", "stream_join_agg_live"):
-            run_one(qid, "rocksdb")
+        for qid, ncol in suite:
+            run_one(qid, "rocksdb", ncol)
     except Exception as exc:  # noqa: BLE001 — availability probe
         print(f"RocksDB: UNAVAILABLE — {type(exc).__name__}: {str(exc)[:200]}")
     finally:

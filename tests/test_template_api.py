@@ -218,3 +218,63 @@ def test_x_prefixed_annotation_keys_accepted():
     errs = validate_spec(bad)
     assert [e["validator"] for e in errs] == ["additionalProperties"]
     assert errs[0]["path"] == "/steps/0/valu"
+
+
+def test_progress_sse_push_during_stream(spark):
+    """The websocket-parity surface (r7 next-round #5): while a streaming
+    query runs, an SSE client on /progress/stream receives per-batch
+    progress events pushed as they happen (>=2 during the replay), and
+    the long-poll /progress?since=N cursor returns the same events."""
+    import http.client
+
+    from nyuki_spark.streaming.listener import MetricsListener
+
+    listener = MetricsListener()
+    spark.streams.addListener(listener)
+    store = TemplateStore()
+    server = serve(store, spark=spark, listener=listener)
+    port = server.server_address[1]
+    q = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 50)
+        .load()
+        .writeStream.format("noop")
+        .trigger(processingTime="300 milliseconds")
+        .start()
+    )
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=90)
+        conn.request("GET", "/progress/stream?max=2&timeout_s=60")
+        resp = conn.getresponse()
+        assert resp.status == 200
+        assert resp.getheader("Content-Type") == "text/event-stream"
+        body = resp.read().decode()  # server closes after max=2 events
+        frames = [ln for ln in body.splitlines() if ln.startswith("data: ")]
+        assert len(frames) >= 2, f"expected >=2 SSE events, got: {body!r}"
+        events = [json.loads(f[len("data: "):]) for f in frames]
+        for e in events:
+            assert {"query_id", "batch_id", "num_input_rows", "state_rows"} <= set(e)
+        # Long-poll snapshot: cursor semantics agree with what was pushed.
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/progress?since=0", timeout=30
+        ) as r:
+            snap = json.loads(r.read())
+        assert snap["next"] >= 2
+        assert len(snap["events"]) == snap["next"] - snap["since"]
+        assert snap["events"][0]["batch_id"] == events[0]["batch_id"]
+    finally:
+        q.stop()
+        spark.streams.removeListener(listener)
+        server.shutdown()
+
+
+def test_progress_endpoint_404_without_listener(spark):
+    """No listener attached -> /progress routes are absent, CRUD intact."""
+    server = serve(TemplateStore())
+    port = server.server_address[1]
+    try:
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(f"http://127.0.0.1:{port}/progress", timeout=10)
+        assert ei.value.code == 404
+    finally:
+        server.shutdown()
