@@ -1043,10 +1043,11 @@ def _bpe_oracle(k: int = 3) -> str:
     return "".join(parts) + "\n" + sel + " ORDER BY step"
 
 
-def _bpe_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """First 3 merges of byte-pair-encoding tokenizer training (Sennrich
-    et al., ACL 2016) over the corpus's alphabetic words — the vocabulary
-    induction step every LLM data pipeline runs before tokenizing.
+def _bpe_fn(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    """First ``k`` merges of byte-pair-encoding tokenizer training
+    (Sennrich et al., ACL 2016) over the corpus's alphabetic words — the
+    vocabulary induction step every LLM data pipeline runs before
+    tokenizing.
 
     Scale shape per merge: ONE (pair) hash aggregate over the exploded
     adjacent-symbol pairs, weighted by word frequency (map-side partial —
@@ -1058,6 +1059,13 @@ def _bpe_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     REPLACE does, so every (pair, frequency) decision is hash-verified.
     The vocab table (not the corpus) is the working set: at 100 TB the
     word-frequency aggregate is the only corpus-sized pass.
+
+    ``k`` is configurable (r7 next-round #6): cost is one vocab-sized
+    aggregate + one 1-row argmax collect per merge, linear in k (probe
+    table at k=16/sf0.1 in BASELINE.md r8). The chained REPLACE lineage
+    over the persisted vocab is re-pinned with localCheckpoint every 6
+    steps so neither the plan tree nor the codegen expression depth
+    grows with k.
     """
     docs = load_table(spark, sf_dir, "documents")
     words = (
@@ -1071,7 +1079,7 @@ def _bpe_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_replace("w", "(.)", "<$1>").alias("seq"), "f"
     ).persist()
     merges = []
-    for step in range(1, 4):
+    for step in range(1, k + 1):
         syms = seq.select(
             F.split(F.expr("substring(seq, 2, length(seq) - 2)"), "><").alias("a"),
             "f",
@@ -1101,6 +1109,8 @@ def _bpe_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("seq"),
             "f",
         )
+        if step % 6 == 0 and step < k:
+            seq = seq.localCheckpoint(eager=False)
     return spark.createDataFrame(
         merges, "step int, sym_a string, sym_b string, pair_freq bigint"
     ).orderBy("step")
@@ -1117,6 +1127,31 @@ register(
         "boundary-safe vocab REPLACE per step): vocab-sized working set, "
         "one corpus pass total; every merge decision hash-verified vs an "
         "unrolled DuckDB twin"
+    ),
+)
+
+
+def _bpe8_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k=8 BPE training (r7 next-round #6): same funnel as
+    llm_tokenizer_bpe, proving the merge loop generalizes — later merges
+    pick pairs involving PREVIOUSLY-MERGED symbols, so each step's
+    decision depends on every earlier REPLACE being boundary-safe on
+    both engines. The twin is the programmatically-unrolled 8-level CTE
+    (_bpe_oracle(8))."""
+    return _bpe_fn(spark, sf_dir, k=8)
+
+
+register(
+    "llm_tokenizer_bpe8",
+    engine_fn=_bpe8_fn,
+    oracle=_bpe_oracle(8),
+    category="llm-text",
+    suite="extension",
+    doc=(
+        "BPE tokenizer training at k=8 merges: generalized merge loop "
+        "(one vocab-sized pair aggregate + 1-row argmax per step, "
+        "lineage re-pinned every 6 steps), hash-verified against the "
+        "programmatically-unrolled 8-step DuckDB CTE"
     ),
 )
 
@@ -1150,3 +1185,4 @@ def _bpe_pairs_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SWEEP_INTERMEDIATES["llm_tokenizer_bpe"] = _bpe_pairs_stage
+SWEEP_INTERMEDIATES["llm_tokenizer_bpe8"] = _bpe_pairs_stage
