@@ -3017,3 +3017,209 @@ register(
         "recursive CTE stepping the same sequence — bit-identical"
     ),
 )
+
+
+# -- Adamic-Adar link prediction (round 8) -------------------------------------
+
+
+def _adamic_adar_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction on the strong-tie supplier backbone:
+    for NON-adjacent pairs, AA(a,b) = sum over common neighbors z of
+    1/ln(deg(z)) — the common-neighbor count reweighted so that sharing
+    a RARE neighbor says more than sharing a hub (Adamic & Adar, Social
+    Networks 2003). Same plan skeleton as net_common_neighbors: wedge
+    join (disjoint pairs never meet), midpoint degree joined in BEFORE
+    the pair aggregate so each wedge carries its own 1/ln(deg) term,
+    anti-join removes known edges, TakeOrdered top-20. The per-pair sum
+    has at most min-degree terms (bounded by backbone degree); both
+    engines sum doubles in arbitrary order but terms are O(1) counts of
+    magnitude ~1, so the 6-dp pin is far above the fp noise floor.
+    """
+    backbone = _supplier_backbone(spark, sf_dir).localCheckpoint(eager=False)
+    und = backbone.unionByName(
+        backbone.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    e1 = und.select(F.col("u").alias("x"), F.col("v").alias("a"))
+    e2 = und.select(F.col("u").alias("x"), F.col("v").alias("b"))
+    wedges = (
+        e1.join(e2, "x")
+        .where(F.col("a") < F.col("b"))
+        .join(deg.select(F.col("u").alias("x"), "deg"), "x")
+        .groupBy("a", "b")
+        .agg(
+            F.count(F.lit(1)).alias("common"),
+            F.sum(F.lit(1.0) / F.log(F.col("deg"))).alias("aa_raw"),
+        )
+    )
+    cand = wedges.join(
+        backbone,
+        (wedges.a == backbone.u) & (wedges.b == backbone.v),
+        "anti",
+    )
+    return (
+        cand.select(
+            "a",
+            "b",
+            "common",
+            F.round("aa_raw", 6).cast("double").alias("adamic_adar"),
+        )
+        .orderBy(F.col("adamic_adar").desc(), F.col("common").desc(), "a", "b")
+        .limit(20)
+    )
+
+
+register(
+    "net_adamic_adar",
+    engine_fn=_adamic_adar_fn,
+    oracle=(
+        "WITH " + _BACKBONE_SQL + ",\n"
+        "und AS (SELECT u, v FROM bb UNION ALL SELECT v, u FROM bb),\n"
+        "d AS (SELECT u, COUNT(*) AS deg FROM und GROUP BY u),\n"
+        "w AS (\n"
+        "  SELECT e1.v AS a, e2.v AS b, COUNT(*) AS common,\n"
+        "    SUM(1.0 / LN(dd.deg)) AS aa_raw\n"
+        "  FROM und e1 JOIN und e2 ON e1.u = e2.u AND e1.v < e2.v\n"
+        "  JOIN d dd ON dd.u = e1.u\n"
+        "  GROUP BY 1, 2),\n"
+        "cand AS (\n"
+        "  SELECT a, b, common, aa_raw FROM w\n"
+        "  WHERE NOT EXISTS (SELECT 1 FROM bb"
+        " WHERE bb.u = w.a AND bb.v = w.b))\n"
+        "SELECT a, b, common,\n"
+        "  CAST(ROUND(aa_raw, 6) AS DOUBLE) AS adamic_adar\n"
+        "FROM cand\n"
+        "ORDER BY adamic_adar DESC, common DESC, a, b LIMIT 20"
+    ),
+    category="graph",
+    suite="extension",
+    doc=(
+        "Adamic-Adar link prediction on the strong-tie backbone: wedge "
+        "join with midpoint-degree reweighting (1/ln deg), anti-join on "
+        "known edges, TakeOrdered top-20"
+    ),
+)
+
+SWEEP_INTERMEDIATES["net_adamic_adar"] = _supplier_backbone
+
+
+# -- Mann-Kendall trend test (round 8) ------------------------------------------
+
+
+def _mann_kendall_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall non-parametric trend test per event type (Mann 1945,
+    Kendall 1975) over the daily mean-value series — the
+    distribution-free "is this metric drifting?" test a monitoring
+    pipeline runs on every KPI. S = sum over day pairs i<j of
+    sign(m_j - m_i) is EXACT integers (no fp order dependence at all);
+    tau = S / (n(n-1)/2) and the tie-corrected normal approximation
+    z = (S -/+ 1)/sqrt((n(n-1)(2n+5) - sum t(t-1)(2t+5))/18) divide/root
+    exact integers, so both engines compute bit-identical doubles before
+    the 6-dp pin. Corpus pass = the daily rollup; the pair join runs
+    over the time-range-bounded series (n days ^2 per type), the same
+    domain-bounded-recursion posture as ts_acf/ts_page_cusum.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.where(F.col("value").isNotNull())
+        .groupBy("event_type", F.date_trunc("day", "ts").alias("d"))
+        .agg(F.round(F.avg("value"), 6).alias("m"))
+    )
+    d1 = daily.select(
+        "event_type", F.col("d").alias("d1"), F.col("m").alias("m1")
+    )
+    d2 = daily.select(
+        "event_type", F.col("d").alias("d2"), F.col("m").alias("m2")
+    )
+    s = (
+        d1.join(d2, "event_type")
+        .where(F.col("d1") < F.col("d2"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.signum(F.col("m2") - F.col("m1")).cast("long")).alias("s")
+        )
+    )
+    n = daily.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    ties = (
+        daily.groupBy("event_type", "m")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .where(F.col("t") > 1)
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            ).alias("tt")
+        )
+    )
+    var_s = (
+        F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5) - F.col("tt")
+    ) / F.lit(18.0)
+    return (
+        s.join(n, "event_type")
+        .join(ties, "event_type", "left")
+        .withColumn("tt", F.coalesce("tt", F.lit(0)))
+        .withColumn("var_s", var_s)
+        .select(
+            "event_type",
+            "n",
+            F.col("s").cast("long").alias("s"),
+            F.round(
+                F.col("s") / (F.col("n") * (F.col("n") - 1) / F.lit(2.0)), 6
+            )
+            .cast("double")
+            .alias("tau"),
+            F.round(
+                F.when(
+                    F.col("s") > 0, (F.col("s") - 1) / F.sqrt("var_s")
+                )
+                .when(F.col("s") < 0, (F.col("s") + 1) / F.sqrt("var_s"))
+                .otherwise(F.lit(0.0)),
+                6,
+            )
+            .cast("double")
+            .alias("z"),
+        )
+        .orderBy("event_type")
+    )
+
+
+register(
+    "ts_mann_kendall",
+    engine_fn=_mann_kendall_fn,
+    oracle=(
+        "WITH daily AS (\n"
+        "  SELECT event_type, DATE_TRUNC('day', ts) AS d,\n"
+        "    ROUND(AVG(value), 6) AS m\n"
+        "  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),\n"
+        "s AS (SELECT a.event_type,\n"
+        "        CAST(SUM(SIGN(b.m - a.m)) AS BIGINT) AS s\n"
+        "      FROM daily a JOIN daily b\n"
+        "        ON a.event_type = b.event_type AND a.d < b.d\n"
+        "      GROUP BY 1),\n"
+        "n AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n\n"
+        "      FROM daily GROUP BY 1),\n"
+        "tt AS (SELECT event_type,\n"
+        "         CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tt\n"
+        "       FROM (SELECT event_type, m, COUNT(*) AS t FROM daily\n"
+        "             GROUP BY 1, 2) q\n"
+        "       WHERE t > 1 GROUP BY 1)\n"
+        "SELECT s.event_type, n.n, s.s,\n"
+        "  CAST(ROUND(s.s / (n.n * (n.n - 1) / 2.0), 6) AS DOUBLE) AS tau,\n"
+        "  CAST(ROUND(CASE\n"
+        "    WHEN s.s > 0 THEN (s.s - 1) / SQRT((n.n * (n.n - 1)"
+        " * (2 * n.n + 5) - COALESCE(tt.tt, 0)) / 18.0)\n"
+        "    WHEN s.s < 0 THEN (s.s + 1) / SQRT((n.n * (n.n - 1)"
+        " * (2 * n.n + 5) - COALESCE(tt.tt, 0)) / 18.0)\n"
+        "    ELSE 0.0 END, 6) AS DOUBLE) AS z\n"
+        "FROM s JOIN n USING (event_type)\n"
+        "LEFT JOIN tt USING (event_type)\n"
+        "ORDER BY s.event_type"
+    ),
+    category="timeseries",
+    suite="extension",
+    doc=(
+        "Mann-Kendall trend test per event type (exact-integer S, tau, "
+        "tie-corrected z) over the daily mean series: corpus pass = "
+        "daily rollup, pair join bounded by time range squared"
+    ),
+)

@@ -1186,3 +1186,87 @@ def _bpe_pairs_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SWEEP_INTERMEDIATES["llm_tokenizer_bpe"] = _bpe_pairs_stage
 SWEEP_INTERMEDIATES["llm_tokenizer_bpe8"] = _bpe_pairs_stage
+
+
+# -- frozen-weights quality classifier (round 8) --------------------------------
+
+
+def _quality_lr_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering with a FROZEN logistic-regression
+    scorer — the production shape of fastText/LR quality classifiers in
+    LLM data pipelines (train offline, score the corpus at ingest with
+    fixed weights). Features are pure JVM array expressions per doc (no
+    explode, no UDF): token count, mean token length, distinct-token
+    ratio, stopword fraction. score = sigmoid(w . x + b) with the
+    weights inlined as literals (on a cluster a learned weight vector
+    broadcasts the same way); keep = rounded score >= 0.5. One map-only
+    pass — the plan is scan -> project, nothing shuffles, which is the
+    whole point of frozen-weight scoring at 100 TB. sigmoid's exp() can
+    differ by an ulp across engines; the 4-dp pin is 10^12 above that.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    mean_len = (F.length("text") - (n - F.lit(1))) / n
+    distinct_ratio = F.size(F.array_distinct(toks)) / n
+    stop_frac = (
+        F.size(
+            F.filter(
+                toks,
+                lambda t: t.isin("the", "a", "and", "of", "to", "in", "is"),
+            )
+        )
+        / n
+    )
+    t = (
+        F.lit(0.02) * n
+        + F.lit(0.8) * mean_len
+        + F.lit(3.0) * distinct_ratio
+        + F.lit(-6.0) * stop_frac
+        + F.lit(-4.0)
+    )
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-t)), 4)
+    return (
+        docs.where(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            n.alias("n_tokens"),
+            score.cast("double").alias("score"),
+            (score >= 0.5).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+register(
+    "llm_quality_lr",
+    engine_fn=_quality_lr_fn,
+    oracle=(
+        "WITH f AS (\n"
+        "  SELECT doc_id,\n"
+        "    LEN(STRING_SPLIT(text, ' ')) AS n,\n"
+        "    (LENGTH(text) - (LEN(STRING_SPLIT(text, ' ')) - 1))\n"
+        "      / CAST(LEN(STRING_SPLIT(text, ' ')) AS DOUBLE) AS mean_len,\n"
+        "    LEN(LIST_DISTINCT(STRING_SPLIT(text, ' ')))\n"
+        "      / CAST(LEN(STRING_SPLIT(text, ' ')) AS DOUBLE) AS dr,\n"
+        "    LEN(LIST_FILTER(STRING_SPLIT(text, ' '), t -> t IN\n"
+        "      ('the', 'a', 'and', 'of', 'to', 'in', 'is')))\n"
+        "      / CAST(LEN(STRING_SPLIT(text, ' ')) AS DOUBLE) AS sf\n"
+        "  FROM documents WHERE text IS NOT NULL),\n"
+        "s AS (SELECT doc_id, CAST(n AS INTEGER) AS n_tokens,\n"
+        "  ROUND(1.0 / (1.0 + EXP(-(0.02 * n + 0.8 * mean_len\n"
+        "    + 3.0 * dr - 6.0 * sf - 4.0))), 4) AS score\n"
+        "  FROM f)\n"
+        "SELECT doc_id, n_tokens, CAST(score AS DOUBLE) AS score,\n"
+        "  score >= 0.5 AS keep\n"
+        "FROM s ORDER BY doc_id"
+    ),
+    category="llm-text",
+    suite="extension",
+    doc=(
+        "frozen-weights logistic quality classifier (token count, mean "
+        "token length, distinct ratio, stopword fraction -> sigmoid "
+        "score, keep at 0.5): map-only scan->project scoring pass, the "
+        "production shape of LR/fastText corpus filters"
+    ),
+)

@@ -382,6 +382,13 @@ ALLOWLIST: dict[str, tuple[tuple[str, ...], str]] = {
         "prefix window now partitions by one_group (r7), so no "
         "SinglePartition exchange",
     ),
+    "net_adamic_adar": (
+        ("BroadcastNestedLoopJoin",),
+        "the backbone threshold: 1-row broadcast of the exact-percentile "
+        "cutoff onto the pair-count table (_supplier_backbone, "
+        "net_common_neighbors precedent); wedge/degree/anti joins are all "
+        "key equi-joins",
+    ),
     "win_rank": (
         ("Exchange OneGroupConstant",),
         "two-phase range-bucketed rank: the one_group window consumes "
