@@ -3223,3 +3223,217 @@ register(
         "daily rollup, pair join bounded by time range squared"
     ),
 )
+
+
+# -- Jensen-Shannon drift (round 8) ---------------------------------------------
+
+
+def _jensen_shannon_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence report between the reference and
+    current cohorts' value distributions (even vs odd user_id — an
+    A/B-cohort drift check populated at every SF, unlike a date split) —
+    the bounded, symmetric sibling of stat_psi_drift (JS is finite even when a bucket empties
+    on one side, where PSI/KL blow up; it is the drift metric of choice
+    when new data can open new buckets). Same single-scan shape as PSI:
+    shared equi-width buckets from global bounds (1-row broadcast), one
+    conditional aggregate for both periods, then PER-BUCKET terms
+    js_term = 0.5 p ln(p/m) + 0.5 q ln(q/m), m = (p+q)/2 — emitting the
+    terms (not the fp-order-dependent global sum) keeps the hash compare
+    deterministic, and the caller's sum is one k-row fold.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.agg(
+        F.min("value").alias("mn"), F.max("value").alias("mx")
+    )
+    bucketed = ev.crossJoin(F.broadcast(b)).select(
+        F.least(
+            (
+                F.floor(
+                    (F.col("value") - F.col("mn"))
+                    / ((F.col("mx") - F.col("mn")) / F.lit(10.0))
+                )
+            ).cast("int")
+            + 1,
+            F.lit(10),
+        ).alias("bucket"),
+        F.when(F.col("user_id") % 2 == 0, "ref")
+        .otherwise("cur")
+        .alias("period"),
+    )
+    counts = bucketed.groupBy("bucket").agg(
+        F.sum(F.when(F.col("period") == "ref", 1).otherwise(0)).alias("n_ref"),
+        F.sum(F.when(F.col("period") == "cur", 1).otherwise(0)).alias("n_cur"),
+    )
+    tot = counts.agg(
+        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
+    )
+    p = F.col("n_ref") / F.col("t_ref")
+    q = F.col("n_cur") / F.col("t_cur")
+    m = (p + q) / F.lit(2.0)
+    term = F.when(F.col("n_ref") > 0, F.lit(0.5) * p * F.log(p / m)).otherwise(
+        F.lit(0.0)
+    ) + F.when(F.col("n_cur") > 0, F.lit(0.5) * q * F.log(q / m)).otherwise(
+        F.lit(0.0)
+    )
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            F.col("n_ref").cast("long").alias("n_ref"),
+            F.col("n_cur").cast("long").alias("n_cur"),
+            F.round(term, 6).cast("double").alias("js_term"),
+        )
+        .orderBy("bucket")
+    )
+
+
+register(
+    "stat_jensen_shannon",
+    engine_fn=_jensen_shannon_fn,
+    oracle=(
+        "WITH b AS (SELECT MIN(value) AS mn, MAX(value) AS mx FROM events),\n"
+        "bucketed AS (SELECT\n"
+        "    LEAST(CAST(FLOOR((value - mn) / ((mx - mn) / 10.0)) AS INT)"
+        " + 1, 10) AS bucket,\n"
+        "    CASE WHEN user_id % 2 = 0 THEN 'ref'"
+        " ELSE 'cur' END AS period\n"
+        "  FROM events CROSS JOIN b),\n"
+        "counts AS (SELECT bucket,\n"
+        "    SUM(CASE WHEN period = 'ref' THEN 1 ELSE 0 END) AS n_ref,\n"
+        "    SUM(CASE WHEN period = 'cur' THEN 1 ELSE 0 END) AS n_cur\n"
+        "  FROM bucketed GROUP BY bucket),\n"
+        "tot AS (SELECT SUM(n_ref) AS t_ref, SUM(n_cur) AS t_cur"
+        " FROM counts)\n"
+        "SELECT bucket, CAST(n_ref AS BIGINT) AS n_ref,\n"
+        "  CAST(n_cur AS BIGINT) AS n_cur,\n"
+        "  CAST(ROUND(\n"
+        "    CASE WHEN n_ref > 0 THEN 0.5 * (n_ref / t_ref)"
+        " * LN((n_ref / t_ref) / (((n_ref / t_ref) + (n_cur / t_cur))"
+        " / 2.0)) ELSE 0.0 END\n"
+        "    + CASE WHEN n_cur > 0 THEN 0.5 * (n_cur / t_cur)"
+        " * LN((n_cur / t_cur) / (((n_ref / t_ref) + (n_cur / t_cur))"
+        " / 2.0)) ELSE 0.0 END, 6) AS DOUBLE) AS js_term\n"
+        "FROM counts CROSS JOIN tot\n"
+        "ORDER BY bucket"
+    ),
+    category="stats",
+    suite="extension",
+    doc=(
+        "Jensen-Shannon drift report (per-bucket terms, ref vs current "
+        "period): single-scan conditional aggregate over shared "
+        "equi-width buckets, finite even where PSI diverges"
+    ),
+)
+
+
+# -- Spearman rank correlation (round 8) -----------------------------------------
+
+
+def _spearman_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between the daily mean values of two
+    event series (click vs purchase) — the monotone-association check
+    that is robust where Pearson (ts_rolling_corr) assumes linearity.
+    Exact-arithmetic construction: average-tie ranks come from a
+    bounded self-join (r(x) = #\\{y < x\\} + (#\\{y = x\\} + 1)/2 — no
+    window, no one_group), so every rank is a dyadic rational; the five
+    Pearson sums over ranks are exact in float64 (halves/quarters well
+    under 2^53), making rho = (n S_xy - S_x S_y) /
+    (sqrt(n S_xx - S_x^2) sqrt(n S_yy - S_y^2)) bit-identical across
+    engines before the 6-dp pin. Corpus pass = the daily rollup; the
+    rank join is days^2, time-range-bounded.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.where(
+            F.col("value").isNotNull()
+            & F.col("event_type").isin("click", "purchase")
+        )
+        .groupBy("event_type", F.date_trunc("day", "ts").alias("d"))
+        .agg(F.round(F.avg("value"), 6).alias("m"))
+    )
+    wide = (
+        daily.groupBy("d")
+        .pivot("event_type", ["click", "purchase"])
+        .agg(F.first("m"))
+        .where(F.col("click").isNotNull() & F.col("purchase").isNotNull())
+        .select("d", F.col("click").alias("x"), F.col("purchase").alias("y"))
+    )
+
+    def rank_of(col: str, out: str):
+        a = wide.select(F.col("d"), F.col(col).alias("v"))
+        b = wide.select(F.col(col).alias("w"))
+        return (
+            a.crossJoin(b)
+            .groupBy("d")
+            .agg(
+                (
+                    F.sum((F.col("w") < F.col("v")).cast("long"))
+                    + (F.sum((F.col("w") == F.col("v")).cast("long")) + 1)
+                    / F.lit(2.0)
+                ).alias(out)
+            )
+        )
+
+    ranked = (
+        wide.select("d")
+        .join(rank_of("x", "rx"), "d")
+        .join(rank_of("y", "ry"), "d")
+    )
+    sums = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rx").alias("sx"),
+        F.sum("ry").alias("sy"),
+        F.sum(F.col("rx") * F.col("ry")).alias("sxy"),
+        F.sum(F.col("rx") * F.col("rx")).alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).alias("syy"),
+    )
+    rho = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return sums.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.round(rho, 6).cast("double").alias("spearman_rho"),
+    )
+
+
+register(
+    "stat_spearman",
+    engine_fn=_spearman_fn,
+    oracle=(
+        "WITH daily AS (\n"
+        "  SELECT event_type, DATE_TRUNC('day', ts) AS d,\n"
+        "    ROUND(AVG(value), 6) AS m\n"
+        "  FROM events WHERE value IS NOT NULL\n"
+        "    AND event_type IN ('click', 'purchase') GROUP BY 1, 2),\n"
+        "wide AS (\n"
+        "  SELECT c.d, c.m AS x, p.m AS y\n"
+        "  FROM (SELECT d, m FROM daily WHERE event_type = 'click') c\n"
+        "  JOIN (SELECT d, m FROM daily WHERE event_type = 'purchase') p\n"
+        "    USING (d)),\n"
+        "rk AS (\n"
+        "  SELECT a.d,\n"
+        "    (SELECT COUNT(*) FROM wide b WHERE b.x < a.x)\n"
+        "      + ((SELECT COUNT(*) FROM wide b WHERE b.x = a.x) + 1) / 2.0"
+        " AS rx,\n"
+        "    (SELECT COUNT(*) FROM wide b WHERE b.y < a.y)\n"
+        "      + ((SELECT COUNT(*) FROM wide b WHERE b.y = a.y) + 1) / 2.0"
+        " AS ry\n"
+        "  FROM wide a),\n"
+        "s AS (SELECT COUNT(*) AS n, SUM(rx) AS sx, SUM(ry) AS sy,\n"
+        "        SUM(rx * ry) AS sxy, SUM(rx * rx) AS sxx,\n"
+        "        SUM(ry * ry) AS syy FROM rk)\n"
+        "SELECT CAST(n AS BIGINT) AS n_days,\n"
+        "  CAST(ROUND((n * sxy - sx * sy)\n"
+        "    / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)), 6)"
+        " AS DOUBLE) AS spearman_rho\n"
+        "FROM s"
+    ),
+    category="stats",
+    suite="extension",
+    doc=(
+        "Spearman rank correlation of click vs purchase daily means: "
+        "average-tie ranks via bounded self-join (exact dyadic "
+        "rationals), five exact Pearson sums, one pinned rho"
+    ),
+)

@@ -1270,3 +1270,101 @@ register(
         "production shape of LR/fastText corpus filters"
     ),
 )
+
+
+# -- Kneser-Ney smoothed bigram LM (round 8) -------------------------------------
+
+
+def _kneser_ney_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kneser-Ney smoothed bigram probabilities (Kneser & Ney, ICASSP
+    1995; the Chen-Goodman interpolated form with fixed discount
+    d = 0.75) for the corpus's 30 most frequent word bigrams — the
+    classic n-gram LM estimate behind perplexity-based quality filters
+    (llm_perplexity_proxy uses a char-bigram MLE; this is the word-level
+    smoothed upgrade, where continuation counts answer "how many
+    CONTEXTS has this word followed?" instead of raw frequency).
+
+    P_KN(w2|w1) = max(c(w1,w2) - d, 0)/c(w1)
+                  + d * N1+(w1,*)/c(w1) * N1+(*,w2)/N1+(**).
+
+    Every term is a ratio of exact integer counts (bigram counts, distinct
+    continuation counts), so both engines compute identical doubles
+    before the 6-dp pin. Scale shape: one explode of adjacent word pairs
+    (linear in corpus tokens) feeding four map-side-combinable
+    aggregates keyed by bigram/word — vocabulary-sized model tables, the
+    same posture as llm_perplexity_proxy.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.where(F.col("text").isNotNull())
+        .select(F.split(F.lower("text"), " ").alias("a"))
+        .where(F.size("a") >= 2)
+    )
+    big = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(a) - 1),"
+                " i -> struct(element_at(a, i) AS w1,"
+                " element_at(a, i + 1) AS w2))"
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    c12 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = c12.groupBy("w1").agg(
+        F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("n1p_fwd")
+    )
+    cont = c12.groupBy("w2").agg(F.count(F.lit(1)).alias("n1p_pre"))
+    ntypes = c12.agg(F.count(F.lit(1)).alias("n_types"))
+    d = F.lit(0.75)
+    p_kn = (
+        F.greatest(F.col("c12") - d, F.lit(0.0)) / F.col("c1")
+        + d
+        * F.col("n1p_fwd")
+        / F.col("c1")
+        * (F.col("n1p_pre") / F.col("n_types"))
+    )
+    return (
+        c12.join(c1, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(ntypes))
+        .select(
+            "w1",
+            "w2",
+            F.col("c12").cast("long").alias("c12"),
+            F.round(p_kn, 6).cast("double").alias("p_kn"),
+        )
+        .orderBy(F.col("c12").desc(), "w1", "w2")
+        .limit(30)
+    )
+
+
+register(
+    "llm_ngram_kneser_ney",
+    engine_fn=_kneser_ney_fn,
+    oracle=(
+        "WITH big AS (\n"
+        "  SELECT arr[i] AS w1, arr[i + 1] AS w2\n"
+        "  FROM (SELECT STRING_SPLIT(LOWER(text), ' ') AS arr\n"
+        "        FROM documents WHERE text IS NOT NULL) s,\n"
+        "       UNNEST(GENERATE_SERIES(1, LEN(arr) - 1)) AS t(i)\n"
+        "  WHERE LEN(arr) >= 2),\n"
+        "c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM big GROUP BY 1, 2),\n"
+        "c1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,\n"
+        "         COUNT(*) AS n1p_fwd FROM c12 GROUP BY 1),\n"
+        "cont AS (SELECT w2, COUNT(*) AS n1p_pre FROM c12 GROUP BY 1),\n"
+        "nt AS (SELECT COUNT(*) AS n_types FROM c12)\n"
+        "SELECT c12.w1, c12.w2, CAST(c12.c12 AS BIGINT) AS c12,\n"
+        "  CAST(ROUND(GREATEST(c12.c12 - 0.75, 0.0) / c1.c1\n"
+        "    + 0.75 * c1.n1p_fwd / c1.c1 * (cont.n1p_pre / nt.n_types),"
+        " 6) AS DOUBLE) AS p_kn\n"
+        "FROM c12 JOIN c1 USING (w1) JOIN cont USING (w2) CROSS JOIN nt\n"
+        "ORDER BY c12 DESC, w1, w2 LIMIT 30"
+    ),
+    category="llm-text",
+    suite="extension",
+    doc=(
+        "Kneser-Ney smoothed bigram LM (d=0.75, interpolated form) for "
+        "the top-30 bigrams: exact-integer count/continuation-count "
+        "ratios, vocabulary-sized model tables from one bigram explode"
+    ),
+)

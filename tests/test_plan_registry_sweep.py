@@ -382,6 +382,22 @@ ALLOWLIST: dict[str, tuple[tuple[str, ...], str]] = {
         "prefix window now partitions by one_group (r7), so no "
         "SinglePartition exchange",
     ),
+    "stat_jensen_shannon": (
+        ("BroadcastNestedLoopJoin",),
+        "two 1-row broadcasts (global value bounds; period totals — both "
+        "partial-aggregated scalars), the stat_psi_drift shape",
+    ),
+    "stat_spearman": (
+        ("BroadcastNestedLoopJoin",),
+        "the rank self-join runs over the DAILY rollup (one row per day "
+        "of time range, ~60 rows — resample-first contract like ts_acf), "
+        "never data rows; ranks need all-pairs comparisons by definition",
+    ),
+    "llm_ngram_kneser_ney": (
+        ("BroadcastNestedLoopJoin",),
+        "1-row broadcast of the distinct-bigram-type count (a "
+        "partial-aggregated scalar) onto the vocabulary-sized model table",
+    ),
     "net_adamic_adar": (
         ("BroadcastNestedLoopJoin",),
         "the backbone threshold: 1-row broadcast of the exact-percentile "
