@@ -3437,3 +3437,233 @@ register(
         "rationals), five exact Pearson sums, one pinned rho"
     ),
 )
+
+
+# -- Holt-Winters additive smoothing (round 8) -----------------------------------
+
+
+def _holt_winters_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive Holt-Winters (level + trend + 7-day seasonality;
+    alpha=0.5, beta=0.3, gamma=0.2) one-step-ahead fit over the daily
+    count series per event type — the seasonal upgrade of ts_holt_trend
+    and the forecasting backbone of capacity planning on weekly-cycled
+    traffic. Triple-coupled recursion (l, b, and a 7-slot seasonal ring)
+    is inherently sequential, so it runs as the order-pinned aggregate
+    fold over the time-range-bounded daily series (ts_page_cusum
+    contract: the corpus-sized pass is the rollup). Init is exact
+    integer arithmetic (l0 = y1, b0 = 0, s_i = y_i - y1), every step is
+    the identical left-to-right expression sequence the recursive-CTE
+    twin executes, so l/b/s/yhat are bit-identical across engines
+    before the 6-dp pin. Types with < 8 days emit nothing (no seasonal
+    ring to seed).
+    """
+    d = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.date_trunc("day", "ts").cast("date").alias("day"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    series = (
+        d.groupBy("event_type")
+        .agg(F.array_sort(F.collect_list(F.struct("day", "n"))).alias("ser"))
+        .where(F.size("ser") >= 8)
+    )
+    ys = F.transform(F.col("ser.n"), lambda x: x.cast("double"))
+    y1 = F.element_at(ys, 1)
+    prepped = series.select(
+        "event_type",
+        F.col("ser.day").alias("days"),
+        ys.alias("ys"),
+        F.transform(F.slice(ys, 1, 7), lambda y: y - y1).alias("s0"),
+        y1.alias("l0"),
+    )
+    s1 = lambda acc: F.element_at(acc.s, 1)  # noqa: E731 — oldest season slot
+    lnew = lambda acc, y: (  # noqa: E731
+        F.lit(0.5) * (y - s1(acc)) + F.lit(0.5) * (acc.l + acc.b)
+    )
+    folded = prepped.select(
+        "event_type",
+        F.slice(F.col("days"), 8, F.size("days") - 7).alias("days_out"),
+        F.slice(F.col("ys"), 8, F.size("ys") - 7).alias("ys_out"),
+        F.aggregate(
+            F.slice(F.col("ys"), 8, F.size("ys") - 7),
+            F.struct(
+                F.col("l0").alias("l"),
+                F.lit(0.0).alias("b"),
+                F.col("s0").alias("s"),
+                F.array().cast("array<double>").alias("out"),
+            ),
+            lambda acc, y: F.struct(
+                lnew(acc, y).alias("l"),
+                (
+                    F.lit(0.3) * (lnew(acc, y) - acc.l) + F.lit(0.7) * acc.b
+                ).alias("b"),
+                F.concat(
+                    F.slice(acc.s, 2, 6),
+                    F.array(
+                        F.lit(0.2) * (y - lnew(acc, y))
+                        + F.lit(0.8) * s1(acc)
+                    ),
+                ).alias("s"),
+                F.concat(
+                    acc.out, F.array(acc.l + acc.b + s1(acc))
+                ).alias("out"),
+            ),
+            lambda acc: acc.out,
+        ).alias("yhats"),
+    )
+    z = F.posexplode(F.arrays_zip("days_out", "ys_out", "yhats"))
+    return (
+        folded.select("event_type", z.alias("_i", "z"))
+        .select(
+            "event_type",
+            F.col("z.days_out").alias("day"),
+            F.col("z.ys_out").cast("long").alias("y"),
+            F.round(F.col("z.yhats"), 6).cast("double").alias("yhat"),
+            F.round(F.col("z.ys_out") - F.col("z.yhats"), 6)
+            .cast("double")
+            .alias("resid"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+_HW_LNEW = "0.5 * (s.y - r.s1) + 0.5 * (r.l + r.b)"
+
+register(
+    "ts_holt_winters",
+    engine_fn=_holt_winters_fn,
+    oracle=(
+        "WITH RECURSIVE d AS (\n"
+        "  SELECT event_type, CAST(DATE_TRUNC('day', ts) AS DATE) AS day,\n"
+        "    COUNT(*) AS n FROM events GROUP BY 1, 2),\n"
+        "ser AS (SELECT event_type, day, CAST(n AS DOUBLE) AS y,\n"
+        "  ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS rn\n"
+        "  FROM d),\n"
+        "init AS (\n"
+        "  SELECT event_type, 7 AS rn,\n"
+        # CAST the b seed: a bare 0.0 literal is DECIMAL(1,1) in DuckDB
+        # and the recursive UNION then runs the whole trend recursion in
+        # 1-dp decimal arithmetic (b8 = -3.2 instead of -3.15).
+        "    MAX(CASE WHEN rn = 1 THEN y END) AS l,"
+        " CAST(0.0 AS DOUBLE) AS b,\n"
+        + "".join(
+            f"    MAX(CASE WHEN rn = {i} THEN y END)"
+            " - MAX(CASE WHEN rn = 1 THEN y END) AS s{},\n".format(i).format()
+            for i in range(1, 8)
+        )
+        + "    CAST(NULL AS DATE) AS day, CAST(NULL AS DOUBLE) AS y,\n"
+        "    CAST(NULL AS DOUBLE) AS yhat\n"
+        "  FROM ser WHERE rn <= 7 GROUP BY event_type\n"
+        "  HAVING COUNT(*) = 7),\n"
+        "rec AS (\n"
+        "  SELECT * FROM init\n"
+        "  UNION ALL\n"
+        "  SELECT r.event_type, s.rn,\n"
+        f"    {_HW_LNEW} AS l,\n"
+        f"    0.3 * (({_HW_LNEW}) - r.l) + 0.7 * r.b AS b,\n"
+        "    r.s2 AS s1, r.s3 AS s2, r.s4 AS s3, r.s5 AS s4,\n"
+        "    r.s6 AS s5, r.s7 AS s6,\n"
+        f"    0.2 * (s.y - ({_HW_LNEW})) + 0.8 * r.s1 AS s7,\n"
+        "    s.day, s.y, r.l + r.b + r.s1 AS yhat\n"
+        "  FROM rec r JOIN ser s\n"
+        "    ON s.event_type = r.event_type AND s.rn = r.rn + 1)\n"
+        "SELECT event_type, day, CAST(y AS BIGINT) AS y,\n"
+        "  CAST(ROUND(yhat, 6) AS DOUBLE) AS yhat,\n"
+        "  CAST(ROUND(y - yhat, 6) AS DOUBLE) AS resid\n"
+        "FROM rec WHERE rn >= 8 ORDER BY event_type, day"
+    ),
+    category="timeseries",
+    suite="extension",
+    doc=(
+        "additive Holt-Winters fit (level+trend+7-day season) per event "
+        "type: inherently-sequential triple recursion folded over the "
+        "domain-bounded daily series, bit-identical vs a recursive-CTE "
+        "twin stepping the same expressions"
+    ),
+)
+
+
+# -- local clustering coefficient (round 8) ---------------------------------------
+
+
+def _local_clustering_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node local clustering coefficient on the strong-tie backbone:
+    lcc(v) = 2 T(v) / (deg(v) (deg(v)-1)) where T(v) counts edges
+    between v's neighbors — the node-level companion of net_triangles'
+    GLOBAL coefficient (Watts & Strogatz 1998), the feature that
+    separates hub-of-a-clique from hub-of-a-star in graph-shaped
+    curation (e.g. spotting link farms in a crawl graph). Plan: wedge
+    join per midpoint (bounded by backbone degree), closure check is an
+    equi-join against the edge list, then exact-integer division — no
+    floats until the pinned ratio. Nodes of degree < 2 are excluded
+    (lcc undefined).
+    """
+    backbone = _supplier_backbone(spark, sf_dir).localCheckpoint(eager=False)
+    und = backbone.unionByName(
+        backbone.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    e1 = und.select(F.col("u").alias("x"), F.col("v").alias("a"))
+    e2 = und.select(F.col("u").alias("x"), F.col("v").alias("b"))
+    wedges = e1.join(e2, "x").where(F.col("a") < F.col("b"))
+    tri = (
+        wedges.join(
+            backbone,
+            (wedges.a == backbone.u) & (wedges.b == backbone.v),
+            "semi",
+        )
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    return (
+        deg.where(F.col("deg") >= 2)
+        .join(tri, deg.u == tri.x, "left")
+        .select(
+            F.col("u").alias("node"),
+            F.col("deg").cast("long").alias("deg"),
+            F.coalesce(F.col("t"), F.lit(0)).cast("long").alias("tri"),
+            F.round(
+                F.lit(2.0) * F.coalesce(F.col("t"), F.lit(0))
+                / (F.col("deg") * (F.col("deg") - 1)),
+                6,
+            )
+            .cast("double")
+            .alias("lcc"),
+        )
+        .orderBy("node")
+    )
+
+
+register(
+    "net_local_clustering",
+    engine_fn=_local_clustering_fn,
+    oracle=(
+        "WITH " + _BACKBONE_SQL + ",\n"
+        "und AS (SELECT u, v FROM bb UNION ALL SELECT v, u FROM bb),\n"
+        "d AS (SELECT u, COUNT(*) AS deg FROM und GROUP BY u),\n"
+        "tri AS (\n"
+        "  SELECT e1.u AS x, COUNT(*) AS t\n"
+        "  FROM und e1 JOIN und e2 ON e1.u = e2.u AND e1.v < e2.v\n"
+        "  WHERE EXISTS (SELECT 1 FROM bb"
+        " WHERE bb.u = e1.v AND bb.v = e2.v)\n"
+        "  GROUP BY 1)\n"
+        "SELECT d.u AS node, CAST(d.deg AS BIGINT) AS deg,\n"
+        "  CAST(COALESCE(tri.t, 0) AS BIGINT) AS tri,\n"
+        "  CAST(ROUND(2.0 * COALESCE(tri.t, 0)"
+        " / (d.deg * (d.deg - 1)), 6) AS DOUBLE) AS lcc\n"
+        "FROM d LEFT JOIN tri ON tri.x = d.u\n"
+        "WHERE d.deg >= 2 ORDER BY node"
+    ),
+    category="graph",
+    suite="extension",
+    doc=(
+        "per-node local clustering coefficient on the strong-tie "
+        "backbone: wedge join + edge-closure semi-join, exact-integer "
+        "triangle/degree counts to the pinned ratio"
+    ),
+)
+
+SWEEP_INTERMEDIATES["net_local_clustering"] = _supplier_backbone

@@ -3213,3 +3213,81 @@ register(
         "checked against the batch LEFT JOIN oracle"
     ),
 )
+
+
+# -- bucketed co-located join (round 8) -------------------------------------------
+
+
+def _bucketed_join_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free fact-dim join via BUCKETED tables — the write-once /
+    join-many co-location strategy (operators/bucketing.py): both sides
+    are persisted bucketed on the join key (8 buckets, sorted), so the
+    join AND the per-key aggregate read matching buckets pairwise with
+    ZERO Exchange on either side (asserted plan-shape in
+    tests/test_bucketing.py; at 100 TB this converts every repeated
+    fact-fact join on the key from two full shuffles to a co-located
+    scan). Tables are corpus-keyed and built once per corpus (the
+    build-once/query-many contract of llm_knn_ivf); the query itself is
+    the heavy-customer report: customers with >= 18 orders and their
+    revenue. The count predicate is exact-integer, output is ordered by
+    key, and the per-customer double sum is pinned at 2 dp (tens of
+    exact-cent-scaled terms, far above fp noise).
+    """
+    import hashlib
+    import os
+    import tempfile
+
+    from nyuki_spark.operators.bucketing import bucketed_join, write_bucketed
+
+    key = hashlib.md5(f"{sf_dir}|buckets=8|v1".encode()).hexdigest()[:12]
+    base = os.path.join(tempfile.gettempdir(), f"nyuki-bkt-{key}")
+    t_ord = f"nyuki_bkt_orders_{key}"
+    t_cst = f"nyuki_bkt_cust_{key}"
+    if not (
+        spark.catalog.tableExists(t_ord) and spark.catalog.tableExists(t_cst)
+    ):
+        orders = load_table(spark, sf_dir, "orders").withColumnRenamed(
+            "o_custkey", "custkey"
+        )
+        cust = load_table(spark, sf_dir, "customer").withColumnRenamed(
+            "c_custkey", "custkey"
+        )
+        write_bucketed(orders, t_ord, "custkey", f"{base}/orders")
+        write_bucketed(cust, t_cst, "custkey", f"{base}/customer")
+    joined = bucketed_join(spark, t_ord, t_cst, "custkey")
+    return (
+        joined.groupBy("custkey", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .where(F.col("n_orders") >= 18)
+        .select(
+            F.col("custkey").alias("c_custkey"),
+            "c_mktsegment",
+            "n_orders",
+            F.col("revenue").cast("double").alias("revenue"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+register(
+    "scan_bucketed_join",
+    engine_fn=_bucketed_join_fn,
+    oracle=(
+        "SELECT o.o_custkey AS c_custkey, c.c_mktsegment,\n"
+        "  CAST(COUNT(*) AS BIGINT) AS n_orders,\n"
+        "  CAST(ROUND(SUM(o.o_totalprice), 2) AS DOUBLE) AS revenue\n"
+        "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey\n"
+        "GROUP BY 1, 2 HAVING COUNT(*) >= 18\n"
+        "ORDER BY c_custkey"
+    ),
+    category="scan",
+    suite="extension",
+    doc=(
+        "bucketed co-located join: both sides persisted bucketed+sorted "
+        "on the key (write-once), join + per-key aggregate plan with "
+        "zero Exchange; heavy-customer report as the verified result"
+    ),
+)

@@ -405,6 +405,12 @@ ALLOWLIST: dict[str, tuple[tuple[str, ...], str]] = {
         "net_common_neighbors precedent); wedge/degree/anti joins are all "
         "key equi-joins",
     ),
+    "net_local_clustering": (
+        ("BroadcastNestedLoopJoin",),
+        "the backbone threshold 1-row broadcast (_supplier_backbone, "
+        "net_common_neighbors precedent); wedge/closure/degree joins are "
+        "key equi-joins",
+    ),
     "win_rank": (
         ("Exchange OneGroupConstant",),
         "two-phase range-bucketed rank: the one_group window consumes "
