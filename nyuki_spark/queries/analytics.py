@@ -3667,3 +3667,132 @@ register(
 )
 
 SWEEP_INTERMEDIATES["net_local_clustering"] = _supplier_backbone
+
+
+# -- Wilcoxon signed-rank test (round 8) ------------------------------------------
+
+
+def _wilcoxon_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank test on the PAIRED daily means of click vs
+    purchase values (Wilcoxon 1945) — the non-parametric paired
+    counterpart of stat_welch_ttest, asking "is one series
+    systematically above the other, day by day?" without normality.
+    Same exact-arithmetic construction as stat_spearman: average-tie
+    ranks of |d| come from a bounded self-join over the daily rollup
+    (dyadic-rational ranks, exact sums in float64), W+ sums the ranks
+    of positive differences, and the tie-corrected normal approximation
+    z = (W+ - n(n+1)/4) / sqrt(n(n+1)(2n+1)/24 - sum t(t^3-t)/48... )
+    divides exact values — bit-identical across engines before the
+    6-dp pin. Zero differences are dropped (standard practice).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.where(
+            F.col("value").isNotNull()
+            & F.col("event_type").isin("click", "purchase")
+        )
+        .groupBy("event_type", F.date_trunc("day", "ts").alias("d"))
+        .agg(F.round(F.avg("value"), 6).alias("m"))
+    )
+    wide = (
+        daily.groupBy("d")
+        .pivot("event_type", ["click", "purchase"])
+        .agg(F.first("m"))
+        .where(F.col("click").isNotNull() & F.col("purchase").isNotNull())
+        .select(
+            "d", (F.col("click") - F.col("purchase")).alias("diff")
+        )
+        .where(F.col("diff") != 0)
+        .select("d", "diff", F.abs("diff").alias("ad"))
+    )
+    a = wide.select("d", "diff", F.col("ad").alias("v"))
+    b = wide.select(F.col("ad").alias("w"))
+    ranked = (
+        a.crossJoin(b)
+        .groupBy("d", "diff")
+        .agg(
+            (
+                F.sum((F.col("w") < F.col("v")).cast("long"))
+                + (F.sum((F.col("w") == F.col("v")).cast("long")) + 1)
+                / F.lit(2.0)
+            ).alias("r")
+        )
+    )
+    ties = (
+        wide.groupBy("ad")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .where(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("t") * F.col("t") * F.col("t") - F.col("t")
+                ),
+                F.lit(0),
+            ).alias("tcorr")
+        )
+    )
+    sums = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("diff") > 0, F.col("r")).otherwise(0.0)).alias(
+            "w_plus"
+        ),
+    )
+    n = F.col("n")
+    var = (
+        n * (n + 1) * (2 * n + 1) / F.lit(24.0)
+        - F.col("tcorr") / F.lit(48.0)
+    )
+    return sums.crossJoin(F.broadcast(ties)).select(
+        n.cast("long").alias("n"),
+        F.col("w_plus").cast("double").alias("w_plus"),
+        F.round(
+            (F.col("w_plus") - n * (n + 1) / F.lit(4.0)) / F.sqrt(var), 6
+        )
+        .cast("double")
+        .alias("z"),
+    )
+
+
+register(
+    "stat_wilcoxon_signed",
+    engine_fn=_wilcoxon_fn,
+    oracle=(
+        "WITH daily AS (\n"
+        "  SELECT event_type, DATE_TRUNC('day', ts) AS d,\n"
+        "    ROUND(AVG(value), 6) AS m\n"
+        "  FROM events WHERE value IS NOT NULL\n"
+        "    AND event_type IN ('click', 'purchase') GROUP BY 1, 2),\n"
+        "wide AS (\n"
+        "  SELECT c.d, c.m - p.m AS diff, ABS(c.m - p.m) AS ad\n"
+        "  FROM (SELECT d, m FROM daily WHERE event_type = 'click') c\n"
+        "  JOIN (SELECT d, m FROM daily WHERE event_type = 'purchase') p\n"
+        "    USING (d)\n"
+        "  WHERE c.m - p.m <> 0),\n"
+        "rk AS (\n"
+        "  SELECT a.d, a.diff,\n"
+        "    (SELECT COUNT(*) FROM wide b WHERE b.ad < a.ad)\n"
+        "      + ((SELECT COUNT(*) FROM wide b WHERE b.ad = a.ad) + 1)"
+        " / 2.0 AS r\n"
+        "  FROM wide a),\n"
+        "tc AS (SELECT COALESCE(CAST(SUM(t * t * t - t) AS BIGINT), 0)"
+        " AS tcorr\n"
+        "  FROM (SELECT ad, COUNT(*) AS t FROM wide GROUP BY 1) q"
+        " WHERE t > 1),\n"
+        "s AS (SELECT COUNT(*) AS n,\n"
+        "        SUM(CASE WHEN diff > 0 THEN r ELSE 0.0 END) AS w_plus\n"
+        "      FROM rk)\n"
+        "SELECT CAST(s.n AS BIGINT) AS n,\n"
+        "  CAST(s.w_plus AS DOUBLE) AS w_plus,\n"
+        "  CAST(ROUND((s.w_plus - s.n * (s.n + 1) / 4.0)\n"
+        "    / SQRT(s.n * (s.n + 1) * (2 * s.n + 1) / 24.0"
+        " - tc.tcorr / 48.0), 6) AS DOUBLE) AS z\n"
+        "FROM s CROSS JOIN tc"
+    ),
+    category="stats",
+    suite="extension",
+    doc=(
+        "Wilcoxon signed-rank test on paired click/purchase daily means: "
+        "average-tie |d| ranks via bounded self-join (exact dyadic "
+        "rationals), tie-corrected z, zero diffs dropped"
+    ),
+)

@@ -1368,3 +1368,188 @@ register(
         "ratios, vocabulary-sized model tables from one bigram explode"
     ),
 )
+
+
+# -- chunk-level dedup (round 8; id prefixed llm_dup_ to stay out of the
+# frozen driver window — llm_chunk_* would sort before llm_cosine_pairs) ---------------------------------------------------
+
+
+def _chunk_dedup_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document repeated-content detection: each doc is cut into
+    non-overlapping 20-token chunks, chunks are fingerprinted (md5),
+    and chunks appearing in MORE THAN ONE distinct document surface with
+    their spread — the CCNet/RefinedWeb-style paragraph-dedup primitive
+    that catches boilerplate shared across otherwise-distinct pages
+    (doc-level exact dedup misses it, shingle Jaccard pays a far wider
+    join for it). Scale shape: one bounded explode (tokens/20 chunks per
+    doc) + one hash-keyed count aggregate — map-side combinable, the
+    same posture as llm_exact_dedup but at chunk granularity. Output is
+    exact integers ordered by (docs desc, hash).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.where(F.col("text").isNotNull())
+        .select("doc_id", F.split(F.col("text"), " ").alias("a"))
+        .where(F.size("a") >= 20)
+    )
+    chunks = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, CAST(floor((size(a) - 1) / 20) AS INT)"
+                " - 1), i -> array_join(slice(a, i * 20 + 1, 20), ' '))"
+            )
+        ).alias("chunk"),
+    )
+    return (
+        chunks.select("doc_id", F.md5(F.col("chunk")).alias("h"))
+        .groupBy("h")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occ"),
+        )
+        .where(F.col("n_docs") >= 2)
+        .orderBy(F.col("n_docs").desc(), "h")
+        .limit(30)
+    )
+
+
+register(
+    "llm_dup_chunks",
+    engine_fn=_chunk_dedup_fn,
+    oracle=(
+        "WITH t AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS a\n"
+        "  FROM documents WHERE text IS NOT NULL AND"
+        " LEN(STRING_SPLIT(text, ' ')) >= 20),\n"
+        "ch AS (\n"
+        "  SELECT doc_id,\n"
+        "    MD5(ARRAY_TO_STRING(a[(i * 20 + 1):(i * 20 + 20)], ' ')) AS h\n"
+        "  FROM t, UNNEST(GENERATE_SERIES(0,\n"
+        "    CAST(FLOOR((LEN(a) - 1) / 20) AS INT) - 1)) AS u(i))\n"
+        "SELECT h, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,\n"
+        "  CAST(COUNT(*) AS BIGINT) AS n_occ\n"
+        "FROM ch GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2\n"
+        "ORDER BY n_docs DESC, h LIMIT 30"
+    ),
+    category="llm-dedup",
+    suite="extension",
+    doc=(
+        "chunk-level (20-token) repeated-content detection: bounded "
+        "chunk explode + md5-keyed count aggregate, chunks spanning >= 2 "
+        "distinct docs — the paragraph-dedup primitive"
+    ),
+)
+
+
+# -- dataset card (round 8) --------------------------------------------------------
+
+
+def _dataset_card_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus datasheet — the summary block of a dataset card
+    (Gebru et al., "Datasheets for Datasets"): document/null counts,
+    token volume, exact-duplicate rate, language spread with Shannon
+    entropy, and mean doc length. One scan with conditional aggregates
+    plus a distinct-text count and a language rollup; the entropy sum
+    runs over the language DOMAIN (a handful of terms), so the 6-dp pin
+    is far above fp noise. The numbers a curation run publishes next to
+    every snapshot.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("text").isNull().cast("long")).alias("n_null_text"),
+        F.sum(
+            F.when(
+                F.col("text").isNotNull(),
+                F.size(F.split(F.col("text"), " ")),
+            ).otherwise(0)
+        ).alias("n_tokens"),
+        F.countDistinct("text").alias("n_distinct_texts"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+    # Entropy needs p = c / total: compute via a two-step aggregate
+    # (total joined back) to keep everything a plain aggregate tree.
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("c"))
+    tot = counts.agg(F.sum("c").alias("tot"))
+    ent = (
+        counts.crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(
+                -(F.col("c") / F.col("tot"))
+                * F.log(F.col("c") / F.col("tot"))
+            ).alias("lang_entropy"),
+            F.max(F.struct(F.col("c"), F.col("lang"))).alias("top"),
+        )
+        .select(
+            "lang_entropy",
+            F.col("top.lang").alias("top_lang"),
+            F.col("top.c").alias("top_lang_docs"),
+        )
+    )
+    return base.crossJoin(F.broadcast(ent)).select(
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_null_text").cast("long").alias("n_null_text"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_distinct_texts").cast("long").alias("n_distinct_texts"),
+        F.round(
+            F.lit(1.0)
+            - F.col("n_distinct_texts")
+            / (F.col("n_docs") - F.col("n_null_text")),
+            4,
+        )
+        .cast("double")
+        .alias("dup_rate"),
+        F.col("n_langs").cast("long").alias("n_langs"),
+        "top_lang",
+        F.col("top_lang_docs").cast("long").alias("top_lang_docs"),
+        F.round("lang_entropy", 6).cast("double").alias("lang_entropy"),
+        F.round(
+            F.col("n_tokens") / (F.col("n_docs") - F.col("n_null_text")), 4
+        )
+        .cast("double")
+        .alias("mean_doc_tokens"),
+    )
+
+
+register(
+    "llm_dataset_card",
+    engine_fn=_dataset_card_fn,
+    oracle=(
+        "WITH base AS (\n"
+        "  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,\n"
+        "    CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END)"
+        " AS BIGINT) AS n_null_text,\n"
+        "    CAST(SUM(CASE WHEN text IS NOT NULL THEN"
+        " LEN(STRING_SPLIT(text, ' ')) ELSE 0 END) AS BIGINT)"
+        " AS n_tokens,\n"
+        "    CAST(COUNT(DISTINCT text) AS BIGINT) AS n_distinct_texts,\n"
+        "    CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs\n"
+        "  FROM documents),\n"
+        "lc AS (SELECT lang, COUNT(*) AS c FROM documents GROUP BY 1),\n"
+        "tot AS (SELECT SUM(c) AS tot FROM lc),\n"
+        "ent AS (\n"
+        "  SELECT SUM(-(c / tot) * LN(c / tot)) AS lang_entropy,\n"
+        "    MAX({'c': c, 'lang': lang}) AS top\n"
+        "  FROM lc CROSS JOIN tot)\n"
+        "SELECT base.n_docs, base.n_null_text, base.n_tokens,\n"
+        "  base.n_distinct_texts,\n"
+        "  CAST(ROUND(1.0 - base.n_distinct_texts"
+        " / CAST(base.n_docs - base.n_null_text AS DOUBLE), 4)"
+        " AS DOUBLE) AS dup_rate,\n"
+        "  base.n_langs,\n"
+        "  ent.top['lang'] AS top_lang,\n"
+        "  CAST(ent.top['c'] AS BIGINT) AS top_lang_docs,\n"
+        "  CAST(ROUND(ent.lang_entropy, 6) AS DOUBLE) AS lang_entropy,\n"
+        "  CAST(ROUND(base.n_tokens"
+        " / CAST(base.n_docs - base.n_null_text AS DOUBLE), 4)"
+        " AS DOUBLE) AS mean_doc_tokens\n"
+        "FROM base CROSS JOIN ent"
+    ),
+    category="llm-text",
+    suite="extension",
+    doc=(
+        "one-row dataset card: doc/null/token counts, exact-dup rate, "
+        "language spread + Shannon entropy, mean doc length — single "
+        "scan of conditional aggregates plus a domain-sized lang rollup"
+    ),
+)

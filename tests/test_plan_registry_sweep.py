@@ -382,6 +382,18 @@ ALLOWLIST: dict[str, tuple[tuple[str, ...], str]] = {
         "prefix window now partitions by one_group (r7), so no "
         "SinglePartition exchange",
     ),
+    "stat_wilcoxon_signed": (
+        ("BroadcastNestedLoopJoin",),
+        "1-row broadcasts (tie-correction scalar; the |d| rank self-join "
+        "runs over the daily rollup, one row per day — resample-first "
+        "contract like stat_spearman)",
+    ),
+    "llm_dataset_card": (
+        ("BroadcastNestedLoopJoin",),
+        "1-row broadcasts (language-total scalar, entropy row onto the "
+        "1-row base aggregate) — every joined side is a "
+        "partial-aggregated scalar",
+    ),
     "stat_jensen_shannon": (
         ("BroadcastNestedLoopJoin",),
         "two 1-row broadcasts (global value bounds; period totals — both "
