@@ -3291,3 +3291,114 @@ register(
         "zero Exchange; heavy-customer report as the verified result"
     ),
 )
+
+
+# -- trigger router, live (round 8) -----------------------------------------------
+
+
+def _router_live_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topic-routed multi-pipeline replay through the REAL TriggerRouter
+    (streaming/router.py start_all — one writeStream per trigger with an
+    independent checkpoint, the reference's triggers-collection
+    semantics): three topics map to three different pipelines (purchase
+    -> cents metric, click -> raw metric, error -> unit metric), each
+    draining into its own parquet sink; untriggered topics (view,
+    signup) are ignored, exactly as an unmapped bus topic would be. The
+    verified result is the per-route row count + exact-decimal metric
+    total read back from the sinks — so the ROUTING itself (every row to
+    exactly the right pipeline, none lost, none duplicated across
+    checkpoints) is what the batch oracle checks. This upgrades the
+    trigger-router surface from behavioral-smoke to oracle tier.
+    Metrics sum DECIMAL(18,2) casts (exact, order-free) and only the
+    final total casts to double.
+    """
+    events = load_table(spark, sf_dir, "events")
+    scratch = tempfile.mkdtemp(prefix="nyuki-router-")
+    try:
+        from nyuki_spark.streaming.router import TriggerRouter
+
+        sdf = replay_stream(spark, events, n_chunks=4, scratch_dir=scratch)
+        dec = lambda c: c.cast("decimal(18,2)")  # noqa: E731
+        router = TriggerRouter()
+        router.add_trigger(
+            "purchase",
+            lambda df: df.select(
+                "event_id", (dec(F.col("value")) * 100).alias("metric")
+            ),
+        )
+        router.add_trigger(
+            "click",
+            lambda df: df.select(
+                "event_id", dec(F.col("value")).alias("metric")
+            ),
+        )
+        router.add_trigger(
+            "error",
+            lambda df: df.select(
+                "event_id", dec(F.lit(1)).alias("metric")
+            ),
+        )
+        sink_root = f"{scratch}/sinks"
+
+        def sink_for(topic: str):
+            def _s(t: str, df: DataFrame) -> None:
+                df.write.mode("append").parquet(f"{sink_root}/{t}")
+
+            return _s
+
+        queries = router.start_all(
+            sdf,
+            "event_type",
+            sink_for,
+            f"{scratch}/ckpt",
+            available_now=True,
+        )
+        for q in queries:
+            q.awaitTermination()
+        routed = None
+        for t in sorted(router.triggers):
+            part = spark.read.parquet(f"{sink_root}/{t}").withColumn(
+                "route", F.lit(t)
+            )
+            routed = part if routed is None else routed.unionByName(part)
+        res = (
+            routed.groupBy("route")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("metric").cast("double").alias("metric_total"),
+            )
+            .orderBy("route")
+            .cache()
+        )
+        res.count()
+        return res
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+register(
+    "stream_router_live",
+    engine_fn=_router_live_fn,
+    oracle=(
+        "SELECT route, CAST(COUNT(*) AS BIGINT) AS n,\n"
+        "  CAST(SUM(metric) AS DOUBLE) AS metric_total\n"
+        "FROM (\n"
+        "  SELECT 'click' AS route, CAST(value AS DECIMAL(18,2)) AS metric\n"
+        "  FROM events WHERE event_type = 'click'\n"
+        "  UNION ALL\n"
+        "  SELECT 'error', CAST(1 AS DECIMAL(18,2))\n"
+        "  FROM events WHERE event_type = 'error'\n"
+        "  UNION ALL\n"
+        "  SELECT 'purchase', CAST(value AS DECIMAL(18,2)) * 100\n"
+        "  FROM events WHERE event_type = 'purchase'\n"
+        ") GROUP BY route ORDER BY route"
+    ),
+    category="streaming-live",
+    suite="extension",
+    doc=(
+        "trigger router over a live replay: three topic->pipeline "
+        "mappings via TriggerRouter.start_all (independent checkpoints/"
+        "sinks), unmapped topics dropped; per-route counts + exact-"
+        "decimal metric totals verified against the batch routing oracle"
+    ),
+)
