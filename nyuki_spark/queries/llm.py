@@ -2936,3 +2936,106 @@ register(
         "full-set verification of survivors"
     ),
 )
+
+
+# -- SemDeDup (round 8) -------------------------------------------------------------
+
+
+def _semdedup_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster the embedding space, then
+    drop near-identical vectors WITHIN each cluster — the semantic-dedup
+    pass modern curation pipelines run after exact/minhash dedup, using
+    k-means cells so the pairwise stage never crosses cluster borders.
+    Two stages, both with the duplicate-collapse discipline of
+    llm_cosine_pairs (identical vectors are the quadratic worst case of
+    any pairwise stage, so they are removed FIRST by a hash groupBy):
+
+    1. exact: every non-representative member of an identical-embedding
+       group drops (reason 'exact') — one value-keyed aggregate;
+    2. semantic: representatives joined within their deterministic
+       k-means cell (llm_kmeans_assign's hash-verified quantizer),
+       cosine >= 0.42 against any smaller-id rep drops (reason
+       'semantic') — an equi-join on cluster_id whose fanout is bounded
+       by cell size (k scales with corpus at 100 TB, as in the paper).
+       The fixtures are synthetic uniform-ish vectors (max pair sim
+       ~0.51, no identical embeddings), so the threshold sits where the
+       semantic tier emits real pairs; production corpora run ~0.95+.
+
+    Sims are rounded to 4 dp before the threshold on both engines (the
+    llm_cosine_pairs / IVF-oracle convention).
+    """
+    from nyuki_spark.operators.kmeans import kmeans_assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    groups = emb.groupBy("embedding").agg(F.min("vec_id").alias("rep"))
+    exact = (
+        emb.join(groups, "embedding")
+        .where(F.col("vec_id") != F.col("rep"))
+        .select("vec_id", F.lit("exact").alias("reason"))
+    )
+    asg = kmeans_assign(emb, k=8, iters=2)
+    emb_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    reps = (
+        emb.join(
+            groups.select(F.col("rep").alias("vec_id")).distinct(), "vec_id"
+        )
+        .join(asg, "vec_id")
+        .select(
+            "vec_id",
+            "cluster_id",
+            emb_d.alias("e"),
+            F.sqrt(
+                F.aggregate(emb_d, F.lit(0.0), lambda a, x: a + x * x)
+            ).alias("nrm"),
+        )
+    )
+    a, b = reps.alias("a"), reps.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.e"), F.col("b.e"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    sem = (
+        a.join(
+            b,
+            (F.col("a.cluster_id") == F.col("b.cluster_id"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .where(
+            F.round(dot / (F.col("a.nrm") * F.col("b.nrm")), 4) >= 0.42
+        )
+        .select(F.col("b.vec_id").alias("vec_id"))
+        .distinct()
+        .select("vec_id", F.lit("semantic").alias("reason"))
+    )
+    return exact.unionByName(sem).orderBy("vec_id", "reason")
+
+
+register(
+    "llm_semdedup",
+    engine_fn=_semdedup_fn,
+    oracle=(
+        "WITH " + _DUCK_KMEANS_CTES + ",\n"
+        "g AS (SELECT embedding, MIN(vec_id) AS rep FROM embeddings\n"
+        "      GROUP BY embedding),\n"
+        "exact AS (SELECT e.vec_id FROM embeddings e JOIN g\n"
+        "  ON e.embedding = g.embedding AND e.vec_id <> g.rep),\n"
+        "reps AS (SELECT g.rep AS vec_id, emb.e, a2.cid\n"
+        "  FROM g JOIN emb ON emb.vec_id = g.rep\n"
+        "  JOIN a2 ON a2.vec_id = g.rep),\n"
+        "sem AS (SELECT DISTINCT b.vec_id\n"
+        "  FROM reps a JOIN reps b ON a.cid = b.cid AND a.vec_id < b.vec_id\n"
+        "  WHERE ROUND(LIST_COSINE_SIMILARITY(a.e, b.e), 4) >= 0.42)\n"
+        "SELECT vec_id, 'exact' AS reason FROM exact\n"
+        "UNION ALL SELECT vec_id, 'semantic' AS reason FROM sem\n"
+        "ORDER BY vec_id, reason"
+    ),
+    category="llm-similarity",
+    suite="extension",
+    doc=(
+        "SemDeDup: exact-duplicate collapse then within-k-means-cell "
+        "cosine-threshold drop over representatives — value-keyed aggregate "
+        "+ cell-bounded equi-join, the semantic-dedup pass of modern "
+        "curation pipelines"
+    ),
+)

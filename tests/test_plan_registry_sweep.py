@@ -325,6 +325,13 @@ ALLOWLIST: dict[str, tuple[tuple[str, ...], str]] = {
         "aggregated) onto the tf/df join — the scalar-subquery shape as "
         "an explicit broadcast",
     ),
+    "llm_semdedup": (
+        ("BroadcastNestedLoopJoin",),
+        "inherits llm_kmeans_assign's assignment step: crossJoin of each "
+        "vector with the broadcast k-row centroid table (k=8, "
+        "compile-time constant); the dedup pair stage itself is an "
+        "equi-join on cluster_id",
+    ),
     "llm_kmeans_purity": (
         ("BroadcastNestedLoopJoin",),
         "inherits llm_kmeans_assign's assignment step: crossJoin of each "
