@@ -81,6 +81,9 @@ _STEP_SCHEMAS: dict[str, dict[str, dict[str, type]]] = {
         "required": {"field": str, "cases": list},
         "optional": {"default": object},
     },
+    # Sub-workflow invocation (r8 — the reference chains workflows by
+    # name [K]): splices the named template's compiled steps in place.
+    "apply": {"required": {"template": str}, "optional": {}},
 }
 
 _TYPE_NAMES = {str: "string", int: "integer", bool: "boolean", dict: "object", list: "array"}
@@ -107,7 +110,9 @@ def _validate_condition(path: str, cond, errors: list[dict]) -> None:
         errors.append(_err(path, f"invalid condition: {e}", "format"))
 
 
-def validate_spec(spec: dict | str) -> list[dict]:
+def validate_spec(
+    spec: dict | str, templates: dict | None = None
+) -> list[dict]:
     """Jsonschema-shaped validation: the COMPLETE error listing for a
     pipeline-spec document, each entry ``{"path": <json-pointer>,
     "message": str, "validator": <jsonschema keyword>}`` — empty when the
@@ -115,6 +120,11 @@ def validate_spec(spec: dict | str) -> list[dict]:
     the first problem by construction), this walks the whole document, so
     an API client gets every violation in one round trip — the
     reference's validate-before-publish contract.
+
+    ``templates`` (optional ``{name: spec}`` registry) additionally
+    resolves ``apply`` steps: an unknown template name is reported.
+    Without it, ``apply`` is checked structurally only (the name binds at
+    compile time).
     """
     import re as _re
 
@@ -178,6 +188,19 @@ def validate_spec(spec: dict | str) -> list[dict]:
                 )
         if op == "filter":
             _validate_condition(f"{p}/condition", step.get("condition"), errors)
+        if (
+            op == "apply"
+            and templates is not None
+            and isinstance(step.get("template"), str)
+            and step["template"] not in templates
+        ):
+            errors.append(
+                _err(
+                    f"{p}/template",
+                    f"'{step['template']}' is not one of {sorted(templates)}",
+                    "enum",
+                )
+            )
         if op in ("extract", "sub") and isinstance(step.get("pattern"), str):
             try:
                 _re.compile(step["pattern"])
@@ -236,10 +259,29 @@ def _rule_for(step: dict) -> Rule:
     raise SpecError(f"unknown rule op: {op}")
 
 
-def _compile_step(step: dict) -> PipelineFn:
+def _compile_step(
+    step: dict,
+    templates: dict | None = None,
+    _stack: frozenset = frozenset(),
+) -> PipelineFn:
     op = step.get("op")
     if op is None:
         raise SpecError(f"step missing 'op': {step}")
+    if op == "apply":
+        # Sub-workflow invocation: splice the named template's compiled
+        # pipeline in place (the reference chains workflows by name).
+        # Cycles are a compile error, not a runtime hang.
+        name = step["template"]
+        if templates is None or name not in templates:
+            raise SpecError(f"apply: unknown template {name!r}")
+        if name in _stack:
+            raise SpecError(
+                f"apply: template cycle at {name!r} (stack: {sorted(_stack)})"
+            )
+        sub = compile_pipeline(
+            templates[name], templates=templates, _stack=_stack | {name}
+        )
+        return sub.fn
     if op == "filter":
         pred = compile_condition(step["condition"])
         return lambda df: df.where(pred)
@@ -279,16 +321,24 @@ class PipelineSpec:
         return self.fn(df)
 
 
-def compile_pipeline(spec: dict | str) -> PipelineSpec:
+def compile_pipeline(
+    spec: dict | str,
+    templates: dict | None = None,
+    _stack: frozenset = frozenset(),
+) -> PipelineSpec:
     """Validate + compile a JSON pipeline spec.
 
     Compilation IS validation (the reference validates templates before
     publish): every op name, key, and condition is checked here, so a spec
     that compiles cannot fail structurally at run time.
+
+    ``templates`` is the ``{name: spec}`` registry ``apply`` steps
+    resolve against (sub-workflow invocation); sub-templates compile
+    recursively with cycle detection.
     """
     if isinstance(spec, str):
         spec = json.loads(spec)
-    listing = validate_spec(spec)
+    listing = validate_spec(spec, templates=templates)
     if listing:
         raise SpecError(
             f"invalid spec: {len(listing)} error(s): "
@@ -296,7 +346,10 @@ def compile_pipeline(spec: dict | str) -> PipelineSpec:
             errors=listing,
         )
     try:
-        step_fns = [_compile_step(s) for s in spec["steps"]]
+        step_fns = [
+            _compile_step(s, templates=templates, _stack=_stack)
+            for s in spec["steps"]
+        ]
     except KeyError as e:  # backstop — validate_spec should have caught it
         raise SpecError(f"step missing key: {e}") from e
 

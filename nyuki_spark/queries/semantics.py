@@ -125,3 +125,60 @@ register(
     suite="extension",
     doc="JSON workflow-template spec compiled to one fused DataFrame program",
 )
+
+
+# -- sub-workflow invocation (round 8) ----------------------------------------
+
+_SUB_TEMPLATES = {
+    "enrich": {
+        "steps": [
+            {"op": "set", "field": "route", "value": "billing"},
+            {
+                "op": "branch",
+                "field": "vtier",
+                "cases": [{"condition": "value >= 50", "value": "high"}],
+                "default": "low",
+            },
+        ]
+    },
+    "main": {
+        "steps": [
+            {"op": "filter", "condition": "event_type == 'purchase'"},
+            {"op": "apply", "template": "enrich"},
+            {"op": "select", "fields": ["event_id", "route", "vtier"]},
+        ]
+    },
+}
+
+
+def _subflow_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-workflow invocation (the reference chains workflows by name:
+    a parent template's step instantiates a child template): the parent
+    spec's ``apply`` step splices the stored 'enrich' template's
+    compiled steps in place, so the WHOLE chain fuses into one
+    DataFrame program — no per-sub-workflow materialization, which is
+    the Spark-side win over the reference's per-instance execution.
+    Upgrades the sub-workflow surface from behavioral-smoke to oracle
+    tier; cycle specs are a compile-time SpecError
+    (tests/test_template_api.py)."""
+    events = load_table(spark, sf_dir, "events")
+    pipe = compile_pipeline(_SUB_TEMPLATES["main"], templates=_SUB_TEMPLATES)
+    return pipe(events).orderBy("event_id")
+
+
+register(
+    "sem_subflow",
+    engine_fn=_subflow_fn,
+    oracle=(
+        "SELECT event_id, 'billing' AS route,\n"
+        "  CASE WHEN value >= 50 THEN 'high' ELSE 'low' END AS vtier\n"
+        "FROM events WHERE event_type = 'purchase' ORDER BY event_id"
+    ),
+    category="semantics",
+    suite="extension",
+    doc=(
+        "sub-workflow invocation: parent spec's apply step splices a "
+        "named child template at compile time — one fused DataFrame "
+        "program, cycle-guarded"
+    ),
+)

@@ -278,3 +278,23 @@ def test_progress_endpoint_404_without_listener(spark):
         assert ei.value.code == 404
     finally:
         server.shutdown()
+
+
+def test_apply_subflow_cycle_and_unknown():
+    """apply (sub-workflow invocation) resolves against the template
+    registry at compile time: unknown names and cycles are SpecErrors,
+    never runtime hangs; validate_spec reports unknown names with a
+    JSON-pointer path when given the registry."""
+    from nyuki_spark.plans.spec import compile_pipeline, validate_spec
+
+    a = {"steps": [{"op": "apply", "template": "b"}]}
+    b = {"steps": [{"op": "apply", "template": "a"}]}
+    with pytest.raises(SpecError, match="cycle"):
+        compile_pipeline(a, templates={"a": a, "b": b})
+    with pytest.raises(SpecError, match="not one of|unknown template"):
+        compile_pipeline(a, templates={})
+    errs = validate_spec(a, templates={"x": {"steps": []}})
+    assert [e["validator"] for e in errs] == ["enum"]
+    assert errs[0]["path"] == "/steps/0/template"
+    # without a registry, apply validates structurally only
+    assert validate_spec(a) == []
