@@ -1392,12 +1392,16 @@ def _chunk_dedup_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.split(F.col("text"), " ").alias("a"))
         .where(F.size("a") >= 20)
     )
+    # sequence(1, n) with n = floor(size/20) >= 1 (the size >= 20 filter
+    # guarantees it): Spark's sequence(start, stop) turns DESCENDING when
+    # stop < start — a 0-chunk formula like sequence(0, -1) silently
+    # yields [0, -1] and reads garbage slices (r8 review catch).
     chunks = toks.select(
         "doc_id",
         F.explode(
             F.expr(
-                "transform(sequence(0, CAST(floor((size(a) - 1) / 20) AS INT)"
-                " - 1), i -> array_join(slice(a, i * 20 + 1, 20), ' '))"
+                "transform(sequence(1, CAST(floor(size(a) / 20) AS INT)),"
+                " i -> array_join(slice(a, (i - 1) * 20 + 1, 20), ' '))"
             )
         ).alias("chunk"),
     )
@@ -1423,9 +1427,10 @@ register(
         " LEN(STRING_SPLIT(text, ' ')) >= 20),\n"
         "ch AS (\n"
         "  SELECT doc_id,\n"
-        "    MD5(ARRAY_TO_STRING(a[(i * 20 + 1):(i * 20 + 20)], ' ')) AS h\n"
-        "  FROM t, UNNEST(GENERATE_SERIES(0,\n"
-        "    CAST(FLOOR((LEN(a) - 1) / 20) AS INT) - 1)) AS u(i))\n"
+        "    MD5(ARRAY_TO_STRING(a[((i - 1) * 20 + 1):((i - 1) * 20 + 20)],"
+        " ' ')) AS h\n"
+        "  FROM t, UNNEST(GENERATE_SERIES(1,\n"
+        "    CAST(FLOOR(LEN(a) / 20) AS INT))) AS u(i))\n"
         "SELECT h, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,\n"
         "  CAST(COUNT(*) AS BIGINT) AS n_occ\n"
         "FROM ch GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2\n"
