@@ -3402,3 +3402,72 @@ register(
         "decimal metric totals verified against the batch routing oracle"
     ),
 )
+
+
+# -- CSV explicit-schema roundtrip (round 8) ---------------------------------------
+
+
+def _csv_roundtrip_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit-schema CSV ingestion, verified END TO END: the events
+    table is exported once per corpus to CSV (header, default quoting)
+    and read back with a DDL schema — no inferSchema scan, the
+    production contract for text feeds at scale (schema inference costs
+    an extra full pass and hides drift) — then aggregated per type. The
+    oracle computes the same aggregate on the original parquet, so the
+    hash match proves the CSV writer/reader round-trips every value
+    bit-exactly (Java's shortest-roundtrip double repr; NULLs as empty
+    fields). This upgrades the CSV explicit-schema surface from
+    behavioral-smoke to oracle tier.
+    """
+    import hashlib
+    import os
+    import tempfile
+
+    from nyuki_spark.functions.fsutil import fs_exists
+
+    key = hashlib.md5(f"{sf_dir}|csv|v1".encode()).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"nyuki-csv-{key}")
+    if not fs_exists(spark, f"{path}/_SUCCESS"):
+        (
+            load_table(spark, sf_dir, "events")
+            .select("event_id", "event_type", "value")
+            .write.mode("overwrite")
+            .option("header", True)
+            .csv(path)
+        )
+    back = (
+        spark.read.schema("event_id bigint, event_type string, value double")
+        .option("header", True)
+        .csv(path)
+    )
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total"),
+            F.sum(F.col("value").isNull().cast("long")).alias("n_null"),
+        )
+        .orderBy("event_type")
+    )
+
+
+register(
+    "scan_csv_roundtrip",
+    engine_fn=_csv_roundtrip_fn,
+    oracle=(
+        "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,\n"
+        "  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,\n"
+        "  CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
+        " AS n_null\n"
+        "FROM events GROUP BY event_type ORDER BY event_type"
+    ),
+    category="scan",
+    suite="extension",
+    doc=(
+        "explicit-DDL-schema CSV read verified end-to-end: export once, "
+        "read back without inference, aggregate matches the parquet "
+        "original bit-exactly (roundtrip doubles, NULL fields)"
+    ),
+)
