@@ -3471,3 +3471,62 @@ register(
         "original bit-exactly (roundtrip doubles, NULL fields)"
     ),
 )
+
+
+def _json_roundtrip_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sibling of scan_csv_roundtrip: export once, read back
+    with a DDL schema (no inference pass), aggregate — plus the nested
+    hop: the ``props`` JSON string column survives the JSON-in-JSON
+    encode/decode and its extracted key aggregates identically to the
+    parquet original."""
+    import hashlib
+    import os
+    import tempfile
+
+    from nyuki_spark.functions.fsutil import fs_exists
+
+    key = hashlib.md5(f"{sf_dir}|json|v1".encode()).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"nyuki-json-{key}")
+    if not fs_exists(spark, f"{path}/_SUCCESS"):
+        (
+            load_table(spark, sf_dir, "events")
+            .select("event_id", "event_type", "value", "props")
+            .write.mode("overwrite")
+            .json(path)
+        )
+    back = spark.read.schema(
+        "event_id bigint, event_type string, value double, props string"
+    ).json(path)
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total"),
+            F.sum(
+                F.get_json_object(F.col("props"), "$.k").cast("long")
+            ).alias("k_sum"),
+        )
+        .orderBy("event_type")
+    )
+
+
+register(
+    "scan_json_roundtrip",
+    engine_fn=_json_roundtrip_fn,
+    oracle=(
+        "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,\n"
+        "  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,\n"
+        "  CAST(SUM(CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT))"
+        " AS BIGINT) AS k_sum\n"
+        "FROM events GROUP BY event_type ORDER BY event_type"
+    ),
+    category="scan",
+    suite="extension",
+    doc=(
+        "explicit-DDL-schema JSON-lines read verified end-to-end incl. "
+        "the nested JSON-string column: export once, no inference, "
+        "aggregates match the parquet original"
+    ),
+)
