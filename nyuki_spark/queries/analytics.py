@@ -3796,3 +3796,99 @@ register(
         "rationals), tie-corrected z, zero diffs dropped"
     ),
 )
+
+
+# -- partition modularity (round 8) ------------------------------------------------
+
+
+def _modularity_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the NATION partition over the strong-tie
+    supplier backbone: Q = sum_c (e_c/m - (d_c/2m)^2) — does supplier
+    nationality explain the co-order community structure? The
+    partition-quality score every community detector optimizes (Newman &
+    Girvan 2004), here evaluated for a GIVEN labelling, which is the
+    exact-arithmetic form: intra-community edge counts e_c, community
+    degree sums d_c, and edge total m are all integers from two
+    equi-joins + aggregates; only the final per-community terms divide.
+    Emitted per community (term pinned at 6 dp) with the global Q as a
+    last 'ALL' row, so the hash check covers every intermediate, not
+    just the scalar.
+    """
+    backbone = _supplier_backbone(spark, sf_dir).localCheckpoint(eager=False)
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("node"), F.col("s_nationkey").alias("c")
+    )
+    cu = supp.select(F.col("node").alias("u"), F.col("c").alias("cu"))
+    cv = supp.select(F.col("node").alias("v"), F.col("c").alias("cv"))
+    lab = backbone.join(cu, "u").join(cv, "v")
+    m = lab.agg(F.count(F.lit(1)).alias("m"))
+    e_c = (
+        lab.where(F.col("cu") == F.col("cv"))
+        .groupBy(F.col("cu").alias("c"))
+        .agg(F.count(F.lit(1)).alias("e_c"))
+    )
+    und = lab.select(F.col("cu").alias("c")).unionByName(
+        lab.select(F.col("cv").alias("c"))
+    )
+    d_c = und.groupBy("c").agg(F.count(F.lit(1)).alias("d_c"))
+    term = F.col("e_c") / F.col("m") - F.pow(
+        F.col("d_c") / (F.lit(2.0) * F.col("m")), F.lit(2.0)
+    )
+    per = (
+        d_c.join(e_c, "c", "left")
+        .withColumn("e_c", F.coalesce("e_c", F.lit(0)))
+        .crossJoin(F.broadcast(m))
+        .select(
+            F.col("c").cast("string").alias("community"),
+            F.col("e_c").cast("long").alias("intra_edges"),
+            F.col("d_c").cast("long").alias("degree_sum"),
+            F.round(term, 6).cast("double").alias("q_term"),
+        )
+    )
+    total = per.agg(
+        F.lit("ALL").alias("community"),
+        F.sum("intra_edges").alias("intra_edges"),
+        F.sum("degree_sum").alias("degree_sum"),
+        F.round(F.sum(F.col("q_term")), 6).cast("double").alias("q_term"),
+    )
+    return per.unionByName(total).orderBy("community")
+
+
+register(
+    "net_modularity",
+    engine_fn=_modularity_fn,
+    oracle=(
+        "WITH " + _BACKBONE_SQL + ",\n"
+        "lab AS (SELECT bb.u, bb.v, su.s_nationkey AS cu,\n"
+        "    sv.s_nationkey AS cv\n"
+        "  FROM bb JOIN supplier su ON su.s_suppkey = bb.u\n"
+        "  JOIN supplier sv ON sv.s_suppkey = bb.v),\n"
+        "m AS (SELECT COUNT(*) AS m FROM lab),\n"
+        "ec AS (SELECT cu AS c, COUNT(*) AS e_c FROM lab\n"
+        "  WHERE cu = cv GROUP BY 1),\n"
+        "dc AS (SELECT c, COUNT(*) AS d_c FROM (\n"
+        "  SELECT cu AS c FROM lab UNION ALL SELECT cv FROM lab)\n"
+        "  GROUP BY 1),\n"
+        "per AS (SELECT CAST(dc.c AS VARCHAR) AS community,\n"
+        "    CAST(COALESCE(ec.e_c, 0) AS BIGINT) AS intra_edges,\n"
+        "    CAST(dc.d_c AS BIGINT) AS degree_sum,\n"
+        "    CAST(ROUND(COALESCE(ec.e_c, 0) / CAST(m.m AS DOUBLE)\n"
+        "      - POW(dc.d_c / (2.0 * m.m), 2.0), 6) AS DOUBLE) AS q_term\n"
+        "  FROM dc LEFT JOIN ec ON ec.c = dc.c CROSS JOIN m)\n"
+        "SELECT community, intra_edges, degree_sum, q_term FROM per\n"
+        "UNION ALL\n"
+        "SELECT 'ALL', CAST(SUM(intra_edges) AS BIGINT),\n"
+        "  CAST(SUM(degree_sum) AS BIGINT),\n"
+        "  CAST(ROUND(SUM(q_term), 6) AS DOUBLE) FROM per\n"
+        "ORDER BY community"
+    ),
+    category="graph",
+    suite="extension",
+    doc=(
+        "Newman modularity of the nation partition over the supplier "
+        "backbone: exact integer edge/degree counts per community, "
+        "pinned per-community terms + global Q"
+    ),
+)
+
+SWEEP_INTERMEDIATES["net_modularity"] = _supplier_backbone

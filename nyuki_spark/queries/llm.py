@@ -3039,3 +3039,64 @@ register(
         "curation pipelines"
     ),
 )
+
+
+# -- LSH banding tuning curve (round 8) ----------------------------------------------
+
+
+def _lsh_tuning_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH banding design table: candidate probability
+    P(s) = 1 - (1 - s^r)^b for each (bands b, rows-per-band r)
+    configuration of a 24-hash signature, across the Jaccard grid
+    s = 0.05..0.95 — the curve a dedup pipeline reads to pick banding
+    before an LSH run (threshold ~ (1/b)^(1/r); steeper = fewer false
+    candidates at the same recall). Domain-sized (3 configs x 19 grid
+    points from a range/cross) and exact in both engines up to POW's
+    sub-ulp, pinned at 6 dp. The fixture-independent design-table shape:
+    the engine's job is the expression, not data volume.
+    """
+    cfg = spark.createDataFrame(
+        [(24, 1), (12, 2), (6, 4)], "b int, r int"
+    )
+    s = spark.range(1, 20).select(
+        (F.col("id") * F.lit(0.05)).alias("s")
+    )
+    return (
+        cfg.crossJoin(s)
+        .select(
+            "b",
+            "r",
+            F.round("s", 2).alias("s"),
+            F.round(
+                F.lit(1.0)
+                - F.pow(
+                    F.lit(1.0) - F.pow(F.col("s"), F.col("r")), F.col("b")
+                ),
+                6,
+            )
+            .cast("double")
+            .alias("p_candidate"),
+        )
+        .orderBy("b", "r", "s")
+    )
+
+
+register(
+    "llm_lsh_tuning_curve",
+    engine_fn=_lsh_tuning_fn,
+    oracle=(
+        "SELECT b, r, ROUND(s, 2) AS s,\n"
+        "  CAST(ROUND(1.0 - POW(1.0 - POW(s, r), b), 6) AS DOUBLE)"
+        " AS p_candidate\n"
+        "FROM (VALUES (24, 1), (12, 2), (6, 4)) AS cfg(b, r)\n"
+        "CROSS JOIN (SELECT i * 0.05 AS s FROM RANGE(1, 20) t(i))\n"
+        "ORDER BY b, r, s"
+    ),
+    category="llm-dedup",
+    suite="extension",
+    doc=(
+        "LSH banding design table: P(candidate) = 1-(1-s^r)^b over the "
+        "Jaccard grid for three 24-hash banding configs — the curve that "
+        "picks b,r before a dedup run"
+    ),
+)

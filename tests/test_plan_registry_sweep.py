@@ -424,6 +424,18 @@ ALLOWLIST: dict[str, tuple[tuple[str, ...], str]] = {
         "net_common_neighbors precedent); wedge/degree/anti joins are all "
         "key equi-joins",
     ),
+    "net_modularity": (
+        ("BroadcastNestedLoopJoin",),
+        "the backbone threshold 1-row broadcast plus the 1-row edge-total "
+        "scalar onto the 25-community table — every BNLJ side is a "
+        "partial-aggregated scalar or the nation-domain rollup",
+    ),
+    "llm_lsh_tuning_curve": (
+        ("BroadcastNestedLoopJoin",),
+        "a 3-row config VALUES table crossed with a 19-point grid — the "
+        "whole query is a 57-row design-table expression, no data scan "
+        "at all",
+    ),
     "net_local_clustering": (
         ("BroadcastNestedLoopJoin",),
         "the backbone threshold 1-row broadcast (_supplier_backbone, "
