@@ -2990,6 +2990,12 @@ def _semdedup_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     a, b = reps.alias("a"), reps.alias("b")
+    # Keep the zip_with/aggregate fold: an A/B against a static 64-term
+    # element_at chain measured 14.1 s vs the fold's 7.3 s at sf0.1 —
+    # the 128 null-checked array accesses inside the fused join consume
+    # deopt the whole stage, worse than the interpreted-lambda cost they
+    # were meant to remove (BASELINE.md r8; inverse of the llm_winnowing
+    # case, where the HOF was per-CHARACTER over computed arrays).
     dot = F.aggregate(
         F.zip_with(F.col("a.e"), F.col("b.e"), lambda x, y: x * y),
         F.lit(0.0),
