@@ -120,6 +120,20 @@ HEADLINES = {
         "terms in one codegen projection, then TakeOrderedAndProject — "
         "map-only before the k-row reduce"
     ),
+    "scan_bucketed_join": (
+        "bucketed co-located join: both scans carry the bucket spec; at "
+        "this toy SF AQE (correctly) broadcasts the tiny dim and the "
+        "bucketed orders scan still feeds the per-key aggregate with no "
+        "data-row Exchange (only the final orderBy range exchange). With "
+        "broadcast disabled — the both-sides-big case the layout exists "
+        "for — the SortMergeJoin runs with ZERO Exchange "
+        "(tests/test_bucketing.py asserts it)"
+    ),
+    "llm_semdedup": (
+        "SemDeDup: exact-duplicate collapse (value-keyed aggregate) "
+        "before any pairing, then the rep pair stage is an EQUI-join on "
+        "cluster_id — per-cell fanout, never corpus x corpus"
+    ),
 }
 
 
