@@ -46,6 +46,19 @@ def fs_write_marker(spark, path_str: str, content: str = "ok") -> None:
         out.close()
 
 
+def list_subdirs(spark, dir_str: str) -> list:
+    """Names of the immediate child DIRECTORIES of ``dir_str`` (empty if
+    the path is missing). One listStatus — callers use it for
+    partition-style layouts (``batch_id=N``, ``cell=N``) whose child
+    count is bounded by design, never data-sized."""
+    fs, jpath = _fs_and_path(spark, dir_str)
+    if not fs.exists(jpath):
+        return []
+    return [
+        st.getPath().getName() for st in fs.listStatus(jpath) if st.isDirectory()
+    ]
+
+
 def list_cell_file_counts(spark, vec_dir: str, suffix: str = ".parquet") -> dict:
     """Per-``cell=N`` data-file census of a partitioned layout:
     {"cell=3": 2, ...}. One listStatus per cell directory — bounded by

@@ -220,10 +220,11 @@ def serve(
             disconnect — whichever comes first. Polling the in-memory
             list at 50 ms is the stdlib-only equivalent of a condition
             push; entries are one-per-micro-batch, so the wire traffic
-            is metadata-sized."""
-            since = int(qs.get("since", 0))
-            max_events = int(qs.get("max", 0))
-            timeout_s = float(qs.get("timeout_s", 30.0))
+            is metadata-sized. Params are validated by the caller
+            (do_GET) before the 200 header goes out."""
+            since = qs["_since"]
+            max_events = qs["_max"]
+            timeout_s = qs["_timeout_s"]
             self.send_response(200)
             self.send_header("Content-Type", "text/event-stream")
             self.send_header("Cache-Control", "no-cache")
@@ -257,10 +258,28 @@ def serve(
             if parts and parts[0] == "progress":
                 if listener is None:
                     return self._send(404, {"error": "no listener attached"})
+                # Validate query params BEFORE any body/header is written:
+                # a bare int()/float() raising inside the handler thread
+                # would abort the connection with no JSON error (r8
+                # advice); a negative `since` would Python-slice from the
+                # END and return a wrong `next` cursor — clamp to
+                # [0, len(progress)].
+                try:
+                    since = max(0, int(qs.get("since", 0)))
+                    max_events = max(0, int(qs.get("max", 0)))
+                    timeout_s = max(0.0, float(qs.get("timeout_s", 30.0)))
+                except ValueError:
+                    return self._send(
+                        400,
+                        {"error": "since/max must be int, timeout_s float"},
+                    )
+                since = min(since, len(listener.progress))
                 if parts == ["progress", "stream"]:
+                    qs["_since"] = since
+                    qs["_max"] = max_events
+                    qs["_timeout_s"] = timeout_s
                     return self._sse_stream(qs)
                 if parts == ["progress"]:
-                    since = int(qs.get("since", 0))
                     events = [
                         _progress_event(p) for p in listener.progress[since:]
                     ]

@@ -3239,9 +3239,12 @@ def _jensen_shannon_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     conditional aggregate for both periods, then PER-BUCKET terms
     js_term = 0.5 p ln(p/m) + 0.5 q ln(q/m), m = (p+q)/2 — emitting the
     terms (not the fp-order-dependent global sum) keeps the hash compare
-    deterministic, and the caller's sum is one k-row fold.
+    deterministic, and the caller's sum is one k-row fold. NULL values
+    are excluded like every sibling drift/stat query (r8 advice: a NULL
+    bucket deflates every probability by the null mass and is not part
+    of the value distribution being compared).
     """
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
     b = ev.agg(
         F.min("value").alias("mn"), F.max("value").alias("mx")
     )
@@ -3297,7 +3300,7 @@ register(
         " + 1, 10) AS bucket,\n"
         "    CASE WHEN user_id % 2 = 0 THEN 'ref'"
         " ELSE 'cur' END AS period\n"
-        "  FROM events CROSS JOIN b),\n"
+        "  FROM events CROSS JOIN b WHERE value IS NOT NULL),\n"
         "counts AS (SELECT bucket,\n"
         "    SUM(CASE WHEN period = 'ref' THEN 1 ELSE 0 END) AS n_ref,\n"
         "    SUM(CASE WHEN period = 'cur' THEN 1 ELSE 0 END) AS n_cur\n"

@@ -242,7 +242,10 @@ register(
 
 
 def _jaccard_fn(
-    spark: SparkSession, sf_dir: str, df_cap: int | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    df_cap: int | None = None,
+    require_lossless: bool = False,
 ) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     # Duplicate collapse with FULL member lists (every qualifying pair is
@@ -250,7 +253,9 @@ def _jaccard_fn(
     # yielding >=1 3-gram shingle: jaccard is undefined for shingle-less
     # texts and the oracle emits nothing for them (r4 code review).
     groups, uniq, has_dups = collapse_text_groups(docs)
-    rep_pairs = ngram_jaccard_pairs(uniq, threshold=0.5, n=3, df_cap=df_cap)
+    rep_pairs = ngram_jaccard_pairs(
+        uniq, threshold=0.5, n=3, df_cap=df_cap, require_lossless=require_lossless
+    )
     if not has_dups:
         return rep_pairs.orderBy("id_a", "id_b")
     return expand_collapsed_pairs(
@@ -2652,16 +2657,20 @@ def _dedup_eval_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-row count aggregate, so the evaluation costs no more than the
     tiers it audits. Ratios divide exact integer counts, pinned at 6 dp.
 
-    The truth tier runs through the df_cap=50 funnel (r7 verdict #3):
-    lossless here because the cap exceeds the corpus's max legitimate
-    shingle document frequency (25 — BASELINE.md r7 cap-vs-cluster-size
-    analysis), so capped output is identical to the uncapped exact tier
-    the oracle computes, while at 100 TB the truth pass inherits the
-    flat-under-boilerplate-skew nomination the probe proves. On a corpus
-    where true near-dup clusters exceed the cap, raise df_cap above the
-    max expected cluster size (recall is lost only for pairs whose EVERY
-    shared shingle is corpus-hot)."""
-    truth = _jaccard_fn(spark, sf_dir, df_cap=50).select(
+    The truth tier goes through the df_cap=50 funnel with
+    ``require_lossless=True`` (r8 advice + r8 verdict #1): the funnel's
+    own hot-key census decides at runtime. When no shingle exceeds the
+    cap — true on this corpus, whose max legitimate shingle document
+    frequency is 25 (BASELINE.md r7 cap-vs-cluster-size analysis) — the
+    funnel falls through to the plain exact self-join, so the truth tier
+    is UNCAPPED BY CONSTRUCTION and pays none of the hot/cold-split
+    overhead (the r8 4.07->7.62 s regression, recovered). On a corpus
+    where some shingle DOES exceed the cap, the truth tier raises with
+    instructions to raise df_cap instead of silently dropping pairs and
+    inflating the precision of the tier under audit — the lossless-ness
+    that was previously an unasserted data property is now a runtime
+    guarantee."""
+    truth = _jaccard_fn(spark, sf_dir, df_cap=50, require_lossless=True).select(
         "id_a", "id_b"
     ).withColumn("t", F.lit(1))
     pred = _simhash_pairs_fn(spark, sf_dir).select("id_a", "id_b").withColumn(

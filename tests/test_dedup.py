@@ -106,6 +106,50 @@ def test_jaccard_df_cap_bounds_hot_shingle(spark):
     assert ngram_jaccard_pairs(corpus, threshold=0.2, df_cap=4).count() == 0
 
 
+def test_capped_funnel_adaptive_fallthrough(spark):
+    """r8 verdict #1: on a skew-free corpus (no shingle df > cap) the
+    capped tier falls through to the plain self-join — output identical,
+    none of the hot/cold-split machinery in the plan. Detect the
+    fall-through structurally: the funnel plan contains a left_anti
+    (cold-split) join, the fall-through plan does not."""
+    rows = [
+        (i, " ".join(f"w{i}_{j}" for j in range(6)) + " shared tail tok")
+        for i in range(20)
+    ]
+    corpus = spark.createDataFrame(rows, ["doc_id", "text"])
+    capped = ngram_jaccard_pairs(corpus, threshold=0.1, df_cap=50)
+    plain = ngram_jaccard_pairs(corpus, threshold=0.1)
+    assert {tuple(r) for r in capped.collect()} == {
+        tuple(r) for r in plain.collect()
+    }
+    assert "LeftAnti" not in capped._jdf.queryExecution().optimizedPlan().toString()
+    # Skewed twin: 'shared tail tok' grams exceed cap=4 -> funnel engages.
+    funnel = ngram_jaccard_pairs(corpus, threshold=0.1, df_cap=4)
+    assert "LeftAnti" in funnel._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_capped_funnel_require_lossless_raises_on_hot(spark):
+    """r8 advice (medium): a truth-tier caller must never silently cap.
+    With hot shingles present, require_lossless raises with guidance;
+    without them, it is the plain exact join and succeeds."""
+    k = 30
+    boiler = "aa bb cc dd ee ff gg hh ii jj"
+    rows = [
+        (i, boiler + " " + " ".join(f"u{i}_{j}" for j in range(12)))
+        for i in range(k)
+    ]
+    corpus = spark.createDataFrame(rows, ["doc_id", "text"])
+    with pytest.raises(ValueError, match="require_lossless"):
+        ngram_jaccard_pairs(
+            corpus, threshold=0.5, df_cap=4, require_lossless=True
+        )
+    # Cap above every df -> census empty -> exact fall-through, no raise.
+    out = ngram_jaccard_pairs(
+        corpus, threshold=0.5, df_cap=100, require_lossless=True
+    )
+    assert out.count() == 0
+
+
 def test_jaccard_candidates_path_matches_direct(planted):
     """Passing an explicit candidate list returns exactly the candidates'
     exact scores — the bounded verification join, no shingle self-join."""

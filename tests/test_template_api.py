@@ -280,6 +280,43 @@ def test_progress_endpoint_404_without_listener(spark):
         server.shutdown()
 
 
+def test_progress_param_validation(spark):
+    """r8 advice: malformed query params return a structured 400 (not a
+    dropped connection), and a negative `since` is clamped to 0 instead
+    of Python-slicing from the end with a wrong `next` cursor."""
+    from nyuki_spark.streaming.listener import MetricsListener
+
+    listener = MetricsListener()
+    server = serve(TemplateStore(), spark=spark, listener=listener)
+    port = server.server_address[1]
+    try:
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/progress?since=abc", timeout=10
+            )
+        assert ei.value.code == 400
+        assert "error" in json.loads(ei.value.read())
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/progress/stream?timeout_s=x",
+                timeout=10,
+            )
+        assert ei.value.code == 400
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/progress?since=-5", timeout=10
+        ) as r:
+            snap = json.loads(r.read())
+        assert snap["since"] == 0 and snap["next"] == len(snap["events"])
+        # since beyond the buffer clamps to the end: empty page, sane cursor.
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/progress?since=999999", timeout=10
+        ) as r:
+            snap = json.loads(r.read())
+        assert snap["events"] == [] and snap["next"] == snap["since"]
+    finally:
+        server.shutdown()
+
+
 def test_apply_subflow_cycle_and_unknown():
     """apply (sub-workflow invocation) resolves against the template
     registry at compile time: unknown names and cycles are SpecErrors,
