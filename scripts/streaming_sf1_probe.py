@@ -1,18 +1,16 @@
-"""Streaming scale probe at sf1 with state-store evidence (r5 VERDICT #6).
+"""Streaming scale probe at sf1 with state-store evidence (r5 VERDICT #6;
+extended for r8 verdict #6 to run BOTH state-store providers per query).
 
 Runs the four append-mode Structured Streaming replays (the production
 output path: watermark eviction, foreachBatch parquet sink) at sf1
-(1M events — 10x the bench scale), with the MetricsListener attached, and
-reports per-query:
+(1M events — 10x the bench scale), with the MetricsListener attached,
+under the default HDFS-backed map state store AND the RocksDB provider
+(the large-state production choice), and reports per (query, store):
 
 - end-to-end rows/sec (replayed input rows / wall time),
 - peak state rows + state memory from the per-batch progress events,
 - rows dropped by the watermark (eviction actually happening),
-
-then re-runs the tumbling replay under the RocksDB state-store provider
-and records whether the provider is available in this Spark build and
-its wall time (HDFS-backed map store is the default; RocksDB is the
-large-state production choice).
+- output rows (must be identical across stores — asserted).
 
 Usage: python scripts/streaming_sf1_probe.py [sf_dir]  (default testdata_sf1)
 Emits a BASELINE.md-ready markdown table.
@@ -33,6 +31,12 @@ PROBES = [
     "stream_dedup_live_append",
 ]
 
+PROVIDER_KEY = "spark.sql.streaming.stateStore.providerClass"
+ROCKSDB = (
+    "org.apache.spark.sql.execution.streaming.state."
+    "RocksDBStateStoreProvider"
+)
+
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "testdata_sf1"
@@ -48,13 +52,16 @@ def main() -> int:
 
     n_events = load_table(spark, sf_dir, "events").count()
     print(f"# streaming sf1 probe: {n_events} events, append mode")
+    print("loadavg", [round(x, 2) for x in os.getloadavg()])
     print(
-        "| query | sec | rows/s | peak state rows | peak state MB |"
+        "| query | store | sec | rows/s | peak state rows | peak state MB |"
         " wm-dropped | out rows |"
     )
-    print("|---|---|---|---|---|---|---|")
+    print("|---|---|---|---|---|---|---|---|")
 
-    def run_one(qid: str) -> None:
+    out_rows: dict[tuple[str, str], int] = {}
+
+    def run_one(qid: str, store: str) -> None:
         listener.progress.clear()
         t0 = time.perf_counter()
         out = REGISTRY[qid].run(spark, sf_dir)
@@ -69,41 +76,29 @@ def main() -> int:
         dropped = sum(
             p.state_rows_dropped_by_watermark for p in listener.progress
         )
+        out_rows[(qid, store)] = n_out
         print(
-            f"| {qid} | {dt:.1f} | {n_events / dt:.0f} | {peak_rows} |"
-            f" {peak_mb:.1f} | {dropped} | {n_out} |"
+            f"| {qid} | {store} | {dt:.1f} | {n_events / dt:.0f} |"
+            f" {peak_rows} | {peak_mb:.1f} | {dropped} | {n_out} |"
         )
 
     for qid in PROBES:
-        run_one(qid)
+        run_one(qid, "hdfs-map")
 
-    # RocksDB provider availability: set the conf, re-run the tumbling
-    # replay, restore. If the JNI/provider class is missing this build,
-    # record that honestly instead of failing the probe.
-    key = "spark.sql.streaming.stateStore.providerClass"
-    rocks = (
-        "org.apache.spark.sql.execution.streaming.state."
-        "RocksDBStateStoreProvider"
-    )
-    prev = spark.conf.get(key, None)
     try:
-        spark.conf.set(key, rocks)
-        t0 = time.perf_counter()
-        out = REGISTRY["stream_tumbling_live_append"].run(spark, sf_dir)
-        n_out = out.count()
-        dt = time.perf_counter() - t0
-        print(
-            f"\nRocksDB state store: AVAILABLE — tumbling append replay"
-            f" {dt:.1f}s ({n_events / dt:.0f} rows/s, {n_out} out rows)"
-        )
+        spark.conf.set(PROVIDER_KEY, ROCKSDB)
+        for qid in PROBES:
+            run_one(qid, "rocksdb")
+        for qid in PROBES:
+            a, b = out_rows[(qid, "hdfs-map")], out_rows[(qid, "rocksdb")]
+            assert a == b, f"{qid}: store-dependent output {a} vs {b}"
+        print("\noutput rows identical across state stores: OK")
     except Exception as exc:  # noqa: BLE001 — availability probe
         print(f"\nRocksDB state store: UNAVAILABLE — {type(exc).__name__}:"
               f" {str(exc)[:200]}")
     finally:
-        if prev is not None:
-            spark.conf.set(key, prev)
-        else:
-            spark.conf.unset(key)
+        spark.conf.unset(PROVIDER_KEY)
+    print("loadavg_end", [round(x, 2) for x in os.getloadavg()])
     spark.stop()
     return 0
 
