@@ -31,7 +31,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["global_row_number", "key_rank", "ntile_from_rn", "one_group"]
+__all__ = [
+    "global_row_number",
+    "global_running_sum",
+    "key_rank",
+    "ntile_from_rn",
+    "one_group",
+]
 
 
 def one_group(col: Column | str) -> Column:
@@ -144,6 +150,68 @@ def global_row_number(
         local.join(F.broadcast(offsets.select(*keep)), "_pid")
         .withColumn(out, (F.col("_lrn") + F.col("_off")).cast("int"))
         .drop("_pid", "_lrn", "_off")
+    )
+
+
+def global_running_sum(
+    df: DataFrame,
+    sort_col: str,
+    val_col: str,
+    out: str = "csum",
+    num_buckets: int | None = None,
+    rel_err: float = 0.001,
+) -> DataFrame:
+    """Exact inclusive running ``SUM(val_col) OVER (ORDER BY sort_col)``
+    with no global sort — the :func:`global_row_number` decomposition
+    applied to a prefix SUM: range-bucket on approxQuantile literals,
+    windowed sum per bucket (every WindowExec group ~|rows|/n_buckets),
+    then add each bucket's cumulative predecessor total (an
+    n_buckets-row side table merged under a one_group window, broadcast
+    back). ``sort_col`` must be numeric, non-null, and UNIQUE (id
+    columns) — a row-wise prefix sum needs a total order. ``val_col``
+    must be integral for the result to be engine-order-independent
+    (integer addition is associative; a float prefix sum would encode
+    the bucket structure in its rounding).
+
+    Small inputs (one bucket) take the plain one_group window — at a few
+    MB that IS the fastest plan (the win_rank r3 lesson); callers'
+    sweep allowlist entries should note both shapes.
+    """
+    if num_buckets is None:
+        num_buckets = _auto_buckets(df)
+    v = F.col(sort_col)
+    if num_buckets == 1:
+        w = (
+            Window.partitionBy(one_group(sort_col))
+            .orderBy(sort_col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return df.withColumn(out, F.sum(val_col).over(w))
+    probs = [i / num_buckets for i in range(1, num_buckets)]
+    splits = sorted(set(df.stat.approxQuantile(sort_col, probs, rel_err)))
+    sarr = F.array(*[F.lit(s) for s in splits])
+    pid = F.size(F.filter(sarr, lambda s: v > s))
+    tagged = df.withColumn("_pid", pid)
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(sort_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = tagged.withColumn("_lcs", F.sum(val_col).over(w))
+    cw = (
+        Window.partitionBy(one_group("_pid"))
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        tagged.groupBy("_pid")
+        .agg(F.sum(val_col).alias("_s"))
+        .withColumn("_off", F.coalesce(F.sum("_s").over(cw), F.lit(0)))
+    )
+    return (
+        local.join(F.broadcast(offsets.select("_pid", "_off")), "_pid")
+        .withColumn(out, F.col("_lcs") + F.col("_off"))
+        .drop("_pid", "_lcs", "_off")
     )
 
 

@@ -3895,3 +3895,53 @@ register(
 )
 
 SWEEP_INTERMEDIATES["net_modularity"] = _supplier_backbone
+
+
+# -- digit-law audit (round 9) --------------------------
+
+register(
+    "stat_benford_digits",
+    engine=(
+        # First-significant-digit census of order totals vs Benford's law.
+        # The digit comes from the decimal's STRING form (strip everything
+        # outside [1-9], take the first char): exact on both engines,
+        # immune to the log10-at-a-power-boundary ulp trap that a
+        # floor(value/10^floor(log10 v)) extraction would hit. Single
+        # scan + 9-row aggregate; each output value is one division or a
+        # closed-form log — no fp-order-dependent sums anywhere.
+        "WITH d AS (SELECT CAST(SUBSTRING(REGEXP_REPLACE(\n"
+        "    CAST(o_totalprice AS STRING), '[^1-9]', ''), 1, 1) AS INT)\n"
+        "    AS digit FROM orders),\n"
+        "c AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY 1),\n"
+        "t AS (SELECT SUM(n) AS tot FROM c)\n"
+        "SELECT digit, CAST(n AS BIGINT) AS n,\n"
+        "  CAST(ROUND(n / tot, 6) AS DOUBLE) AS obs_frac,\n"
+        "  CAST(ROUND(LOG10(1.0 + 1.0 / digit), 6) AS DOUBLE)\n"
+        "    AS benford_frac,\n"
+        "  CAST(ROUND(n / tot - LOG10(1.0 + 1.0 / digit), 6) AS DOUBLE)\n"
+        "    AS dev\n"
+        "FROM c CROSS JOIN t ORDER BY digit"
+    ),
+    oracle=(
+        "WITH d AS (SELECT CAST(SUBSTRING(REGEXP_REPLACE(\n"
+        "    CAST(o_totalprice AS VARCHAR), '[^1-9]', '', 'g'), 1, 1)\n"
+        "    AS INT) AS digit FROM orders),\n"
+        "c AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY 1),\n"
+        "t AS (SELECT SUM(n) AS tot FROM c)\n"
+        "SELECT digit, CAST(n AS BIGINT) AS n,\n"
+        "  CAST(ROUND(n / CAST(tot AS DOUBLE), 6) AS DOUBLE) AS obs_frac,\n"
+        "  CAST(ROUND(LOG10(1.0 + 1.0 / digit), 6) AS DOUBLE)\n"
+        "    AS benford_frac,\n"
+        "  CAST(ROUND(n / CAST(tot AS DOUBLE) - LOG10(1.0 + 1.0 / digit), 6)\n"
+        "    AS DOUBLE) AS dev\n"
+        "FROM c CROSS JOIN t ORDER BY digit"
+    ),
+    category="stats",
+    suite="extension",
+    doc=(
+        "first-significant-digit census of order totals vs Benford's law "
+        "(string-form digit extraction, exact on both engines): the "
+        "fraud/synthetic-data smell test as a single scan + 9-row "
+        "aggregate"
+    ),
+)

@@ -342,6 +342,74 @@ register(
 )
 
 
+# -- global sequence packing (round 9) ----------------------------------------
+
+
+def _seq_pack_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GLOBAL concat-and-chop sequence packing — the GPT-pretraining
+    shape: all documents are concatenated in doc_id order into one token
+    stream and chopped into fixed 512-token context blocks, documents
+    crossing block boundaries (no padding, no per-shard reset — contrast
+    llm_shard_pack, whose running sum is partitioned by lang). Per doc:
+    its token offsets in the stream and the blocks it spans.
+
+    The global inclusive prefix sum is the single-partition-window trap
+    at scale; it runs through operators/rank.py:global_running_sum —
+    range-bucket on approxQuantile literals, windowed sum per bucket,
+    bucket offsets from an n_buckets-row one_group merge broadcast back
+    (the win_rank decomposition applied to SUM). Token counts are
+    integers, so bucketed addition is exactly the sequential sum and the
+    result hash-matches DuckDB's ORDER BY window.
+    """
+    from nyuki_spark.operators.rank import global_running_sum
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.where(F.col("text").isNotNull()).select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    c = global_running_sum(toks, "doc_id", "n_tokens", out="tok_end")
+    return c.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        (F.col("tok_end") - F.col("n_tokens")).cast("long").alias("tok_start"),
+        F.floor((F.col("tok_end") - F.col("n_tokens")) / 512)
+        .cast("long")
+        .alias("block_start"),
+        F.floor((F.col("tok_end") - 1) / 512).cast("long").alias("block_end"),
+        (
+            F.floor((F.col("tok_end") - 1) / 512)
+            > F.floor((F.col("tok_end") - F.col("n_tokens")) / 512)
+        ).alias("crosses_block"),
+    ).orderBy("doc_id")
+
+
+register(
+    "llm_seq_pack",
+    engine_fn=_seq_pack_fn,
+    oracle=(
+        "WITH t AS (SELECT doc_id, LEN(STRING_SPLIT(text, ' ')) AS n\n"
+        "           FROM documents WHERE text IS NOT NULL),\n"
+        "c AS (SELECT doc_id, n, SUM(n) OVER (ORDER BY doc_id\n"
+        "        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ce\n"
+        "      FROM t)\n"
+        "SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,\n"
+        "  CAST(ce - n AS BIGINT) AS tok_start,\n"
+        "  CAST(FLOOR((ce - n) / 512) AS BIGINT) AS block_start,\n"
+        "  CAST(FLOOR((ce - 1) / 512) AS BIGINT) AS block_end,\n"
+        "  FLOOR((ce - 1) / 512) > FLOOR((ce - n) / 512) AS crosses_block\n"
+        "FROM c ORDER BY doc_id"
+    ),
+    category="llm-sampling",
+    suite="extension",
+    doc=(
+        "global concat-and-chop sequence packing into 512-token context "
+        "blocks (docs cross boundaries — the GPT-pretraining layout): "
+        "exact global prefix sum via two-phase range-bucketed windows, "
+        "never a single-partition sort over data rows"
+    ),
+)
+
+
 # -- corpus vocabulary stats: top-k bigrams per language ----------------------
 
 
@@ -1660,5 +1728,99 @@ register(
         "one-row dataset card: doc/null/token counts, exact-dup rate, "
         "language spread + Shannon entropy, mean doc length — single "
         "scan of conditional aggregates plus a domain-sized lang rollup"
+    ),
+)
+
+
+# -- greedy first-fit bin packing (round 9) -------------------------------------
+
+
+def _pack_greedy_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE greedy first-fit sequence packing — the no-split sibling of
+    llm_seq_pack: within each language, documents in doc_id order fill a
+    512-token bin; a document that would overflow CLOSES the bin and
+    starts the next (documents never split; one larger than the capacity
+    gets a bin alone). This is the packing used when documents must stay
+    contiguous (SFT samples, eval prompts), and it is inherently a
+    SEQUENTIAL recursion — bin state depends on every earlier document —
+    so it cannot be a plain window expression.
+
+    Scale shape: the recursion is confined INSIDE each lang partition via
+    ``applyInPandas`` (Arrow-batched; integer-only state, so parity with
+    the oracle's recursive CTE is exact) while languages pack in
+    parallel. At 100 TB the same plan holds with (lang, shard-hash) as
+    the group key — the packer never needs cross-shard state, exactly
+    like llm_shard_pack's contract.
+    """
+    import pandas as pd
+
+    cap = 512
+
+    # Closure, not module-level: cloudpickle ships it by value so the
+    # driver's Python workers need no repo import (udf_grouped_map note).
+    def pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("doc_id")
+        bins = []
+        b, fill = 0, 0
+        for n in pdf["n_tokens"]:
+            if fill > 0 and fill + n > cap:
+                b += 1
+                fill = 0
+            bins.append(b)
+            fill += n
+        return pd.DataFrame(
+            {
+                "lang": pdf["lang"],
+                "doc_id": pdf["doc_id"],
+                "n_tokens": pdf["n_tokens"],
+                "bin": bins,
+            }
+        )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.where(F.col("text").isNotNull()).select(
+        "lang",
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    return (
+        toks.groupBy("lang")
+        .applyInPandas(
+            pack, schema="lang string, doc_id long, n_tokens long, bin long"
+        )
+        .orderBy("lang", "doc_id")
+    )
+
+
+register(
+    "llm_pack_greedy",
+    engine_fn=_pack_greedy_fn,
+    oracle=(
+        "WITH RECURSIVE t AS (\n"
+        "  SELECT lang, doc_id, LEN(STRING_SPLIT(text, ' ')) AS n,\n"
+        "    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn\n"
+        "  FROM documents WHERE text IS NOT NULL),\n"
+        "s AS (\n"
+        "  SELECT lang, rn, doc_id, n, CAST(0 AS BIGINT) AS bin,\n"
+        "    CAST(n AS BIGINT) AS fill\n"
+        "  FROM t WHERE rn = 1\n"
+        "  UNION ALL\n"
+        "  SELECT t.lang, t.rn, t.doc_id, t.n,\n"
+        "    CASE WHEN s.fill > 0 AND s.fill + t.n > 512\n"
+        "      THEN s.bin + 1 ELSE s.bin END,\n"
+        "    CASE WHEN s.fill > 0 AND s.fill + t.n > 512\n"
+        "      THEN CAST(t.n AS BIGINT) ELSE s.fill + t.n END\n"
+        "  FROM s JOIN t ON t.lang = s.lang AND t.rn = s.rn + 1)\n"
+        "SELECT lang, doc_id, CAST(n AS BIGINT) AS n_tokens, bin\n"
+        "FROM s ORDER BY lang, doc_id"
+    ),
+    category="llm-sampling",
+    suite="extension",
+    doc=(
+        "greedy first-fit packing of whole documents into 512-token bins "
+        "per language (docs never split — the SFT/eval layout): the "
+        "sequential bin recursion runs inside each lang partition via "
+        "applyInPandas, languages in parallel; integer state "
+        "hash-matches a recursive-CTE DuckDB twin"
     ),
 )

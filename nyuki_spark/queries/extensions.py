@@ -3530,3 +3530,42 @@ register(
         "aggregates match the parquet original"
     ),
 )
+
+
+# -- SCD-2 interval materialization (round 9) ------------------------------------
+
+_SCD2 = (
+    # Slowly-changing-dimension type 2: per user, collapse consecutive
+    # repeats of event_type (IS DISTINCT FROM handles NULLs), then close
+    # each change row with the next change's timestamp — the validity
+    # intervals a dimension-history materialization maintains. Two
+    # windows, both PARTITIONED BY user_id (parallel, never a global
+    # sort); ties broken by event_id for a total order. The dialects are
+    # identical.
+    "WITH o AS (SELECT user_id, event_type, ts, event_id,\n"
+    "    LAG(event_type) OVER (PARTITION BY user_id\n"
+    "      ORDER BY ts, event_id) AS prev\n"
+    "  FROM events),\n"
+    "chg AS (SELECT user_id, event_type, ts, event_id FROM o\n"
+    "  WHERE prev IS DISTINCT FROM event_type),\n"
+    "iv AS (SELECT user_id, event_type, ts AS valid_from, event_id,\n"
+    "    LEAD(ts) OVER (PARTITION BY user_id\n"
+    "      ORDER BY ts, event_id) AS valid_to\n"
+    "  FROM chg)\n"
+    "SELECT user_id, event_type, valid_from, valid_to,\n"
+    "  valid_to IS NULL AS is_current\n"
+    "FROM iv ORDER BY user_id, valid_from, event_id"
+)
+
+register(
+    "mv_scd2_intervals",
+    engine=_SCD2,
+    oracle=_SCD2,
+    category="cdc",
+    suite="extension",
+    doc=(
+        "SCD-2 validity intervals per user: consecutive-repeat collapse "
+        "(LAG ... IS DISTINCT FROM) + interval close (LEAD), both windows "
+        "user-partitioned — the dimension-history materialization shape"
+    ),
+)

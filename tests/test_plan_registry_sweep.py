@@ -401,6 +401,12 @@ ALLOWLIST: dict[str, tuple[tuple[str, ...], str]] = {
         "1-row base aggregate) — every joined side is a "
         "partial-aggregated scalar",
     ),
+    "stat_benford_digits": (
+        ("BroadcastNestedLoopJoin",),
+        "one 1-row broadcast (the partial-aggregated grand total) onto "
+        "the <=9-row first-digit table — both sides bounded by "
+        "construction, the stat_jensen_shannon shape",
+    ),
     "stat_jensen_shannon": (
         ("BroadcastNestedLoopJoin",),
         "two 1-row broadcasts (global value bounds; period totals — both "
@@ -447,6 +453,14 @@ ALLOWLIST: dict[str, tuple[tuple[str, ...], str]] = {
         "two-phase range-bucketed rank: the one_group window consumes "
         "the per-bucket count table (n_buckets rows) to compute offsets, "
         "never the data rows (operators/rank.py)",
+    ),
+    "llm_seq_pack": (
+        ("Exchange OneGroupConstant",),
+        "two-phase range-bucketed global prefix sum "
+        "(operators/rank.py:global_running_sum, the win_rank shape): at "
+        "scale the one_group window merges the n_buckets-row offsets "
+        "table only; at fixture SF the cost-based 1-bucket branch runs "
+        "the plain one_group window over an input that fits one task",
     ),
     "ts_rolling_corr": (
         ("Exchange OneGroupConstant",),
