@@ -3945,3 +3945,120 @@ register(
         "aggregate"
     ),
 )
+
+
+# -- top eigenvector by power iteration (round 9) -------------------------------
+
+
+def _power_iter_oracle(steps: int = 8) -> str:
+    """Unrolled DuckDB twin of 8 power-iteration steps over the 6-dp
+    Gram matrix. Every sum is a LIST_REDUCE over an ORDER BY-pinned
+    list — DuckDB's strictly sequential fold, matching the engine's
+    plain Python accumulation loop bit for bit (the llm_knn_lsh
+    cumsum-parity technique); iterations run UNROUNDED, one ROUND at
+    the end."""
+    parts = [
+        # MATERIALIZED: DuckDB inlines plain CTEs, so without it the
+        # corpus-sized gram aggregate re-runs inside every one of the 8
+        # unrolled steps (measured 61.9 s -> the materialized form runs
+        # the scan once).
+        "WITH g AS MATERIALIZED (SELECT i.i AS i, j.j AS j,\n"
+        "    CAST(ROUND(SUM(v[i.i] * v[j.j]), 6) AS DOUBLE) AS gram\n"
+        "  FROM (SELECT embedding::DOUBLE[] AS v FROM embeddings),\n"
+        "    UNNEST(GENERATE_SERIES(1, 64)) i(i),\n"
+        "    UNNEST(GENERATE_SERIES(1, 64)) j(j)\n"
+        "  WHERE i.i <= j.j GROUP BY i.i, j.j),\n"
+        "gf AS MATERIALIZED (SELECT i, j, gram FROM g\n"
+        "  UNION ALL SELECT j, i, gram FROM g WHERE i < j),\n"
+        "v0 AS (SELECT i, CAST(0.125 AS DOUBLE) AS val\n"
+        "  FROM GENERATE_SERIES(1, 64) t(i))"
+    ]
+    for t in range(1, steps + 1):
+        parts.append(
+            f",\nw{t} AS (SELECT gf.i AS i,\n"
+            f"    LIST_REDUCE(LIST(gf.gram * v{t - 1}.val ORDER BY gf.j),\n"
+            "      (a, b) -> a + b) AS w\n"
+            f"  FROM gf JOIN v{t - 1} ON v{t - 1}.i = gf.j GROUP BY gf.i),\n"
+            f"n{t} AS (SELECT SQRT(LIST_REDUCE(LIST(w * w ORDER BY i),\n"
+            f"    (a, b) -> a + b)) AS nrm FROM w{t}),\n"
+            f"v{t} AS (SELECT i, w / nrm AS val FROM w{t} CROSS JOIN n{t})"
+        )
+    parts.append(
+        f"\nSELECT v{steps}.i AS dim,\n"
+        f"  CAST(ROUND(v{steps}.val, 6) AS DOUBLE) AS component,\n"
+        f"  CAST(ROUND(n{steps}.nrm, 6) AS DOUBLE) AS eigenvalue\n"
+        f"FROM v{steps} CROSS JOIN n{steps} ORDER BY dim"
+    )
+    return "".join(parts)
+
+
+def _top_eigvec_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Principal direction of the embedding corpus — the top eigenvector
+    of the 64x64 Gram matrix by 8 fixed power-iteration steps, plus its
+    Rayleigh-quotient eigenvalue (|G v| of the final step). The leading
+    eigenpair is the workhorse spectral diagnostic of an embedding
+    pipeline: anisotropy checks, drift direction between snapshots, the
+    first step of PCA whitening.
+
+    Scale shape: the ONLY corpus-sized work is the distributed Gram pass
+    (operators/linalg.py:gram_upper — per-batch BLAS partials, one
+    O(d^2)-key shuffle independent of row count); the iteration then
+    runs on the driver over the d x d model (a 2080-row collect, the
+    kmeans-centroid-sized hop). FP parity with the oracle is by
+    construction, not tolerance: both engines iterate UNROUNDED from
+    the same 6-dp Gram entries and v0 = 0.125 exactly, every inner sum
+    strictly sequential in the same index order (Python accumulation
+    loop == DuckDB ORDER BY-pinned LIST_REDUCE — the established
+    cumsum-parity technique), so the doubles are bit-identical and one
+    final 6-dp round lands on both sides.
+    """
+    import math
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("embedding").cast("array<double>").alias("v")
+    )
+    rows = gram_upper(emb, dims=64).collect()
+    d = 64
+    G = [[0.0] * d for _ in range(d)]
+    for r in rows:
+        G[r["i"] - 1][r["j"] - 1] = r["gram"]
+        G[r["j"] - 1][r["i"] - 1] = r["gram"]
+    v = [0.125] * d
+    nrm = 0.0
+    for _ in range(8):
+        w = []
+        for i in range(d):
+            acc = 0.0
+            for j in range(d):
+                acc += G[i][j] * v[j]
+            w.append(acc)
+        s = 0.0
+        for x in w:
+            s += x * x
+        nrm = math.sqrt(s)
+        v = [x / nrm for x in w]
+    out = spark.createDataFrame(
+        [(i + 1, v[i], nrm) for i in range(d)], "dim int, c double, e double"
+    )
+    return out.select(
+        "dim",
+        F.round("c", 6).cast("double").alias("component"),
+        F.round("e", 6).cast("double").alias("eigenvalue"),
+    ).orderBy("dim")
+
+
+register(
+    "llm_top_eigvec",
+    engine_fn=_top_eigvec_fn,
+    oracle=_power_iter_oracle(8),
+    category="llm-similarity",
+    suite="extension",
+    doc=(
+        "top eigenpair of the embedding Gram matrix by 8 power-iteration "
+        "steps: distributed d^2-key Gram pass + driver-side iteration on "
+        "the d x d model, bit-identical to an unrolled DuckDB twin via "
+        "order-pinned sequential folds"
+    ),
+)
+
+SWEEP_INTERMEDIATES["llm_top_eigvec"] = _gram_covariance_fn

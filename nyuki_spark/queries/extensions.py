@@ -3569,3 +3569,65 @@ register(
         "user-partitioned — the dimension-history materialization shape"
     ),
 )
+
+
+# -- ORC round-trip (round 9) ------------------------------------------------------
+
+
+def _orc_roundtrip_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sibling of scan_csv_roundtrip: the columnar warehouse format
+    Spark reads natively (vectorized reader, predicate pushdown, typed
+    schema embedded — no DDL re-parse on read-back). Export once per
+    corpus, read back, aggregate UNDER A PUSHED FILTER (value > 50 —
+    the predicate reaches the OrcScan as PushedFilters, exercising the
+    row-group skip path the format exists for). The oracle computes the
+    same filtered aggregate on the original parquet, so the hash match
+    proves the ORC writer/reader round-trips doubles and NULLs
+    bit-exactly.
+    """
+    import hashlib
+    import os
+    import tempfile
+
+    from nyuki_spark.functions.fsutil import fs_exists
+
+    key = hashlib.md5(f"{sf_dir}|orc|v1".encode()).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"nyuki-orc-{key}")
+    if not fs_exists(spark, f"{path}/_SUCCESS"):
+        (
+            load_table(spark, sf_dir, "events")
+            .select("event_id", "event_type", "value")
+            .write.mode("overwrite")
+            .orc(path)
+        )
+    back = spark.read.orc(path).where(F.col("value") > 50)
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total"),
+        )
+        .orderBy("event_type")
+    )
+
+
+register(
+    "scan_orc_roundtrip",
+    engine_fn=_orc_roundtrip_fn,
+    oracle=(
+        "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,\n"
+        "  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total\n"
+        "FROM events WHERE value > 50\n"
+        "GROUP BY event_type ORDER BY event_type"
+    ),
+    category="scan",
+    suite="extension",
+    doc=(
+        "native ORC read verified end-to-end under a pushed filter: "
+        "export once, read back (typed schema embedded, vectorized "
+        "reader), filtered aggregate matches the parquet original "
+        "bit-exactly"
+    ),
+)
