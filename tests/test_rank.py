@@ -110,3 +110,50 @@ def test_ntile_column_total_matches_int_total(spark, sf_dir):
     )
     assert got.where("a <> b").count() == 0
     assert ranked.where(F.col("_tot") != total).count() == 0
+
+
+def test_global_running_sum_matches_window(spark, sf_dir):
+    """Two-phase bucketed prefix sum == the naive global window, at a
+    forced multi-bucket count (the fixture would auto-pick 1 bucket),
+    and bucket count must not change the values (integer addition is
+    associative — the llm_seq_pack contract)."""
+    from nyuki_spark.operators.rank import global_running_sum
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", (F.col("user_id") % 97).alias("v")
+    )
+    w = (
+        Window.partitionBy(F.lit(0))
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = {
+        (r["event_id"], r["c"])
+        for r in ev.withColumn("c", F.sum("v").over(w)).collect()
+    }
+    for nb in (1, 7):
+        got = {
+            (r["event_id"], r["csum"])
+            for r in global_running_sum(
+                ev, "event_id", "v", num_buckets=nb
+            ).collect()
+        }
+        assert got == want, f"num_buckets={nb} diverged"
+
+
+def test_pack_greedy_bins_respect_capacity(spark, sf_dir):
+    """Every 512-token bin holds whole docs within capacity unless a
+    single oversize doc owns it, and bins are consecutive from 0."""
+    from nyuki_spark.queries.corpus import _pack_greedy_fn
+
+    out = _pack_greedy_fn(spark, sf_dir).collect()
+    by_key: dict = {}
+    for r in out:
+        by_key.setdefault(r["lang"], {}).setdefault(r["bin"], []).append(
+            r["n_tokens"]
+        )
+    for lang, bins in by_key.items():
+        assert sorted(bins) == list(range(len(bins))), f"{lang}: bin gaps"
+        for b, sizes in bins.items():
+            if len(sizes) > 1:
+                assert sum(sizes) <= 512, f"{lang} bin {b} overflows"
