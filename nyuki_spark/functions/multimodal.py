@@ -469,3 +469,56 @@ def decode_image_tiles(
             yield pd.DataFrame(rows)
 
     return df.select(id_col, payload_col).mapInPandas(fn, out_schema)
+
+
+def decode_wav_samples(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """REAL WAV decode -> per-sample rows: (id, i, n_total, s) with the
+    sample index, the clip's total sample count, and the exact int16
+    sample value. The per-sample layout (vs :func:`decode_wav_frames`'
+    pre-aggregated frames) is for spectral operators that weight each
+    sample individually (DFT-bin correlation, windowing): the decode
+    stays a map-only Arrow stage on the executor, and everything
+    downstream is JVM column math over exact integers.
+    """
+    dec_wav = _codecs.decode_wav
+    out_schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("i", IntegerType()),
+            StructField("n_total", IntegerType()),
+            StructField("s", IntegerType()),
+        ]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[np.ndarray] = []
+            idxs: list[np.ndarray] = []
+            ns: list[np.ndarray] = []
+            vals: list[np.ndarray] = []
+            for i, b in zip(pdf[id_col], pdf[payload_col]):
+                _, samples = dec_wav(bytes(b))
+                n = samples.size
+                ids.append(np.full(n, int(i), dtype=np.int64))
+                idxs.append(np.arange(n, dtype=np.int32))
+                ns.append(np.full(n, n, dtype=np.int32))
+                vals.append(samples.astype(np.int32))
+            if not ids:
+                yield pd.DataFrame(
+                    {k.name: [] for k in out_schema.fields}
+                )
+                continue
+            yield pd.DataFrame(
+                {
+                    id_col: np.concatenate(ids),
+                    "i": np.concatenate(idxs),
+                    "n_total": np.concatenate(ns),
+                    "s": np.concatenate(vals),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(fn, out_schema)

@@ -3973,15 +3973,22 @@ def _power_iter_oracle(steps: int = 8) -> str:
         "v0 AS (SELECT i, CAST(0.125 AS DOUBLE) AS val\n"
         "  FROM GENERATE_SERIES(1, 64) t(i))"
     ]
+    # Step CTEs MATERIALIZED: w{t} is referenced by both n{t} and v{t},
+    # so plain CTEs re-inline the whole prefix chain at every step — a
+    # 2^steps blowup (9.05 s at sf0.01 for 8 steps; materialized:
+    # ~0.2 s — found while building the 16-step llm_pca2_basis twin,
+    # where the same shape cost 106 s).
     for t in range(1, steps + 1):
         parts.append(
-            f",\nw{t} AS (SELECT gf.i AS i,\n"
+            f",\nw{t} AS MATERIALIZED (SELECT gf.i AS i,\n"
             f"    LIST_REDUCE(LIST(gf.gram * v{t - 1}.val ORDER BY gf.j),\n"
             "      (a, b) -> a + b) AS w\n"
             f"  FROM gf JOIN v{t - 1} ON v{t - 1}.i = gf.j GROUP BY gf.i),\n"
-            f"n{t} AS (SELECT SQRT(LIST_REDUCE(LIST(w * w ORDER BY i),\n"
+            f"n{t} AS MATERIALIZED (SELECT SQRT(LIST_REDUCE(\n"
+            f"    LIST(w * w ORDER BY i),\n"
             f"    (a, b) -> a + b)) AS nrm FROM w{t}),\n"
-            f"v{t} AS (SELECT i, w / nrm AS val FROM w{t} CROSS JOIN n{t})"
+            f"v{t} AS MATERIALIZED (SELECT i, w / nrm AS val\n"
+            f"  FROM w{t} CROSS JOIN n{t})"
         )
     parts.append(
         f"\nSELECT v{steps}.i AS dim,\n"
@@ -4062,3 +4069,276 @@ register(
 )
 
 SWEEP_INTERMEDIATES["llm_top_eigvec"] = _gram_covariance_fn
+
+# -- inter-rater agreement (round 9) ------------------------------------------
+
+register(
+    "stat_cohens_kappa",
+    engine=(
+        # Cohen's kappa between two INDEPENDENT quality raters over the
+        # corpus: rater A is the frozen-weights LR classifier
+        # (llm_quality_lr's exact feature/score text, keep at 0.5) and
+        # rater B a one-feature stopword-fraction rule (>= 0.08 — the
+        # "looks like running English prose" heuristic). Kappa is the
+        # agreement-beyond-chance audit every labeling/filtering pipeline
+        # runs before trusting a cheap filter as a proxy for an expensive
+        # one. One map pass + one 4-cell conditional aggregate; po/pe/kappa
+        # derive from exact BIGINT cell counts, so the only fp in play is
+        # the final division (pinned at 6 dp on both engines). pe = 1
+        # (degenerate marginals) yields NULL kappa on both sides.
+        "WITH f AS (\n"
+        "  SELECT\n"
+        "    SIZE(SPLIT(text, ' ')) AS n,\n"
+        "    (LENGTH(text) - (SIZE(SPLIT(text, ' ')) - 1))\n"
+        "      / CAST(SIZE(SPLIT(text, ' ')) AS DOUBLE) AS mean_len,\n"
+        "    SIZE(ARRAY_DISTINCT(SPLIT(text, ' ')))\n"
+        "      / CAST(SIZE(SPLIT(text, ' ')) AS DOUBLE) AS dr,\n"
+        "    SIZE(FILTER(SPLIT(text, ' '), t -> t IN\n"
+        "      ('the', 'a', 'and', 'of', 'to', 'in', 'is')))\n"
+        "      / CAST(SIZE(SPLIT(text, ' ')) AS DOUBLE) AS sf\n"
+        "  FROM documents WHERE text IS NOT NULL),\n"
+        "r AS (SELECT\n"
+        "    ROUND(1.0 / (1.0 + EXP(-(0.02 * n + 0.8 * mean_len\n"
+        "      + 3.0 * dr - 6.0 * sf - 4.0))), 4) >= 0.5 AS a,\n"
+        "    sf >= 0.08 AS b\n"
+        "  FROM f),\n"
+        "c AS (SELECT\n"
+        "    SUM(CASE WHEN a AND b THEN 1 ELSE 0 END) AS n11,\n"
+        "    SUM(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS n10,\n"
+        "    SUM(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS n01,\n"
+        "    SUM(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS n00\n"
+        "  FROM r),\n"
+        "k AS (SELECT n11, n10, n01, n00,\n"
+        "    CAST(n11 + n10 + n01 + n00 AS DOUBLE) AS nt,\n"
+        "    (n11 + n00) / CAST(n11 + n10 + n01 + n00 AS DOUBLE) AS po,\n"
+        "    ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))\n"
+        "      / POW(CAST(n11 + n10 + n01 + n00 AS DOUBLE), 2.0) AS pe\n"
+        "  FROM c)\n"
+        "SELECT CAST(n11 AS BIGINT) AS n11, CAST(n10 AS BIGINT) AS n10,\n"
+        "  CAST(n01 AS BIGINT) AS n01, CAST(n00 AS BIGINT) AS n00,\n"
+        "  CAST(ROUND(po, 6) AS DOUBLE) AS po,\n"
+        "  CAST(ROUND(pe, 6) AS DOUBLE) AS pe,\n"
+        "  CASE WHEN pe >= 1.0 THEN CAST(NULL AS DOUBLE)\n"
+        "    ELSE CAST(ROUND((po - pe) / (1.0 - pe), 6) AS DOUBLE)\n"
+        "  END AS kappa\n"
+        "FROM k"
+    ),
+    oracle=(
+        "WITH f AS (\n"
+        "  SELECT\n"
+        "    LEN(STRING_SPLIT(text, ' ')) AS n,\n"
+        "    (LENGTH(text) - (LEN(STRING_SPLIT(text, ' ')) - 1))\n"
+        "      / CAST(LEN(STRING_SPLIT(text, ' ')) AS DOUBLE) AS mean_len,\n"
+        "    LEN(LIST_DISTINCT(STRING_SPLIT(text, ' ')))\n"
+        "      / CAST(LEN(STRING_SPLIT(text, ' ')) AS DOUBLE) AS dr,\n"
+        "    LEN(LIST_FILTER(STRING_SPLIT(text, ' '), t -> t IN\n"
+        "      ('the', 'a', 'and', 'of', 'to', 'in', 'is')))\n"
+        "      / CAST(LEN(STRING_SPLIT(text, ' ')) AS DOUBLE) AS sf\n"
+        "  FROM documents WHERE text IS NOT NULL),\n"
+        "r AS (SELECT\n"
+        "    ROUND(1.0 / (1.0 + EXP(-(0.02 * n + 0.8 * mean_len\n"
+        "      + 3.0 * dr - 6.0 * sf - 4.0))), 4) >= 0.5 AS a,\n"
+        "    sf >= 0.08 AS b\n"
+        "  FROM f),\n"
+        "c AS (SELECT\n"
+        "    SUM(CASE WHEN a AND b THEN 1 ELSE 0 END) AS n11,\n"
+        "    SUM(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS n10,\n"
+        "    SUM(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS n01,\n"
+        "    SUM(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS n00\n"
+        "  FROM r),\n"
+        "k AS (SELECT n11, n10, n01, n00,\n"
+        "    (n11 + n00) / CAST(n11 + n10 + n01 + n00 AS DOUBLE) AS po,\n"
+        "    ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))\n"
+        "      / POW(CAST(n11 + n10 + n01 + n00 AS DOUBLE), 2.0) AS pe\n"
+        "  FROM c)\n"
+        "SELECT CAST(n11 AS BIGINT) AS n11, CAST(n10 AS BIGINT) AS n10,\n"
+        "  CAST(n01 AS BIGINT) AS n01, CAST(n00 AS BIGINT) AS n00,\n"
+        "  CAST(ROUND(po, 6) AS DOUBLE) AS po,\n"
+        "  CAST(ROUND(pe, 6) AS DOUBLE) AS pe,\n"
+        "  CASE WHEN pe >= 1.0 THEN CAST(NULL AS DOUBLE)\n"
+        "    ELSE CAST(ROUND((po - pe) / (1.0 - pe), 6) AS DOUBLE)\n"
+        "  END AS kappa\n"
+        "FROM k"
+    ),
+    category="stats",
+    suite="extension",
+    doc=(
+        "Cohen's kappa agreement between the frozen-LR quality classifier "
+        "and a one-feature stopword heuristic: single scan into a 4-cell "
+        "conditional aggregate, po/pe/kappa from exact integer cells"
+    ),
+)
+
+
+# -- deflated power iteration: top-2 PCA basis (round 9) -----------------------
+
+
+def _pca2_oracle(steps: int = 8) -> str:
+    """Unrolled DuckDB twin of :func:`_pca2_fn`: the llm_top_eigvec
+    8-step power iteration, then HOTELLING DEFLATION (G' = G - l1 v1 v1^T
+    with the unrounded l1/v1) and 8 more steps on G'. Every inner sum is
+    the ORDER BY-pinned LIST_REDUCE sequential fold, so the doubles are
+    bit-identical to the engine's Python accumulation loops."""
+    parts = [
+        "WITH g AS MATERIALIZED (SELECT i.i AS i, j.j AS j,\n"
+        "    CAST(ROUND(SUM(v[i.i] * v[j.j]), 6) AS DOUBLE) AS gram\n"
+        "  FROM (SELECT embedding::DOUBLE[] AS v FROM embeddings),\n"
+        "    UNNEST(GENERATE_SERIES(1, 64)) i(i),\n"
+        "    UNNEST(GENERATE_SERIES(1, 64)) j(j)\n"
+        "  WHERE i.i <= j.j GROUP BY i.i, j.j),\n"
+        "gf AS MATERIALIZED (SELECT i, j, gram FROM g\n"
+        "  UNION ALL SELECT j, i, gram FROM g WHERE i < j),\n"
+        "v0 AS (SELECT i, CAST(0.125 AS DOUBLE) AS val\n"
+        "  FROM GENERATE_SERIES(1, 64) t(i))"
+    ]
+    # Every step CTE is MATERIALIZED: w{t} is referenced twice (n{t} and
+    # v{t}), so plain CTEs re-inline the whole prefix chain at each of
+    # the 16 steps — a 2^16 blowup (measured: 106 s at sf0.01; linear
+    # materialized form: <1 s).
+    for t in range(1, steps + 1):
+        parts.append(
+            f",\nw{t} AS MATERIALIZED (SELECT gf.i AS i,\n"
+            f"    LIST_REDUCE(LIST(gf.gram * v{t - 1}.val ORDER BY gf.j),\n"
+            "      (a, b) -> a + b) AS w\n"
+            f"  FROM gf JOIN v{t - 1} ON v{t - 1}.i = gf.j GROUP BY gf.i),\n"
+            f"n{t} AS MATERIALIZED (SELECT SQRT(LIST_REDUCE(\n"
+            f"    LIST(w * w ORDER BY i),\n"
+            f"    (a, b) -> a + b)) AS nrm FROM w{t}),\n"
+            f"v{t} AS MATERIALIZED (SELECT i, w / nrm AS val\n"
+            f"  FROM w{t} CROSS JOIN n{t})"
+        )
+    parts.append(
+        f",\ngd AS MATERIALIZED (SELECT gf.i, gf.j,\n"
+        f"    gf.gram - n{steps}.nrm * a.val * b.val AS gram\n"
+        f"  FROM gf JOIN v{steps} a ON a.i = gf.i\n"
+        f"  JOIN v{steps} b ON b.i = gf.j CROSS JOIN n{steps}),\n"
+        "u0 AS (SELECT i, CAST(0.125 AS DOUBLE) AS val\n"
+        "  FROM GENERATE_SERIES(1, 64) t(i))"
+    )
+    # Second chain: each multiply is RE-ORTHOGONALIZED against v{steps}
+    # (p{t} = v1 . w, then w - p*v1) before normalizing — without it,
+    # an under-converged v1 leaves top-eigenvector mass in the deflated
+    # matrix and the "second" component drifts back toward the first
+    # (observed at sf0.001, where the spectrum is near-degenerate).
+    for t in range(1, steps + 1):
+        parts.append(
+            f",\nx{t} AS MATERIALIZED (SELECT gd.i AS i,\n"
+            f"    LIST_REDUCE(LIST(gd.gram * u{t - 1}.val ORDER BY gd.j),\n"
+            "      (a, b) -> a + b) AS w\n"
+            f"  FROM gd JOIN u{t - 1} ON u{t - 1}.i = gd.j GROUP BY gd.i),\n"
+            f"p{t} AS MATERIALIZED (SELECT LIST_REDUCE(\n"
+            f"    LIST(v{steps}.val * x{t}.w ORDER BY x{t}.i),\n"
+            "      (a, b) -> a + b) AS p\n"
+            f"  FROM x{t} JOIN v{steps} ON v{steps}.i = x{t}.i),\n"
+            f"y{t} AS MATERIALIZED (SELECT x{t}.i AS i,\n"
+            f"    x{t}.w - p{t}.p * v{steps}.val AS w\n"
+            f"  FROM x{t} JOIN v{steps} ON v{steps}.i = x{t}.i\n"
+            f"  CROSS JOIN p{t}),\n"
+            f"m{t} AS MATERIALIZED (SELECT SQRT(LIST_REDUCE(\n"
+            f"    LIST(w * w ORDER BY i),\n"
+            f"    (a, b) -> a + b)) AS nrm FROM y{t}),\n"
+            f"u{t} AS MATERIALIZED (SELECT i, w / nrm AS val\n"
+            f"  FROM y{t} CROSS JOIN m{t})"
+        )
+    parts.append(
+        f"\nSELECT v{steps}.i AS dim,\n"
+        f"  CAST(ROUND(v{steps}.val, 6) AS DOUBLE) AS pc1,\n"
+        f"  CAST(ROUND(u{steps}.val, 6) AS DOUBLE) AS pc2,\n"
+        f"  CAST(ROUND(n{steps}.nrm, 6) AS DOUBLE) AS eigenvalue1,\n"
+        f"  CAST(ROUND(m{steps}.nrm, 6) AS DOUBLE) AS eigenvalue2\n"
+        f"FROM v{steps} JOIN u{steps} ON u{steps}.i = v{steps}.i\n"
+        f"CROSS JOIN n{steps} CROSS JOIN m{steps} ORDER BY dim"
+    )
+    return "".join(parts)
+
+
+def _pca2_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 PCA basis of the embedding corpus: llm_top_eigvec's 8-step
+    power iteration for (l1, v1), Hotelling deflation
+    G' = G - l1 v1 v1^T, 8 more steps on G' for (l2, v2) — the 2-D
+    projection basis behind every embedding-space scatter/drift plot and
+    the smallest non-trivial PCA whitener.
+
+    Same scale contract as llm_top_eigvec: the corpus-sized work is ONE
+    distributed Gram pass (O(d^2)-key shuffle, row-count independent);
+    both iterations and the rank-1 deflation run on the driver over the
+    64x64 model. FP parity with the unrolled DuckDB twin is by
+    construction: unrounded iterates from 6-dp Gram entries, every inner
+    sum a strictly sequential fold in index order, deflation arithmetic
+    written in the same left-associated order on both sides, one final
+    6-dp round.
+    """
+    import math
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("embedding").cast("array<double>").alias("v")
+    )
+    rows = gram_upper(emb, dims=64).collect()
+    d = 64
+    G = [[0.0] * d for _ in range(d)]
+    for r in rows:
+        G[r["i"] - 1][r["j"] - 1] = r["gram"]
+        G[r["j"] - 1][r["i"] - 1] = r["gram"]
+
+    def power8(
+        M: list[list[float]], ortho: list[float] | None = None
+    ) -> tuple[list[float], float]:
+        v = [0.125] * d
+        nrm = 0.0
+        for _ in range(8):
+            w = []
+            for i in range(d):
+                acc = 0.0
+                for j in range(d):
+                    acc += M[i][j] * v[j]
+                w.append(acc)
+            if ortho is not None:
+                # Re-orthogonalize against the first component every
+                # step: an under-converged v1 leaves top-eigenvector
+                # mass in the deflated matrix, and without this the
+                # "second" direction drifts back toward the first
+                # (near-degenerate spectra — seen at sf0.001).
+                p = 0.0
+                for i in range(d):
+                    p += ortho[i] * w[i]
+                w = [w[i] - p * ortho[i] for i in range(d)]
+            s = 0.0
+            for x in w:
+                s += x * x
+            nrm = math.sqrt(s)
+            v = [x / nrm for x in w]
+        return v, nrm
+
+    v1, l1 = power8(G)
+    Gd = [
+        [G[i][j] - l1 * v1[i] * v1[j] for j in range(d)] for i in range(d)
+    ]
+    v2, l2 = power8(Gd, ortho=v1)
+    out = spark.createDataFrame(
+        [(i + 1, v1[i], v2[i], l1, l2) for i in range(d)],
+        "dim int, c1 double, c2 double, e1 double, e2 double",
+    )
+    return out.select(
+        "dim",
+        F.round("c1", 6).cast("double").alias("pc1"),
+        F.round("c2", 6).cast("double").alias("pc2"),
+        F.round("e1", 6).cast("double").alias("eigenvalue1"),
+        F.round("e2", 6).cast("double").alias("eigenvalue2"),
+    ).orderBy("dim")
+
+
+register(
+    "llm_pca2_basis",
+    engine_fn=_pca2_fn,
+    oracle=_pca2_oracle(8),
+    category="llm-similarity",
+    suite="extension",
+    doc=(
+        "top-2 PCA basis by deflated power iteration: one distributed "
+        "Gram pass + driver-side 8+8 steps with Hotelling deflation, "
+        "bit-identical to an unrolled DuckDB twin via order-pinned "
+        "sequential folds"
+    ),
+)
+
+SWEEP_INTERMEDIATES["llm_pca2_basis"] = _gram_covariance_fn

@@ -1824,3 +1824,444 @@ register(
         "hash-matches a recursive-CTE DuckDB twin"
     ),
 )
+
+
+# -- classifier evaluation: ROC / AUC (round 9) --------------------------------
+
+
+def _roc_auc_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC curve + exact tie-aware AUC of the frozen-LR quality scorer
+    (llm_quality_lr's exact feature/score text) against the lang='en'
+    label — the evaluation half of the classifier story (train offline
+    -> score at ingest -> AUDIT against a trusted label before gating
+    data on it). The scorer's stopword feature is English-specific, so
+    the label is genuinely predictable and the curve non-trivial.
+
+    The 100 TB shape is the production trick for distributed AUC: scores
+    are 4-dp QUANTIZED, so the per-score census has <= 10,001 rows no
+    matter the corpus size — one shuffle aggregate — and every rank
+    statistic folds over that bounded census, never the data.
+    AUC = sum_s n_pos(s) * (2*cum_neg_below(s) + n_neg(s)) / (2*P*N)
+    (concordant pairs + half of score-ties) in exact BIGINT arithmetic;
+    the one_group window merging cum_neg runs over the census only
+    (allowlisted). ROC points at the 9 decile thresholds come from a
+    per-census-row explode (pure JVM, no join) + re-aggregate; the final
+    1-row totals broadcast is the explicit-broadcast scalar shape.
+    """
+    from nyuki_spark.operators.rank import one_group
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    mean_len = (F.length("text") - (n - F.lit(1))) / n
+    dr = F.size(F.array_distinct(toks)) / n
+    sfrac = (
+        F.size(
+            F.filter(
+                toks,
+                lambda t: t.isin("the", "a", "and", "of", "to", "in", "is"),
+            )
+        )
+        / n
+    )
+    t = (
+        F.lit(0.02) * n
+        + F.lit(0.8) * mean_len
+        + F.lit(3.0) * dr
+        + F.lit(-6.0) * sfrac
+        + F.lit(-4.0)
+    )
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-t)), 4)
+    scored = docs.select(
+        score.cast("double").alias("score"),
+        (F.col("lang") == F.lit("en")).cast("long").alias("y"),
+    )
+    census = scored.groupBy("score").agg(
+        F.count(F.lit(1)).alias("nt"), F.sum("y").alias("np")
+    )
+    census = census.withColumn("nn", F.col("nt") - F.col("np"))
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(one_group("score"))
+        .orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = census.withColumn(
+        "cum_neg", F.coalesce(F.sum("nn").over(w), F.lit(0))
+    )
+    tot = cum.agg(
+        F.sum(
+            F.col("np") * (F.lit(2) * F.col("cum_neg") + F.col("nn"))
+        ).alias("numer2"),
+        F.sum("np").alias("n_pos"),
+        F.sum("nn").alias("n_neg"),
+    )
+    thr = (
+        census.select(
+            F.explode(
+                F.array(*[F.lit(i / 10.0) for i in range(1, 10)])
+            ).alias("threshold"),
+            "score",
+            "np",
+            "nn",
+        )
+        .groupBy("threshold")
+        .agg(
+            F.sum(
+                F.when(F.col("score") >= F.col("threshold"), F.col("np"))
+                .otherwise(F.lit(0))
+            ).alias("tp"),
+            F.sum(
+                F.when(F.col("score") >= F.col("threshold"), F.col("nn"))
+                .otherwise(F.lit(0))
+            ).alias("fp"),
+        )
+    )
+    pr = F.col("tp") + F.col("fp")
+    return (
+        thr.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("threshold").cast("double").alias("threshold"),
+            F.col("tp").cast("long").alias("tp"),
+            F.col("fp").cast("long").alias("fp"),
+            (F.col("n_pos") - F.col("tp")).cast("long").alias("fn"),
+            (F.col("n_neg") - F.col("fp")).cast("long").alias("tn"),
+            F.round(F.col("tp") / F.col("n_pos").cast("double"), 6)
+            .cast("double")
+            .alias("tpr"),
+            F.round(F.col("fp") / F.col("n_neg").cast("double"), 6)
+            .cast("double")
+            .alias("fpr"),
+            F.when(
+                pr > 0, F.round(F.col("tp") / pr.cast("double"), 6)
+            )
+            .cast("double")
+            .alias("precision"),
+            F.round(
+                F.col("numer2")
+                / (
+                    F.lit(2.0)
+                    * F.col("n_pos").cast("double")
+                    * F.col("n_neg").cast("double")
+                ),
+                6,
+            )
+            .cast("double")
+            .alias("auc"),
+        )
+        .orderBy("threshold")
+    )
+
+
+register(
+    "llm_roc_auc",
+    engine_fn=_roc_auc_fn,
+    oracle=(
+        "WITH f AS (\n"
+        "  SELECT lang,\n"
+        "    LEN(STRING_SPLIT(text, ' ')) AS n,\n"
+        "    (LENGTH(text) - (LEN(STRING_SPLIT(text, ' ')) - 1))\n"
+        "      / CAST(LEN(STRING_SPLIT(text, ' ')) AS DOUBLE) AS mean_len,\n"
+        "    LEN(LIST_DISTINCT(STRING_SPLIT(text, ' ')))\n"
+        "      / CAST(LEN(STRING_SPLIT(text, ' ')) AS DOUBLE) AS dr,\n"
+        "    LEN(LIST_FILTER(STRING_SPLIT(text, ' '), t -> t IN\n"
+        "      ('the', 'a', 'and', 'of', 'to', 'in', 'is')))\n"
+        "      / CAST(LEN(STRING_SPLIT(text, ' ')) AS DOUBLE) AS sf\n"
+        "  FROM documents WHERE text IS NOT NULL),\n"
+        "s AS (SELECT\n"
+        "    ROUND(1.0 / (1.0 + EXP(-(0.02 * n + 0.8 * mean_len\n"
+        "      + 3.0 * dr - 6.0 * sf - 4.0))), 4) AS score,\n"
+        "    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y\n"
+        "  FROM f),\n"
+        "c AS (SELECT score, COUNT(*) AS nt, SUM(y) AS np\n"
+        "  FROM s GROUP BY 1),\n"
+        "c2 AS (SELECT score, np, nt - np AS nn,\n"
+        "    COALESCE(SUM(nt - np) OVER (ORDER BY score\n"
+        "      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)\n"
+        "      AS cum_neg\n"
+        "  FROM c),\n"
+        "tot AS (SELECT SUM(np * (2 * cum_neg + nn)) AS numer2,\n"
+        "    SUM(np) AS n_pos, SUM(nn) AS n_neg FROM c2),\n"
+        "thr AS (SELECT t.threshold,\n"
+        "    SUM(CASE WHEN score >= t.threshold THEN np ELSE 0 END) AS tp,\n"
+        "    SUM(CASE WHEN score >= t.threshold THEN nn ELSE 0 END) AS fp\n"
+        "  FROM c2 CROSS JOIN (SELECT CAST(i AS DOUBLE) / 10.0 AS threshold\n"
+        "    FROM range(1, 10) r(i)) t GROUP BY 1)\n"
+        "SELECT CAST(threshold AS DOUBLE) AS threshold,\n"
+        "  CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,\n"
+        "  CAST(n_pos - tp AS BIGINT) AS fn,\n"
+        "  CAST(n_neg - fp AS BIGINT) AS tn,\n"
+        "  CAST(ROUND(tp / CAST(n_pos AS DOUBLE), 6) AS DOUBLE) AS tpr,\n"
+        "  CAST(ROUND(fp / CAST(n_neg AS DOUBLE), 6) AS DOUBLE) AS fpr,\n"
+        "  CASE WHEN tp + fp > 0 THEN\n"
+        "    CAST(ROUND(tp / CAST(tp + fp AS DOUBLE), 6) AS DOUBLE)\n"
+        "  END AS precision,\n"
+        "  CAST(ROUND(numer2 / (2.0 * n_pos * n_neg), 6) AS DOUBLE) AS auc\n"
+        "FROM thr CROSS JOIN tot ORDER BY threshold"
+    ),
+    category="llm-text",
+    suite="extension",
+    doc=(
+        "ROC deciles + exact tie-aware AUC of the frozen-LR quality "
+        "scorer vs the lang='en' label: 4-dp score quantization bounds "
+        "the census at 10,001 rows, every rank statistic folds over the "
+        "census (never data rows), AUC in exact BIGINT pair arithmetic"
+    ),
+)
+
+
+# -- tokenizer design: vocabulary coverage curve (round 9) ----------------------
+
+
+def _vocab_coverage_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve — for every distinct word frequency f:
+    how many types occur exactly f times, the VOCAB SIZE if the cut is
+    "keep every type with frequency >= f" (cum_types), and the fraction
+    of all corpus tokens that vocab covers (coverage). This is the table
+    a tokenizer/vocab designer reads to pick the smallest vocab hitting a
+    coverage target (the BPE-vs-word-vocab sizing question), and the
+    integral view of llm_zipf_fit's rank-frequency fit.
+
+    The scale shape: one token-census shuffle (word -> f), then a
+    SECOND aggregate onto the frequency census (f -> n_types), whose
+    size is bounded by the count-of-counts law at O(sqrt(total tokens))
+    — at 100 TB a few million rows, at fixture SF a few hundred. Both
+    cumulative columns are exact integer prefix sums over that census
+    via operators/rank.py:global_running_sum (the win_rank two-phase
+    decomposition — never a single-partition sort over an unbounded
+    table; at fixture SF its cost-based 1-bucket branch runs the plain
+    one_group window, allowlisted). Coverage divides exact BIGINTs,
+    pinned at 6 dp on both engines.
+    """
+    from nyuki_spark.operators.rank import global_running_sum
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.where(F.col("text").isNotNull())
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    fc = (
+        words.groupBy("f")
+        .agg(F.count(F.lit(1)).alias("n_types"))
+        .withColumn("neg_f", -F.col("f"))
+        .withColumn("tok", F.col("f") * F.col("n_types"))
+    )
+    c = global_running_sum(fc, "neg_f", "n_types", out="cum_types")
+    c = global_running_sum(c, "neg_f", "tok", out="cum_tokens")
+    tot = c.agg(F.sum("tok").alias("total_tokens"))
+    return (
+        c.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("f").cast("long").alias("f"),
+            F.col("n_types").cast("long").alias("n_types"),
+            F.col("cum_types").cast("long").alias("cum_types"),
+            F.col("cum_tokens").cast("long").alias("cum_tokens"),
+            F.round(
+                F.col("cum_tokens") / F.col("total_tokens").cast("double"), 6
+            )
+            .cast("double")
+            .alias("coverage"),
+        )
+        .orderBy(F.desc("f"))
+    )
+
+
+register(
+    "llm_vocab_coverage",
+    engine_fn=_vocab_coverage_fn,
+    oracle=(
+        "WITH w AS (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS w\n"
+        "           FROM documents WHERE text IS NOT NULL),\n"
+        "tf AS (SELECT w, COUNT(*) AS f FROM w GROUP BY 1),\n"
+        "fc AS (SELECT f, COUNT(*) AS n_types FROM tf GROUP BY 1),\n"
+        "c AS (SELECT f, n_types,\n"
+        "    SUM(n_types) OVER (ORDER BY f DESC\n"
+        "      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)\n"
+        "      AS cum_types,\n"
+        "    SUM(f * n_types) OVER (ORDER BY f DESC\n"
+        "      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)\n"
+        "      AS cum_tokens,\n"
+        "    SUM(f * n_types) OVER () AS total_tokens\n"
+        "  FROM fc)\n"
+        "SELECT CAST(f AS BIGINT) AS f,\n"
+        "  CAST(n_types AS BIGINT) AS n_types,\n"
+        "  CAST(cum_types AS BIGINT) AS cum_types,\n"
+        "  CAST(cum_tokens AS BIGINT) AS cum_tokens,\n"
+        "  CAST(ROUND(cum_tokens / CAST(total_tokens AS DOUBLE), 6)\n"
+        "    AS DOUBLE) AS coverage\n"
+        "FROM c ORDER BY f DESC"
+    ),
+    category="llm-text",
+    suite="extension",
+    doc=(
+        "vocabulary coverage curve over the frequency-of-frequencies "
+        "census (O(sqrt(tokens)) rows by the count-of-counts law): "
+        "exact integer prefix sums via the two-phase global running "
+        "sum, coverage fraction from bit-identical BIGINT operands"
+    ),
+)
+
+
+# -- search-index build: posting lists (round 9) --------------------------------
+
+
+def _inverted_index_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index (posting-list) construction for the 50 highest-df
+    tokens: token -> exact document frequency + the first 10 doc_ids
+    ascending as the posting prefix — the search/retrieval index-build
+    job (and the BM25 preprocessing stage) as a batch operator.
+
+    Scale shape: per-doc dedup happens INSIDE the row (array_distinct,
+    no global distinct shuffle), the df census is one partial-agg
+    shuffle, top-50 is a TakeOrdered (never a global sort), and the
+    posting prefix gates on the 50-row broadcast BEFORE the per-token
+    window — so the row_number sort only ever runs over the 50 selected
+    tokens' postings. The sort itself is spill-backed (sort-based
+    window); collect_list materializes at most 10 ids per token after
+    the rn filter. Deterministic end-to-end: ties in df break on the
+    token, postings are sorted numerically before the string join.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = docs.where(F.col("text").isNotNull()).select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split("text", " "))).alias("w"),
+    )
+    dfc = pairs.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    top = dfc.orderBy(F.desc("df"), "w").limit(50)
+    win = Window.partitionBy("w").orderBy("doc_id")
+    post = (
+        pairs.join(F.broadcast(top), "w")
+        .withColumn("rn", F.row_number().over(win))
+        .where(F.col("rn") <= 10)
+    )
+    return (
+        post.groupBy("w", "df")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.sort_array(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+            ).alias("postings")
+        )
+        .select(
+            F.col("w").alias("token"),
+            F.col("df").cast("long").alias("df"),
+            "postings",
+        )
+        .orderBy(F.desc("df"), "token")
+    )
+
+
+register(
+    "llm_inverted_index",
+    engine_fn=_inverted_index_fn,
+    oracle=(
+        "WITH p AS (SELECT DISTINCT doc_id, w FROM (\n"
+        "    SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w\n"
+        "    FROM documents WHERE text IS NOT NULL)),\n"
+        "d AS (SELECT w, COUNT(*) AS df FROM p GROUP BY 1),\n"
+        "top AS (SELECT w, df FROM d ORDER BY df DESC, w LIMIT 50),\n"
+        "r AS (SELECT p.w, top.df, p.doc_id,\n"
+        "    ROW_NUMBER() OVER (PARTITION BY p.w ORDER BY p.doc_id) AS rn\n"
+        "  FROM p JOIN top USING (w))\n"
+        "SELECT w AS token, CAST(df AS BIGINT) AS df,\n"
+        "  STRING_AGG(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)\n"
+        "    AS postings\n"
+        "FROM r WHERE rn <= 10 GROUP BY w, df ORDER BY df DESC, token"
+    ),
+    category="llm-text",
+    suite="extension",
+    doc=(
+        "posting-list build for the top-50-df tokens: in-row dedup, one "
+        "census shuffle, TakeOrdered top-k, then a broadcast-gated "
+        "per-token window emitting the first-10 posting prefix"
+    ),
+)
+
+
+# -- SFT chat-template rendering (round 9) ---------------------------------------
+
+
+def _chat_template_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT chat-template rendering — the prep stage that turns raw
+    documents into instruction-tuning examples: split each doc into a
+    prompt half and a response half, render
+    ``<|user|>prompt<|assistant|>response<|end|>``, and emit the three
+    numbers a trainer needs per example: prompt length, total length
+    WITH special tokens, and the LOSS-MASK BOUNDARY (the 1-indexed
+    token where labels start — everything before it is masked out of
+    the loss), plus a context-window fit flag at 512.
+
+    The rendered string itself is verified by MD5 fingerprint (not
+    shipped — the established rendering-equality trick), so a single
+    byte of template drift between engines hash-fails. Map-only
+    scan->project; at 100 TB this is the same zero-shuffle shape as
+    llm_quality_lr scoring.
+    """
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    np_ = F.ceil(n / F.lit(2.0)).cast("int")
+    prompt = F.array_join(F.slice(toks, F.lit(1), np_), " ")
+    resp = F.array_join(
+        F.slice(toks, np_ + F.lit(1), (n - np_)), " "
+    )
+    rendered = F.concat(
+        F.lit("<|user|>"),
+        prompt,
+        F.lit("<|assistant|>"),
+        resp,
+        F.lit("<|end|>"),
+    )
+    total = n + F.lit(3)
+    return docs.select(
+        "doc_id",
+        np_.alias("n_prompt_tokens"),
+        total.cast("int").alias("n_total_tokens"),
+        (np_ + F.lit(2)).cast("int").alias("loss_start"),
+        (total <= 512).alias("fits_context"),
+        F.md5(rendered).alias("render_md5"),
+    ).orderBy("doc_id")
+
+
+register(
+    "llm_chat_template",
+    engine_fn=_chat_template_fn,
+    oracle=(
+        "WITH t AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS l,\n"
+        "    LEN(STRING_SPLIT(text, ' ')) AS n\n"
+        "  FROM documents WHERE text IS NOT NULL),\n"
+        "s AS (SELECT doc_id, n,\n"
+        "    CAST(CEIL(n / 2.0) AS INT) AS np,\n"
+        "    ARRAY_TO_STRING(l[1:CAST(CEIL(n / 2.0) AS INT)], ' ')\n"
+        "      AS prompt,\n"
+        "    ARRAY_TO_STRING(l[CAST(CEIL(n / 2.0) AS INT) + 1:n], ' ')\n"
+        "      AS resp\n"
+        "  FROM t)\n"
+        "SELECT doc_id, np AS n_prompt_tokens,\n"
+        "  CAST(n + 3 AS INT) AS n_total_tokens,\n"
+        "  CAST(np + 2 AS INT) AS loss_start,\n"
+        "  n + 3 <= 512 AS fits_context,\n"
+        "  MD5('<|user|>' || prompt || '<|assistant|>' || resp\n"
+        "    || '<|end|>') AS render_md5\n"
+        "FROM s ORDER BY doc_id"
+    ),
+    category="llm-text",
+    suite="extension",
+    doc=(
+        "SFT chat-template rendering: prompt/response split, special-"
+        "token framing, loss-mask boundary + context-fit flag, rendered "
+        "bytes verified by MD5 fingerprint — zero-shuffle map pass"
+    ),
+)

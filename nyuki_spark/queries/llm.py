@@ -3165,3 +3165,83 @@ register(
         "picks b,r before a dedup run"
     ),
 )
+
+
+# -- Matryoshka truncation QA (round 9) -----------------------------------------
+
+
+def _mrl_truncation_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-truncation QA (Kusupati et al., MRL): if the 64-dim
+    embeddings are cut to their first 16 dims (the MRL serving trick —
+    cheap ANN on the prefix, full-dim rerank), how much of each vector's
+    energy survives? retained = |x[1:16]|^2 / |x|^2 — cos(full, padded
+    truncation) = sqrt(retained) — bucketed into 20 bins per label, so a
+    front-loaded (MRL-trained) space shows mass near bucket 19 and a
+    uniform random space near bucket 4 (16/64 of the energy). The audit
+    a retrieval team runs BEFORE enabling prefix-ANN.
+
+    Map-only per-row array folds (no shuffle until the label/bucket
+    census): both engines fold the squares STRICTLY SEQUENTIALLY in
+    index order from a 0.0 init (F.aggregate == ordered LIST_REDUCE, the
+    cumsum-parity technique), so retained is bit-identical and the
+    floor-bucket cut is exact. Bucket stats are integer counts plus
+    order-independent min/max, pinned at 6 dp.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    sq = lambda col: F.aggregate(  # noqa: E731 — tiny expression factory
+        col, F.lit(0.0), lambda acc, x: acc + x * x
+    )
+    r = emb.select(
+        "label",
+        (sq(F.slice(F.col("v"), 1, 16)) / sq(F.col("v"))).alias("retained"),
+    )
+    b = r.select(
+        "label",
+        F.least(F.floor(F.col("retained") * 20), F.lit(19))
+        .cast("int")
+        .alias("bucket"),
+        "retained",
+    )
+    return (
+        b.groupBy("label", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.min("retained"), 6).cast("double").alias("min_ret"),
+            F.round(F.max("retained"), 6).cast("double").alias("max_ret"),
+        )
+        .orderBy("label", "bucket")
+    )
+
+
+register(
+    "llm_mrl_truncation",
+    engine_fn=_mrl_truncation_fn,
+    oracle=(
+        "WITH r AS (SELECT label,\n"
+        "    LIST_REDUCE(LIST_PREPEND(CAST(0.0 AS DOUBLE),\n"
+        "      LIST_TRANSFORM((embedding::DOUBLE[])[1:16], x -> x * x)),\n"
+        "      (a, b) -> a + b)\n"
+        "    / LIST_REDUCE(LIST_PREPEND(CAST(0.0 AS DOUBLE),\n"
+        "      LIST_TRANSFORM(embedding::DOUBLE[], x -> x * x)),\n"
+        "      (a, b) -> a + b) AS retained\n"
+        "  FROM embeddings),\n"
+        "b AS (SELECT label,\n"
+        "    CAST(LEAST(FLOOR(retained * 20), 19) AS INT) AS bucket,\n"
+        "    retained\n"
+        "  FROM r)\n"
+        "SELECT label, bucket, CAST(COUNT(*) AS BIGINT) AS n_vecs,\n"
+        "  CAST(ROUND(MIN(retained), 6) AS DOUBLE) AS min_ret,\n"
+        "  CAST(ROUND(MAX(retained), 6) AS DOUBLE) AS max_ret\n"
+        "FROM b GROUP BY 1, 2 ORDER BY 1, 2"
+    ),
+    category="llm-similarity",
+    suite="extension",
+    doc=(
+        "Matryoshka 16-of-64 prefix-truncation energy audit per label: "
+        "map-only sequential array folds (bit-identical across engines), "
+        "20-bin floor bucketing, integer census + order-independent "
+        "min/max"
+    ),
+)

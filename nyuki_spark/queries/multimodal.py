@@ -453,3 +453,111 @@ register(
         "diff>10) — map-only Arrow stages, per-pixel-verified oracle"
     ),
 )
+
+
+# -- spectral audio features: DFT-bin power (round 9) ---------------------------
+
+
+def _mm_goertzel_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DFT-bin power (the Goertzel single-bin analysis shape) at four
+    whole-clip frequencies from REAL decoded WAV bytes — the tone/pitch
+    feature a speech pipeline extracts per utterance (DTMF detection,
+    hum removal QA, bandwidth classification) without paying a full FFT.
+
+    Determinism at the fp level is engineered the repo's standard way:
+    the trig weights are QUANTIZED to integers (round(cos * 1e6) as
+    BIGINT — the fixed-point twiddle-factor table every embedded
+    Goertzel uses), so the bin correlations re = sum(s*c), im = sum(s*sn)
+    are EXACT int64 sums (order-independent, safe under any partitioning:
+    |s| <= 125, |c| <= 1e6, n <= 880 -> |re| <= 1.1e11 << 2^63). Power
+    then derives from those bit-identical integers with one pinned
+    round. Decode is a map-only Arrow stage; the weights and aggregation
+    are pure JVM column math — 4x row explode, one partial-agg shuffle.
+    """
+    import math
+
+    from nyuki_spark.functions.multimodal import (
+        attach_synthetic_media,
+        decode_wav_samples,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 48)
+    smp = decode_wav_samples(attach_synthetic_media(docs, kind="audio"))
+    e = smp.select(
+        "doc_id",
+        "i",
+        "n_total",
+        "s",
+        F.explode(
+            F.array(F.lit(1), F.lit(3), F.lit(9), F.lit(27))
+        ).alias("k"),
+    )
+    ang = (
+        F.lit(2.0)
+        * F.lit(math.pi)
+        * F.col("k")
+        * F.col("i")
+        / F.col("n_total").cast("double")
+    )
+    c = F.round(F.cos(ang) * F.lit(1000000.0), 0).cast("long")
+    sn = F.round(F.sin(ang) * F.lit(1000000.0), 0).cast("long")
+    g = e.groupBy("doc_id", "k").agg(
+        F.count(F.lit(1)).alias("n_samples"),
+        F.sum(F.col("s") * c).alias("re_q"),
+        F.sum(F.col("s") * sn).alias("im_q"),
+    )
+    re_d = F.col("re_q") / F.lit(1000000.0)
+    im_d = F.col("im_q") / F.lit(1000000.0)
+    return g.select(
+        "doc_id",
+        F.col("k").cast("int").alias("k"),
+        F.col("n_samples").cast("long").alias("n_samples"),
+        F.col("re_q").cast("long").alias("re_q"),
+        F.col("im_q").cast("long").alias("im_q"),
+        F.round(
+            (re_d * re_d + im_d * im_d)
+            / (F.col("n_samples") * F.col("n_samples")).cast("double"),
+            6,
+        )
+        .cast("double")
+        .alias("power"),
+    ).orderBy("doc_id", "k")
+
+
+register(
+    "mm_audio_goertzel",
+    engine_fn=_mm_goertzel_fn,
+    oracle=(
+        "WITH smp AS (\n"
+        "  SELECT d.doc_id, t.i,\n"
+        "    400 + (d.doc_id % 5)*80 AS n,\n"
+        "    (t.i*(1 + d.doc_id % 13)) % 251 - 125 AS s\n"
+        "  FROM documents d\n"
+        "  JOIN range(880) t(i) ON t.i < 400 + (d.doc_id % 5)*80\n"
+        "  WHERE d.doc_id < 48),\n"
+        "e AS (SELECT doc_id, i, n, s, k.k FROM smp\n"
+        "  CROSS JOIN (VALUES (1), (3), (9), (27)) k(k)),\n"
+        "q AS (SELECT doc_id, k, COUNT(*) AS ns,\n"
+        "    SUM(s * CAST(ROUND(COS(2.0 * PI() * k * i\n"
+        "      / CAST(n AS DOUBLE)) * 1000000.0) AS BIGINT)) AS re_q,\n"
+        "    SUM(s * CAST(ROUND(SIN(2.0 * PI() * k * i\n"
+        "      / CAST(n AS DOUBLE)) * 1000000.0) AS BIGINT)) AS im_q\n"
+        "  FROM e GROUP BY 1, 2)\n"
+        "SELECT doc_id, CAST(k AS INT) AS k,\n"
+        "  CAST(ns AS BIGINT) AS n_samples,\n"
+        "  CAST(re_q AS BIGINT) AS re_q, CAST(im_q AS BIGINT) AS im_q,\n"
+        "  CAST(ROUND(((re_q / 1000000.0) * (re_q / 1000000.0)\n"
+        "    + (im_q / 1000000.0) * (im_q / 1000000.0))\n"
+        "    / CAST(ns * ns AS DOUBLE), 6) AS DOUBLE) AS power\n"
+        "FROM q ORDER BY doc_id, k"
+    ),
+    category="llm-multimodal",
+    suite="extension",
+    doc=(
+        "REAL WAV decode -> fixed-point Goertzel DFT-bin power at 4 "
+        "whole-clip frequencies: integer-quantized twiddle factors make "
+        "the bin correlations exact int64 sums, power derives from "
+        "bit-identical operands; oracle recomputes from closed-form "
+        "samples"
+    ),
+)

@@ -469,6 +469,23 @@ ALLOWLIST: dict[str, tuple[tuple[str, ...], str]] = {
         "(resample-first contract, like ts_acf), never data rows; the "
         "series is global by definition so it cannot partition by key",
     ),
+    "llm_roc_auc": (
+        ("Exchange OneGroupConstant", "BroadcastNestedLoopJoin"),
+        "the cum_neg one_group window folds over the 4-dp-quantized "
+        "score CENSUS (<= 10,001 rows by construction, never data rows "
+        "— the distributed-AUC quantization trick); the BNLJ is the "
+        "1-row partial-aggregated totals broadcast onto 9 threshold "
+        "rows (explicit-broadcast scalar shape, stat_psi_drift "
+        "precedent)",
+    ),
+    "llm_vocab_coverage": (
+        ("Exchange OneGroupConstant", "BroadcastNestedLoopJoin"),
+        "two global_running_sum prefix sums over the frequency-of-"
+        "frequencies census (O(sqrt(tokens)) rows by the count-of-"
+        "counts law — the llm_seq_pack two-phase shape, 1-bucket "
+        "branch at fixture SF); the BNLJ is the 1-row total-tokens "
+        "broadcast (explicit-broadcast scalar shape)",
+    ),
 }
 
 
