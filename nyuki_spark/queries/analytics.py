@@ -4342,3 +4342,92 @@ register(
 )
 
 SWEEP_INTERMEDIATES["llm_pca2_basis"] = _gram_covariance_fn
+
+
+# -- SAX symbolization (round 9) ------------------------------------------------
+
+_SAX_SQL = (
+    # SAX (Lin et al., DMKD 2007) over the daily mean series: z-normalize
+    # against the series' own mean/stddev (1-row broadcast), then cut at
+    # the equiprobable N(0,1) breakpoints for alphabet size 4
+    # (-0.6745, 0, 0.6745). The symbol string is what similarity mining,
+    # motif discovery, and anomaly grammars consume instead of raw
+    # floats. Aggregations fold over the DAY-bounded rollup (time-range
+    # rows, never data rows — the resample-first contract shared by
+    # every ts_* query). Degenerate flat series (stddev 0) yields NULL z
+    # and the sentinel '_' on both engines.
+    "WITH d AS (SELECT CAST(ts AS DATE) AS day, AVG(value) AS m\n"
+    "  FROM events WHERE value IS NOT NULL GROUP BY 1),\n"
+    "s AS (SELECT AVG(m) AS mu, STDDEV_POP(m) AS sigma FROM d)\n"
+    "SELECT day,\n"
+    "  CAST(ROUND(m, 6) AS DOUBLE) AS day_mean,\n"
+    "  CAST(ROUND((m - mu) / NULLIF(sigma, 0), 6) AS DOUBLE) AS z,\n"
+    "  CASE WHEN sigma = 0 THEN '_'\n"
+    "    WHEN (m - mu) / sigma < -0.6745 THEN 'a'\n"
+    "    WHEN (m - mu) / sigma < 0 THEN 'b'\n"
+    "    WHEN (m - mu) / sigma < 0.6745 THEN 'c'\n"
+    "    ELSE 'd' END AS sax\n"
+    "FROM d CROSS JOIN s ORDER BY day"
+)
+
+register(
+    "ts_sax_symbols",
+    engine=_SAX_SQL,
+    oracle=_SAX_SQL,
+    category="timeseries",
+    suite="extension",
+    doc=(
+        "SAX symbolization of the daily mean series (alphabet 4, "
+        "equiprobable N(0,1) breakpoints): one rollup + 1-row "
+        "mean/stddev broadcast, symbols from the z-score cuts"
+    ),
+)
+
+
+# -- differential-privacy noisy release (round 9) --------------------------------
+
+register(
+    "stat_dp_counts",
+    engine=(
+        # Laplace-mechanism count release per language (epsilon = 1,
+        # sensitivity 1 for a per-row partition count): the governance
+        # surface that publishes corpus composition without exposing
+        # exact membership. The "randomness" is a SEEDED inverse-CDF
+        # draw — u from the first 8 MD5 hex chars of the group key
+        # (u = (x + 0.5) / 2^32, never exactly 0/0.5/1), noise =
+        # -sign(u - 0.5) * ln(1 - 2|u - 0.5|) — so the release is
+        # reproducible and the oracle computes the identical draw (the
+        # llm_data_mix hash-uniform technique; a production system
+        # swaps the seed per release). True count kept alongside for
+        # the gate; a real release drops it.
+        "WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),\n"
+        "u AS (SELECT lang, n,\n"
+        "    (CONV(SUBSTRING(MD5(lang), 1, 8), 16, 10) + 0.5)\n"
+        "      / 4294967296.0 AS u\n"
+        "  FROM c)\n"
+        "SELECT lang, CAST(n AS BIGINT) AS n_true,\n"
+        "  CAST(ROUND(n + (CASE WHEN u < 0.5 THEN 1.0 ELSE -1.0 END)\n"
+        "    * LN(1.0 - 2.0 * ABS(u - 0.5)), 6) AS DOUBLE) AS n_noisy,\n"
+        "  CAST(1.0 AS DOUBLE) AS epsilon\n"
+        "FROM u ORDER BY lang"
+    ),
+    oracle=(
+        "WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),\n"
+        "u AS (SELECT lang, n,\n"
+        "    (('0x' || SUBSTR(MD5(lang), 1, 8))::BIGINT + 0.5)\n"
+        "      / 4294967296.0 AS u\n"
+        "  FROM c)\n"
+        "SELECT lang, CAST(n AS BIGINT) AS n_true,\n"
+        "  CAST(ROUND(n + (CASE WHEN u < 0.5 THEN 1.0 ELSE -1.0 END)\n"
+        "    * LN(1.0 - 2.0 * ABS(u - 0.5)), 6) AS DOUBLE) AS n_noisy,\n"
+        "  CAST(1.0 AS DOUBLE) AS epsilon\n"
+        "FROM u ORDER BY lang"
+    ),
+    category="stats",
+    suite="extension",
+    doc=(
+        "Laplace-mechanism DP count release per language (eps=1): "
+        "seeded inverse-CDF noise from the md5-uniform draw, "
+        "reproducible across engines; one census aggregate"
+    ),
+)

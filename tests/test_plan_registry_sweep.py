@@ -469,6 +469,12 @@ ALLOWLIST: dict[str, tuple[tuple[str, ...], str]] = {
         "(resample-first contract, like ts_acf), never data rows; the "
         "series is global by definition so it cannot partition by key",
     ),
+    "ts_sax_symbols": (
+        ("BroadcastNestedLoopJoin",),
+        "1-row broadcast of the series' partial-aggregated mean/stddev "
+        "onto the day-bounded rollup — the explicit-broadcast "
+        "scalar-subquery shape (stat_psi_drift precedent)",
+    ),
     "llm_roc_auc": (
         ("Exchange OneGroupConstant", "BroadcastNestedLoopJoin"),
         "the cum_neg one_group window folds over the 4-dp-quantized "

@@ -118,3 +118,33 @@ def test_chat_template_boundaries(spark, sf_dir):
         assert r.n_total_tokens >= r.n_prompt_tokens + 3
         assert r.fits_context == (r.n_total_tokens <= 512)
         assert len(r.render_md5) == 32
+
+
+def test_sax_symbol_cuts(spark, sf_dir):
+    rows = _rows(spark, sf_dir, "ts_sax_symbols")
+    assert rows
+    for r in rows:
+        assert r.sax in ("a", "b", "c", "d", "_")
+        if r.z is not None:
+            expected = (
+                "a" if r.z < -0.6745 else
+                "b" if r.z < 0 else
+                "c" if r.z < 0.6745 else "d"
+            )
+            # z is 6-dp rounded; only breakpoint-adjacent values can
+            # legitimately disagree with the unrounded cut.
+            if min(abs(r.z + 0.6745), abs(r.z), abs(r.z - 0.6745)) > 1e-5:
+                assert r.sax == expected
+    # z-normalization: symbols are not all identical on real data
+    assert len({r.sax for r in rows}) > 1
+
+
+def test_dp_counts_noise_bounded(spark, sf_dir):
+    rows = _rows(spark, sf_dir, "stat_dp_counts")
+    assert rows
+    for r in rows:
+        assert r.epsilon == 1.0
+        noise = r.n_noisy - r.n_true
+        # Laplace(1) from u=(x+0.5)/2^32: |noise| <= ln(2^31) ~ 21.5
+        assert abs(noise) <= 22.0
+        assert noise != 0.0, "the mechanism actually perturbs"
