@@ -3631,3 +3631,117 @@ register(
         "bit-exactly"
     ),
 )
+
+
+# -- live CEP sequence detection (round 9) ---------------------------------------
+
+
+def _cep_funnel_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live CEP funnel (streaming/stateful.py:funnel_match) over the
+    4-chunk out-of-order replay: per user, earliest view -> first click
+    strictly after it -> first purchase strictly after that, emitted
+    exactly once per user when the user's event-time horizon closes
+    (event-time TIMER at last-event + 1 h, fired by the watermark). The
+    batch oracle runs the identical min-chain in SQL — streaming CEP vs
+    batch SQL parity, like the stream-stream join family.
+
+    Two flush sentinels, not one: timers are evaluated against the
+    watermark computed at the END of the previous batch, so sentinel-1
+    advances the watermark past every real timer and sentinel-2's batch
+    is where all groups fire. The 35-day delay bounds replay disorder
+    (the events fixture spans ~30 days, so every timer — earliest at
+    min-event + 1 h — stays ABOVE the pre-sentinel watermark of
+    max-event − 35 d: no group can close before its data is complete).
+    """
+    import datetime
+
+    from nyuki_spark.streaming.stateful import funnel_match
+
+    events = load_table(spark, sf_dir, "events")
+    scratch = tempfile.mkdtemp(prefix="nyuki-live-")
+    name = f"nyuki_live_{uuid.uuid4().hex[:12]}"
+    try:
+        mx = events.agg(F.max("ts")).head()[0]
+
+        def sentinel(days: int) -> DataFrame:
+            return spark.createDataFrame(
+                [
+                    (
+                        -1,
+                        mx + datetime.timedelta(days=days),
+                        -1,
+                        "__flush__",
+                        0.0,
+                        "{}",
+                    )
+                ],
+                events.schema,
+            )
+
+        sdf = replay_stream(
+            spark,
+            events,
+            n_chunks=4,
+            scratch_dir=scratch,
+            flush_df=[sentinel(80), sentinel(81)],
+        )
+        sdf = (
+            sdf.select(
+                F.col("ts").cast("timestamp").alias("ts"),
+                "user_id",
+                "event_type",
+            )
+            # Types outside the pattern can never match the chain — drop
+            # them BEFORE buffering (40% of rows off the state store).
+            # The sentinel type stays in the IN-list on purpose: the
+            # watermark is computed from post-filter rows, and dropping
+            # the flush would pin it below every timer (the _live_append
+            # sentinel lesson).
+            .where(
+                F.col("event_type").isin(
+                    "view", "click", "purchase", "__flush__"
+                )
+            )
+            .withWatermark("ts", "35 days")
+        )
+        out = funnel_match(sdf)
+        res = run_to_table(out, mode="append", name=name)
+        res = res.where(F.col("user_id") >= 0).orderBy("user_id").cache()
+        res.count()
+        return res
+    finally:
+        try:
+            spark.catalog.dropTempView(name)
+        except Exception:
+            pass
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+register(
+    "stream_cep_funnel_live",
+    engine_fn=_cep_funnel_fn,
+    oracle=(
+        "WITH v AS (SELECT user_id, MIN(ts) AS v FROM events\n"
+        "  WHERE event_type = 'view' GROUP BY 1),\n"
+        "c AS (SELECT e.user_id, MIN(e.ts) AS c FROM events e\n"
+        "  JOIN v ON v.user_id = e.user_id\n"
+        "  WHERE e.event_type = 'click' AND e.ts > v.v GROUP BY 1),\n"
+        "p AS (SELECT e.user_id, MIN(e.ts) AS p FROM events e\n"
+        "  JOIN c ON c.user_id = e.user_id\n"
+        "  WHERE e.event_type = 'purchase' AND e.ts > c.c GROUP BY 1)\n"
+        "SELECT v.user_id, CAST(v.v AS TIMESTAMP) AS view_ts,\n"
+        "  CAST(c.c AS TIMESTAMP) AS click_ts,\n"
+        "  CAST(p.p AS TIMESTAMP) AS purchase_ts,\n"
+        "  p.p - v.v <= INTERVAL 7 DAY AS converted_7d\n"
+        "FROM v JOIN c ON c.user_id = v.user_id\n"
+        "JOIN p ON p.user_id = v.user_id ORDER BY v.user_id"
+    ),
+    category="streaming-live",
+    suite="extension",
+    doc=(
+        "live CEP sequence detection (view -> click -> purchase "
+        "min-chain) via event-time-timer buffered fold in "
+        "applyInPandasWithState, emitted once per user at horizon "
+        "close; batch min-chain SQL oracle — stream/batch parity"
+    ),
+)

@@ -27,19 +27,24 @@ def replay_stream(
     df: DataFrame,
     n_chunks: int = 4,
     scratch_dir: str | None = None,
-    flush_df: DataFrame | None = None,
+    flush_df: DataFrame | list[DataFrame] | None = None,
 ) -> DataFrame:
     """Return a streaming DataFrame that replays ``df`` in ``n_chunks``
     micro-batches. ``scratch_dir`` (a fresh temp dir by default) holds the
     replay files; caller owns cleanup.
 
-    ``flush_df`` (optional) is appended as ONE EXTRA FINAL micro-batch:
-    its files get a strictly later modification time, and the file source
-    admits oldest-first, so it arrives after every replay chunk. Use a
-    far-future sentinel row here to drive the watermark past all real
-    event time — the standard finite-replay trick that lets APPEND-mode
-    queries emit (and thus verify) every window instead of holding the
-    tail in state forever.
+    ``flush_df`` (optional) is appended as EXTRA FINAL micro-batches, one
+    per DataFrame (a single DataFrame is one batch): each gets a strictly
+    later modification time, and the file source admits oldest-first, so
+    they arrive in order after every replay chunk. Use a far-future
+    sentinel row here to drive the watermark past all real event time —
+    the standard finite-replay trick that lets APPEND-mode queries emit
+    (and thus verify) every window instead of holding the tail in state
+    forever. Pass a LIST for operators that need one more micro-batch
+    AFTER the watermark has advanced (event-time TIMERS are evaluated
+    against the watermark computed at the END of the previous batch, so
+    a timer armed below sentinel-1's event time only fires while
+    processing sentinel-2).
     """
     if scratch_dir is None:
         scratch_dir = tempfile.mkdtemp(prefix="nyuki-replay-")
@@ -50,11 +55,13 @@ def replay_stream(
         import os
         import time
 
-        before = set(glob.glob(f"{path}/part-*"))
-        flush_df.coalesce(1).write.mode("append").parquet(path)
-        late = time.time() + 120
-        for f in set(glob.glob(f"{path}/part-*")) - before:
-            os.utime(f, (late, late))
+        flushes = flush_df if isinstance(flush_df, list) else [flush_df]
+        for step, fdf in enumerate(flushes, start=1):
+            before = set(glob.glob(f"{path}/part-*"))
+            fdf.coalesce(1).write.mode("append").parquet(path)
+            late = time.time() + 120 * step
+            for f in set(glob.glob(f"{path}/part-*")) - before:
+                os.utime(f, (late, late))
     return (
         spark.readStream.schema(df.schema)
         .option("maxFilesPerTrigger", 1)

@@ -30,9 +30,15 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampType,
 )
 
-__all__ = ["join_branches_with_timeout", "join_branches_tws", "sleep_release"]
+__all__ = [
+    "funnel_match",
+    "join_branches_with_timeout",
+    "join_branches_tws",
+    "sleep_release",
+]
 
 
 def join_branches_with_timeout(
@@ -267,4 +273,124 @@ def sleep_release(
         stateStructType=state_schema,
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
+def funnel_match(
+    sdf: DataFrame,
+    steps: tuple[str, str, str] = ("view", "click", "purchase"),
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    within_us: int = 7 * 86_400_000_000,
+) -> DataFrame:
+    """CEP sequence detection (the MATCH_RECOGNIZE / Flink-CEP shape):
+    per key, find the earliest ``steps[0]`` event, the earliest
+    ``steps[1]`` STRICTLY after it, and the earliest ``steps[2]``
+    strictly after that; emit one match row per key once its event-time
+    horizon closes, flagging whether the whole sequence completed within
+    ``within_us``.
+
+    Mechanics — the event-time-timer buffered fold, the standard way to
+    run order-sensitive logic over an out-of-order stream: rows buffer
+    in grouped state, each batch re-arms an EVENT-TIME timer at the
+    key's max event time + 1 h, and when the WATERMARK passes that timer
+    the group folds its buffer and emits (or not). The min-chain fold is
+    itself order-insensitive (three running minimums), so buffered
+    arrival order never matters — only completeness does, and the timer
+    + watermark guarantee it: a timer armed at last-event + 1 h can only
+    fire once the watermark (event time minus the delay that bounds
+    replay disorder) has passed every row that could still arrive for
+    the key.
+
+    State per key is the key's OWN event rows inside the watermark
+    horizon — the inherent CEP state bound (Flink's is the same); at
+    1000 executors the state store partitions by key hash and each
+    group's buffer stays a few KB for human-scale activity. The caller
+    must ``withWatermark`` the input; a finite replay needs TWO flush
+    sentinels (see :func:`~nyuki_spark.streaming.replay.replay_stream`)
+    because timers are evaluated against the PREVIOUS batch's watermark.
+    """
+    out_schema = StructType(
+        [
+            StructField(key_col, LongType()),
+            StructField("view_ts", TimestampType()),
+            StructField("click_ts", TimestampType()),
+            StructField("purchase_ts", TimestampType()),
+            StructField("converted_7d", BooleanType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("ts_us", ArrayType(LongType())),
+            StructField("types", ArrayType(StringType())),
+        ]
+    )
+    s0, s1, s2 = steps
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            ts_us, types = state.get
+            state.remove()
+            v = min(
+                (t for t, ty in zip(ts_us, types) if ty == s0), default=None
+            )
+            c = (
+                None
+                if v is None
+                else min(
+                    (
+                        t
+                        for t, ty in zip(ts_us, types)
+                        if ty == s1 and t > v
+                    ),
+                    default=None,
+                )
+            )
+            p = (
+                None
+                if c is None
+                else min(
+                    (
+                        t
+                        for t, ty in zip(ts_us, types)
+                        if ty == s2 and t > c
+                    ),
+                    default=None,
+                )
+            )
+            if p is not None:
+                yield pd.DataFrame(
+                    {
+                        key_col: [int(key[0])],
+                        "view_ts": [pd.to_datetime(v, unit="us")],
+                        "click_ts": [pd.to_datetime(c, unit="us")],
+                        "purchase_ts": [pd.to_datetime(p, unit="us")],
+                        "converted_7d": [bool(p - v <= within_us)],
+                    }
+                )
+            return
+        ts_us, types = (
+            ([], []) if not state.exists else tuple(map(list, state.get))
+        )
+        for pdf in pdfs:
+            # Buffer at MICROSECOND precision — the fixture carries sub-ms
+            # components, and the min-chain must agree with the oracle's
+            # exact timestamp comparisons.
+            ts_us.extend(
+                int(x) for x in pdf[ts_col].astype("int64") // 1_000
+            )
+            types.extend(str(t) for t in pdf[type_col])
+        state.update((ts_us, types))
+        # Timer API is millisecond epoch.
+        state.setTimeoutTimestamp(max(ts_us) // 1000 + 3_600_000)
+
+    return sdf.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )

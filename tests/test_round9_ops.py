@@ -148,3 +148,15 @@ def test_dp_counts_noise_bounded(spark, sf_dir):
         # Laplace(1) from u=(x+0.5)/2^32: |noise| <= ln(2^31) ~ 21.5
         assert abs(noise) <= 22.0
         assert noise != 0.0, "the mechanism actually perturbs"
+
+
+def test_cep_funnel_chain_laws(spark, sf_dir):
+    rows = _rows(spark, sf_dir, "stream_cep_funnel_live")
+    assert rows, "at least one user completes the funnel"
+    for r in rows:
+        assert r.view_ts < r.click_ts < r.purchase_ts, "strict chain order"
+        gap = (r.purchase_ts - r.view_ts).total_seconds()
+        assert r.converted_7d == (gap <= 7 * 86400)
+        assert r.user_id >= 0, "sentinel group never emits"
+    ids = [r.user_id for r in rows]
+    assert len(ids) == len(set(ids)), "exactly one match row per user"

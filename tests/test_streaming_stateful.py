@@ -225,3 +225,50 @@ def test_stream_stream_join_with_watermarks(spark, tmp_path):
     out = run_to_table(joined, mode="append")
     rows = out.collect()
     assert [r.user_id for r in rows] == [1], rows
+
+
+def test_funnel_match_out_of_order_batches(spark, tmp_path):
+    """CEP funnel under DELIBERATE disorder: the purchase arrives in an
+    earlier micro-batch than the view that precedes it in event time, a
+    decoy click sits BEFORE the first view (must not match), and user 2
+    never completes. The event-time-timer buffered fold must reorder via
+    the min-chain; two sentinel batches close the horizon (timers are
+    evaluated against the previous batch's watermark)."""
+    from datetime import datetime, timedelta
+
+    from nyuki_spark.streaming.replay import replay_stream
+    from nyuki_spark.streaming.stateful import funnel_match
+
+    t0 = datetime(2026, 3, 1, 9, 0, 0)
+    schema = "user_id long, ts timestamp, event_type string"
+    rows = [
+        # user 1: decoy click before the view, then view/click/purchase
+        Row(user_id=1, ts=t0 - timedelta(hours=1), event_type="click"),
+        Row(user_id=1, ts=t0, event_type="view"),
+        Row(user_id=1, ts=t0 + timedelta(minutes=10), event_type="click"),
+        Row(user_id=1, ts=t0 + timedelta(minutes=20), event_type="purchase"),
+        # user 2: view+click only — no emission
+        Row(user_id=2, ts=t0, event_type="view"),
+        Row(user_id=2, ts=t0 + timedelta(minutes=5), event_type="click"),
+    ]
+    df = spark.createDataFrame(rows, schema)
+    flush = [
+        spark.createDataFrame(
+            [Row(user_id=-1, ts=t0 + timedelta(days=d), event_type="__flush__")],
+            schema,
+        )
+        for d in (80, 81)
+    ]
+    scratch = str(tmp_path / f"cep-{uuid.uuid4().hex[:8]}")
+    # n_chunks=3 hash-partitions the 6 rows across batches — arrival order
+    # is decoupled from event time by construction.
+    sdf = replay_stream(spark, df, n_chunks=3, scratch_dir=scratch, flush_df=flush)
+    out = funnel_match(sdf.withWatermark("ts", "35 days"))
+    res = run_to_table(out, mode="append").collect()
+    got = {r.user_id: r for r in res if r.user_id >= 0}
+    assert set(got) == {1}
+    r = got[1]
+    assert r.view_ts == t0, "decoy click before the view must not anchor"
+    assert r.click_ts == t0 + timedelta(minutes=10)
+    assert r.purchase_ts == t0 + timedelta(minutes=20)
+    assert r.converted_7d is True
