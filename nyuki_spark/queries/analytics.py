@@ -4431,3 +4431,58 @@ register(
         "reproducible across engines; one census aggregate"
     ),
 )
+
+
+# -- SAX motif census (round 9) ---------------------------------------------------
+
+_SAX_WORDS_SQL = (
+    # Motif discovery over the SAX stream (Lin et al.'s original use):
+    # slide a 3-day window over the symbol sequence (LEAD chains over the
+    # day-bounded series), count each 3-letter SAX word, and report words
+    # seen more than once — repeated words ARE the motifs, the thing
+    # anomaly grammars and seasonality miners consume. All aggregation is
+    # over the daily rollup; the word census is at most |alphabet|^3 = 64
+    # keys. Ragged tail windows (fewer than 3 days) are dropped by the
+    # LEAD IS NOT NULL guard on both engines.
+    "WITH d AS (SELECT CAST(ts AS DATE) AS day, AVG(value) AS m\n"
+    "  FROM events WHERE value IS NOT NULL GROUP BY 1),\n"
+    "s AS (SELECT AVG(m) AS mu, STDDEV_POP(m) AS sigma FROM d),\n"
+    "sym AS (SELECT day,\n"
+    "    CASE WHEN sigma = 0 THEN '_'\n"
+    "      WHEN (m - mu) / sigma < -0.6745 THEN 'a'\n"
+    "      WHEN (m - mu) / sigma < 0 THEN 'b'\n"
+    "      WHEN (m - mu) / sigma < 0.6745 THEN 'c'\n"
+    "      ELSE 'd' END AS sax\n"
+    "  FROM d CROSS JOIN s),\n"
+    "w AS (SELECT day,\n"
+    "    sax || LEAD(sax, 1) OVER (ORDER BY day)\n"
+    "        || LEAD(sax, 2) OVER (ORDER BY day) AS word,\n"
+    "    LEAD(sax, 2) OVER (ORDER BY day) AS guard\n"
+    "  FROM sym)\n"
+    "SELECT word, CAST(COUNT(*) AS BIGINT) AS n,\n"
+    "  MIN(day) AS first_day, MAX(day) AS last_day\n"
+    "FROM w WHERE guard IS NOT NULL GROUP BY word HAVING COUNT(*) > 1\n"
+    "ORDER BY n DESC, word"
+)
+
+# Engine dialect: the LEAD chain runs under the one_group constant
+# partition (PMOD(HASH(day), 1) — operators/rank.py:one_group's SQL form)
+# so the WindowExec spec is non-empty and the plan sweep can see the
+# single group is INTENTIONAL (the series is global by definition and the
+# window input is the day-bounded rollup, never data rows).
+_SAX_WORDS_ENGINE = _SAX_WORDS_SQL.replace(
+    "OVER (ORDER BY day)", "OVER (PARTITION BY PMOD(HASH(day), 1) ORDER BY day)"
+)
+
+register(
+    "ts_sax_motifs",
+    engine=_SAX_WORDS_ENGINE,
+    oracle=_SAX_WORDS_SQL,
+    category="timeseries",
+    suite="extension",
+    doc=(
+        "SAX motif census: 3-day symbol words via LEAD chains over the "
+        "daily rollup, repeated words reported with their span — the "
+        "motif-discovery consumer of ts_sax_symbols"
+    ),
+)

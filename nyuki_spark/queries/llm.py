@@ -3245,3 +3245,154 @@ register(
         "min/max"
     ),
 )
+
+
+# -- IVF-PQ composed search (round 9) --------------------------------------------
+
+
+def _ivfpq_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ — the faiss-standard billion-scale ANN layout (Jegou et
+    al. 2011, §IV): a COARSE inverted-file quantizer prunes the corpus
+    to the probed cells, then PQ asymmetric distance ranks ONLY those
+    candidates through 4 code-table lookups — the search touches neither
+    raw vectors nor unprobed cells. This composes the repo's two
+    hash-verified halves: llm_knn_ivf's deterministic coarse quantizer +
+    4-of-16 cosine probe, and llm_pq_adc's codebooks and ADC fold — so
+    the full approximate pipeline (cell assignment, probe choice, code
+    assignment, distance arithmetic) is oracle-verified end to end.
+
+    Scale shape: the coarse stage REUSES llm_knn_ivf's persisted index
+    (same corpus key — one build serves both queries: the build-once /
+    query-many contract), and the 4 probed cell ids are a bounded 4-row
+    collect that turns into a STATIC partition filter on the
+    cell-partitioned vectors layout — the fine stage's scan physically
+    reads 4 of 16 directories and the rest of the corpus is never
+    opened. The PQ codebooks are k-row models (k-row broadcasts); ADC
+    lookups are code-id equi-joins on the candidate subset; top-10 is
+    TakeOrderedAndProject. Nothing data-sized crosses the driver.
+    """
+    import hashlib
+    import os
+    import tempfile
+
+    from nyuki_spark.functions.fsutil import fs_exists
+    from nyuki_spark.operators.kmeans import kmeans_fit
+    from nyuki_spark.operators.similarity import build_ivf_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = list(
+        emb.where(F.col("vec_id") == 0)
+        .select(F.col("embedding").cast("array<double>").alias("e"))
+        .head()["e"]
+    )
+    # Same index key as llm_knn_ivf: the coarse quantizer is shared.
+    key = hashlib.md5(f"{sf_dir}|cells=16|det|v3".encode()).hexdigest()[:12]
+    index_dir = os.path.join(tempfile.gettempdir(), f"nyuki-ivf-{key}")
+    if not fs_exists(spark, os.path.join(index_dir, "vectors", "_SUCCESS")):
+        build_ivf_index(
+            emb.where(F.col("vec_id") != 0), index_dir, n_cells=16
+        )
+    cents = spark.read.parquet(f"{index_dir}/centroids")
+    qarr = F.array(*[F.lit(x) for x in q])
+
+    def fold(arr):
+        return F.aggregate(arr, F.lit(0.0), lambda acc, v: acc + v)
+
+    dot = fold(F.zip_with(F.col("centroid"), qarr, lambda x, y: x * y))
+    cc = fold(
+        F.zip_with(F.col("centroid"), F.col("centroid"), lambda x, y: x * y)
+    )
+    qq = fold(F.zip_with(qarr, qarr, lambda x, y: x * y))
+    probe = (
+        cents.select("cell", (dot / (F.sqrt(cc) * F.sqrt(qq))).alias("sim"))
+        .orderBy(F.desc("sim"), "cell")
+        .limit(4)
+        .collect()
+    )  # bounded 4-row collect -> static partition filter below
+    cells = [int(r["cell"]) for r in probe]
+    cand = (
+        spark.read.parquet(f"{index_dir}/vectors")
+        .where(F.col("cell").isin(cells))
+        .select("vec_id")
+    )
+    out = cand
+    dcols = []
+    for s in range(4):
+        sub = emb.select(
+            "vec_id",
+            F.slice(F.col("embedding").cast("array<double>"), s * 16 + 1, 16)
+            .alias("embedding"),
+        )
+        asg, cent = kmeans_fit(sub, k=4, iters=2)
+        qs = F.array(*[F.lit(x) for x in q[s * 16 : s * 16 + 16]])
+        d = F.aggregate(
+            F.zip_with(qs, F.col("c"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        dist = cent.select("cid", d.alias(f"d{s}"))
+        looked = (
+            asg.withColumnRenamed("cluster_id", "cid")
+            .join(F.broadcast(dist), "cid")
+            .select("vec_id", f"d{s}")
+        )
+        out = out.join(looked, "vec_id")
+        dcols.append(F.col(f"d{s}"))
+    adc = dcols[0] + dcols[1] + dcols[2] + dcols[3]
+    return (
+        out.select("vec_id", adc.alias("adc_dist"))
+        .orderBy("adc_dist", "vec_id")
+        .limit(10)
+    )
+
+
+register(
+    "llm_knn_ivfpq",
+    engine_fn=_ivfpq_fn,
+    oracle=(
+        "WITH "
+        + _duck_kmeans_ctes(
+            p="cq_", k=16, src="(SELECT * FROM embeddings WHERE vec_id <> 0)"
+        )
+        + ",\n"
+        + ",\n".join(
+            _duck_kmeans_ctes(
+                p=f"s{s}_",
+                e_expr=f"(embedding::DOUBLE[])[{s * 16 + 1}:{s * 16 + 16}]",
+                dims=16,
+                k=4,
+            )
+            for s in range(4)
+        )
+        + ",\n"
+        "q AS (SELECT embedding::DOUBLE[] AS e FROM embeddings"
+        " WHERE vec_id = 0),\n"
+        "cs AS (SELECT cid,\n"
+        f"  {_fold('c.c[i] * q.e[i]')}\n"
+        f"  / (SQRT({_fold('c.c[i] * c.c[i]')})"
+        f" * SQRT({_fold('q.e[i] * q.e[i]')})) AS sim\n"
+        "  FROM cq_c1 c CROSS JOIN q),\n"
+        "probe AS (SELECT cid FROM cs ORDER BY sim DESC, cid LIMIT 4),\n"
+        "cand AS (SELECT vec_id FROM cq_a2"
+        " WHERE cid IN (SELECT cid FROM probe)),\n"
+        + ",\n".join(_duck_adc_dist(s) for s in range(4))
+        + "\n"
+        "SELECT a0.vec_id, d0.d + d1.d + d2.d + d3.d AS adc_dist\n"
+        "FROM cand JOIN s0_a2 a0 USING (vec_id) JOIN d0 ON a0.cid = d0.cid\n"
+        "  JOIN s1_a2 a1 ON a1.vec_id = a0.vec_id"
+        " JOIN d1 ON a1.cid = d1.cid\n"
+        "  JOIN s2_a2 a2_ ON a2_.vec_id = a0.vec_id"
+        " JOIN d2 ON a2_.cid = d2.cid\n"
+        "  JOIN s3_a2 a3 ON a3.vec_id = a0.vec_id"
+        " JOIN d3 ON a3.cid = d3.cid\n"
+        "ORDER BY adc_dist, a0.vec_id LIMIT 10"
+    ),
+    category="llm-similarity",
+    suite="extension",
+    doc=(
+        "IVF-PQ composed ANN (the faiss billion-scale layout): "
+        "deterministic 16-cell coarse quantizer + 4-of-16 cosine probe "
+        "prunes candidates, PQ/ADC code-table lookups rank them — the "
+        "full approximate pipeline hash-verified end to end"
+    ),
+)

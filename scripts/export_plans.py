@@ -134,6 +134,23 @@ HEADLINES = {
         "before any pairing, then the rep pair stage is an EQUI-join on "
         "cluster_id — per-cell fanout, never corpus x corpus"
     ),
+    "llm_roc_auc": (
+        "distributed AUC: 4-dp score quantization bounds the census at "
+        "10,001 rows, rank statistics fold over the census (allowlisted "
+        "one_group window) — the data rows see exactly one partial-agg "
+        "shuffle"
+    ),
+    "llm_inverted_index": (
+        "posting-list build: in-row dedup (array_distinct), census "
+        "shuffle, TakeOrdered top-50, then the per-token window runs "
+        "AFTER the 50-row broadcast gate — the sort is spill-backed and "
+        "collect_list sees <= 10 rows per token"
+    ),
+    "llm_pca2_basis": (
+        "top-2 PCA: one mapInPandas BLAS Gram pass with an O(d^2)-key "
+        "exchange independent of row count; the 8+8 deflated power "
+        "steps run on the driver over the 64x64 model (2080-row collect)"
+    ),
 }
 
 

@@ -230,6 +230,13 @@ ALLOWLIST: dict[str, tuple[tuple[str, ...], str]] = {
         "feeding k-row distance-table broadcasts; lookups are code-id "
         "equi-joins",
     ),
+    "llm_knn_ivfpq": (
+        ("BroadcastNestedLoopJoin",),
+        "five kmeans_fit runs (16-cell coarse + four k=4 subspace "
+        "codebooks — k-row broadcast centroid crossJoins, the "
+        "llm_pq_adc shape); probe/candidate gating and ADC lookups are "
+        "broadcast semi-joins / code-id equi-joins",
+    ),
     "llm_pq_codes": (
         ("BroadcastNestedLoopJoin",),
         "four kmeans_assign subspace runs, each crossJoining vectors with "
@@ -468,6 +475,13 @@ ALLOWLIST: dict[str, tuple[tuple[str, ...], str]] = {
         "click/purchase series — one row per hour of time range "
         "(resample-first contract, like ts_acf), never data rows; the "
         "series is global by definition so it cannot partition by key",
+    ),
+    "ts_sax_motifs": (
+        ("Exchange OneGroupConstant", "BroadcastNestedLoopJoin"),
+        "the LEAD chain runs over the DAY-bounded rollup under the "
+        "one_group constant partition (global series by definition — "
+        "the ts_rolling_corr precedent); the BNLJ is the 1-row "
+        "mean/stddev broadcast (stat_psi_drift shape)",
     ),
     "ts_sax_symbols": (
         ("BroadcastNestedLoopJoin",),

@@ -160,3 +160,21 @@ def test_cep_funnel_chain_laws(spark, sf_dir):
         assert r.user_id >= 0, "sentinel group never emits"
     ids = [r.user_id for r in rows]
     assert len(ids) == len(set(ids)), "exactly one match row per user"
+
+
+def test_ivfpq_ranking_laws(spark, sf_dir):
+    rows = _rows(spark, sf_dir, "llm_knn_ivfpq")
+    assert len(rows) == 10
+    dists = [r.adc_dist for r in rows]
+    assert dists == sorted(dists), "ADC distances ascend"
+    assert all(d >= 0.0 for d in dists)
+    assert all(r.vec_id != 0 for r in rows), "query vector is not a candidate"
+
+
+def test_sax_motifs_are_repeats(spark, sf_dir):
+    rows = _rows(spark, sf_dir, "ts_sax_motifs")
+    for r in rows:
+        assert r.n > 1, "a motif is a repeated word"
+        assert len(r.word) == 3
+        assert set(r.word) <= set("abcd_")
+        assert r.first_day <= r.last_day
