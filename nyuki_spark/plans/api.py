@@ -267,7 +267,14 @@ def serve(
                 try:
                     since = max(0, int(qs.get("since", 0)))
                     max_events = max(0, int(qs.get("max", 0)))
-                    timeout_s = max(0.0, float(qs.get("timeout_s", 30.0)))
+                    # Cap as well as floor: float() accepts 'inf'/'nan',
+                    # and an infinite deadline would pin the SSE handler
+                    # thread (and its socket) until the client hangs up.
+                    timeout_s = min(
+                        max(0.0, float(qs.get("timeout_s", 30.0))), 600.0
+                    )
+                    if timeout_s != timeout_s:  # NaN
+                        timeout_s = 30.0
                 except ValueError:
                     return self._send(
                         400,

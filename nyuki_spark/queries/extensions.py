@@ -3638,12 +3638,14 @@ register(
 
 def _cep_funnel_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Live CEP funnel (streaming/stateful.py:funnel_match) over the
-    4-chunk out-of-order replay: per user, earliest view -> first click
-    strictly after it -> first purchase strictly after that, emitted
-    exactly once per user when the user's event-time horizon closes
-    (event-time TIMER at last-event + 1 h, fired by the watermark). The
-    batch oracle runs the identical min-chain in SQL — streaming CEP vs
-    batch SQL parity, like the stream-stream join family.
+    4-chunk out-of-order replay: per user, the earliest view anchors a
+    7-DAY pattern window; the match is the first click strictly after
+    the anchor and the first purchase strictly after that, both inside
+    the window — emitted exactly once per user when the anchor's horizon
+    closes (event-time TIMER at anchor + window, fired by the
+    watermark; continuous-stream-correct, not an inactivity timeout).
+    The batch oracle runs the identical window-bounded min-chain in SQL
+    — streaming CEP vs batch SQL parity, like the stream-stream joins.
 
     Two flush sentinels, not one: timers are evaluated against the
     watermark computed at the END of the previous batch, so sentinel-1
@@ -3706,7 +3708,17 @@ def _cep_funnel_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = funnel_match(sdf)
         res = run_to_table(out, mode="append", name=name)
-        res = res.where(F.col("user_id") >= 0).orderBy("user_id").cache()
+        res = (
+            res.where(F.col("user_id") >= 0)
+            .select(
+                "user_id",
+                F.col("step1_ts").alias("view_ts"),
+                F.col("step2_ts").alias("click_ts"),
+                F.col("step3_ts").alias("purchase_ts"),
+            )
+            .orderBy("user_id")
+            .cache()
+        )
         res.count()
         return res
     finally:
@@ -3725,14 +3737,16 @@ register(
         "  WHERE event_type = 'view' GROUP BY 1),\n"
         "c AS (SELECT e.user_id, MIN(e.ts) AS c FROM events e\n"
         "  JOIN v ON v.user_id = e.user_id\n"
-        "  WHERE e.event_type = 'click' AND e.ts > v.v GROUP BY 1),\n"
+        "  WHERE e.event_type = 'click' AND e.ts > v.v\n"
+        "    AND e.ts <= v.v + INTERVAL 7 DAY GROUP BY 1),\n"
         "p AS (SELECT e.user_id, MIN(e.ts) AS p FROM events e\n"
         "  JOIN c ON c.user_id = e.user_id\n"
-        "  WHERE e.event_type = 'purchase' AND e.ts > c.c GROUP BY 1)\n"
+        "  JOIN v ON v.user_id = e.user_id\n"
+        "  WHERE e.event_type = 'purchase' AND e.ts > c.c\n"
+        "    AND e.ts <= v.v + INTERVAL 7 DAY GROUP BY 1)\n"
         "SELECT v.user_id, CAST(v.v AS TIMESTAMP) AS view_ts,\n"
         "  CAST(c.c AS TIMESTAMP) AS click_ts,\n"
-        "  CAST(p.p AS TIMESTAMP) AS purchase_ts,\n"
-        "  p.p - v.v <= INTERVAL 7 DAY AS converted_7d\n"
+        "  CAST(p.p AS TIMESTAMP) AS purchase_ts\n"
         "FROM v JOIN c ON c.user_id = v.user_id\n"
         "JOIN p ON p.user_id = v.user_id ORDER BY v.user_id"
     ),
@@ -3740,8 +3754,9 @@ register(
     suite="extension",
     doc=(
         "live CEP sequence detection (view -> click -> purchase "
-        "min-chain) via event-time-timer buffered fold in "
-        "applyInPandasWithState, emitted once per user at horizon "
-        "close; batch min-chain SQL oracle — stream/batch parity"
+        "min-chain inside a 7-day anchor window) via event-time-timer "
+        "buffered fold in applyInPandasWithState, emitted once per "
+        "user at anchor-horizon close; batch window-bounded min-chain "
+        "SQL oracle — stream/batch parity"
     ),
 )

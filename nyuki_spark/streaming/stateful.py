@@ -285,39 +285,42 @@ def funnel_match(
     within_us: int = 7 * 86_400_000_000,
 ) -> DataFrame:
     """CEP sequence detection (the MATCH_RECOGNIZE / Flink-CEP shape):
-    per key, find the earliest ``steps[0]`` event, the earliest
-    ``steps[1]`` STRICTLY after it, and the earliest ``steps[2]``
-    strictly after that; emit one match row per key once its event-time
-    horizon closes, flagging whether the whole sequence completed within
-    ``within_us``.
+    per key, the earliest ``steps[0]`` event anchors a pattern window of
+    ``within_us``; the match is the earliest ``steps[1]`` strictly after
+    the anchor and the earliest ``steps[2]`` strictly after that, BOTH
+    inside the window. One row per completed match, emitted exactly once
+    when the anchor's horizon closes. Output columns are generic
+    (``step1_ts``/``step2_ts``/``step3_ts``) so the parameters mean what
+    they say; callers alias to domain names.
 
     Mechanics — the event-time-timer buffered fold, the standard way to
     run order-sensitive logic over an out-of-order stream: rows buffer
-    in grouped state, each batch re-arms an EVENT-TIME timer at the
-    key's max event time + 1 h, and when the WATERMARK passes that timer
-    the group folds its buffer and emits (or not). The min-chain fold is
-    itself order-insensitive (three running minimums), so buffered
-    arrival order never matters — only completeness does, and the timer
-    + watermark guarantee it: a timer armed at last-event + 1 h can only
-    fire once the watermark (event time minus the delay that bounds
-    replay disorder) has passed every row that could still arrive for
-    the key.
+    in grouped state and the timer is armed at ANCHOR + WINDOW (clamped
+    just above the current watermark if the anchor is already old): once
+    the watermark passes that point, no event inside the pattern window
+    can still arrive, so the outcome is final — this is what makes the
+    operator correct on a CONTINUOUS stream, where an inactivity-style
+    timer (last-event + grace) would close the horizon mid-window and
+    lose matches whose later steps simply had not arrived yet. Keys with
+    no anchor yet re-arm at last-event + window, which also GCs state
+    for keys that never anchor. The min-chain fold itself is
+    order-insensitive (three running minimums), so buffered arrival
+    order never matters.
 
-    State per key is the key's OWN event rows inside the watermark
-    horizon — the inherent CEP state bound (Flink's is the same); at
-    1000 executors the state store partitions by key hash and each
-    group's buffer stays a few KB for human-scale activity. The caller
-    must ``withWatermark`` the input; a finite replay needs TWO flush
-    sentinels (see :func:`~nyuki_spark.streaming.replay.replay_stream`)
-    because timers are evaluated against the PREVIOUS batch's watermark.
+    State per key is bounded by the pattern window, not the stream:
+    events past ANCHOR + WINDOW are pruned at buffer time (they can
+    never participate — the anchor only ever moves EARLIER, which moves
+    the window earlier too). The caller must ``withWatermark`` the
+    input; a finite replay needs TWO flush sentinels (see
+    :func:`~nyuki_spark.streaming.replay.replay_stream`) because timers
+    are evaluated against the PREVIOUS batch's watermark.
     """
     out_schema = StructType(
         [
             StructField(key_col, LongType()),
-            StructField("view_ts", TimestampType()),
-            StructField("click_ts", TimestampType()),
-            StructField("purchase_ts", TimestampType()),
-            StructField("converted_7d", BooleanType()),
+            StructField("step1_ts", TimestampType()),
+            StructField("step2_ts", TimestampType()),
+            StructField("step3_ts", TimestampType()),
         ]
     )
     state_schema = StructType(
@@ -344,7 +347,7 @@ def funnel_match(
                     (
                         t
                         for t, ty in zip(ts_us, types)
-                        if ty == s1 and t > v
+                        if ty == s1 and v < t <= v + within_us
                     ),
                     default=None,
                 )
@@ -356,7 +359,7 @@ def funnel_match(
                     (
                         t
                         for t, ty in zip(ts_us, types)
-                        if ty == s2 and t > c
+                        if ty == s2 and c < t <= v + within_us
                     ),
                     default=None,
                 )
@@ -365,10 +368,9 @@ def funnel_match(
                 yield pd.DataFrame(
                     {
                         key_col: [int(key[0])],
-                        "view_ts": [pd.to_datetime(v, unit="us")],
-                        "click_ts": [pd.to_datetime(c, unit="us")],
-                        "purchase_ts": [pd.to_datetime(p, unit="us")],
-                        "converted_7d": [bool(p - v <= within_us)],
+                        "step1_ts": [pd.to_datetime(v, unit="us")],
+                        "step2_ts": [pd.to_datetime(c, unit="us")],
+                        "step3_ts": [pd.to_datetime(p, unit="us")],
                     }
                 )
             return
@@ -383,9 +385,29 @@ def funnel_match(
                 int(x) for x in pdf[ts_col].astype("int64") // 1_000
             )
             types.extend(str(t) for t in pdf[type_col])
+        anchor = min(
+            (t for t, ty in zip(ts_us, types) if ty == s0), default=None
+        )
+        if anchor is not None:
+            # Events past the window can never participate: the anchor
+            # only moves earlier, which moves the window earlier too.
+            keep = [
+                (t, ty)
+                for t, ty in zip(ts_us, types)
+                if t <= anchor + within_us
+            ]
+            ts_us = [t for t, _ in keep]
+            types = [ty for _, ty in keep]
         state.update((ts_us, types))
-        # Timer API is millisecond epoch.
-        state.setTimeoutTimestamp(max(ts_us) // 1000 + 3_600_000)
+        # Horizon: anchor + window (outcome final once the watermark is
+        # past it); anchor-less keys re-arm at last-event + window (GC).
+        # Timer API is millisecond epoch and must sit above the current
+        # watermark (an old anchor's horizon may already have passed).
+        base = anchor if anchor is not None else max(ts_us)
+        timer_ms = (base + within_us) // 1000 + 1
+        state.setTimeoutTimestamp(
+            max(timer_ms, state.getCurrentWatermarkMs() + 1)
+        )
 
     return sdf.groupBy(key_col).applyInPandasWithState(
         fn,

@@ -145,8 +145,9 @@ def test_dp_counts_noise_bounded(spark, sf_dir):
     for r in rows:
         assert r.epsilon == 1.0
         noise = r.n_noisy - r.n_true
-        # Laplace(1) from u=(x+0.5)/2^32: |noise| <= ln(2^31) ~ 21.5
-        assert abs(noise) <= 22.0
+        # Laplace(1) from u=(x+0.5)/2^32: the extreme draws (x=0 or
+        # x=2^32-1) give |noise| = -ln(2^-32) = 32*ln(2) ~ 22.181
+        assert abs(noise) <= 22.19
         assert noise != 0.0, "the mechanism actually perturbs"
 
 
@@ -156,7 +157,7 @@ def test_cep_funnel_chain_laws(spark, sf_dir):
     for r in rows:
         assert r.view_ts < r.click_ts < r.purchase_ts, "strict chain order"
         gap = (r.purchase_ts - r.view_ts).total_seconds()
-        assert r.converted_7d == (gap <= 7 * 86400)
+        assert gap <= 7 * 86400, "whole chain inside the anchor window"
         assert r.user_id >= 0, "sentinel group never emits"
     ids = [r.user_id for r in rows]
     assert len(ids) == len(set(ids)), "exactly one match row per user"

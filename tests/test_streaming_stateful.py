@@ -268,7 +268,6 @@ def test_funnel_match_out_of_order_batches(spark, tmp_path):
     got = {r.user_id: r for r in res if r.user_id >= 0}
     assert set(got) == {1}
     r = got[1]
-    assert r.view_ts == t0, "decoy click before the view must not anchor"
-    assert r.click_ts == t0 + timedelta(minutes=10)
-    assert r.purchase_ts == t0 + timedelta(minutes=20)
-    assert r.converted_7d is True
+    assert r.step1_ts == t0, "decoy click before the view must not anchor"
+    assert r.step2_ts == t0 + timedelta(minutes=10)
+    assert r.step3_ts == t0 + timedelta(minutes=20)
