@@ -2236,7 +2236,7 @@ def _chat_template_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register(
-    "llm_chat_template",
+    "llm_sft_chat_template",
     engine_fn=_chat_template_fn,
     oracle=(
         "WITH t AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS l,\n"

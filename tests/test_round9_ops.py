@@ -111,7 +111,7 @@ def test_mrl_truncation_census(spark, sf_dir):
 
 
 def test_chat_template_boundaries(spark, sf_dir):
-    rows = _rows(spark, sf_dir, "llm_chat_template")
+    rows = _rows(spark, sf_dir, "llm_sft_chat_template")
     assert rows
     for r in rows:
         assert r.loss_start == r.n_prompt_tokens + 2
