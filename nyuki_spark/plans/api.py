@@ -270,11 +270,14 @@ def serve(
                     # Cap as well as floor: float() accepts 'inf'/'nan',
                     # and an infinite deadline would pin the SSE handler
                     # thread (and its socket) until the client hangs up.
-                    timeout_s = min(
-                        max(0.0, float(qs.get("timeout_s", 30.0))), 600.0
-                    )
+                    # NaN must be caught BEFORE the clamp: max(0.0, nan)
+                    # returns 0.0 (NaN compares False), so a post-clamp
+                    # check never fires and nan would silently become a
+                    # 0-second timeout instead of the 30 s default.
+                    timeout_s = float(qs.get("timeout_s", 30.0))
                     if timeout_s != timeout_s:  # NaN
                         timeout_s = 30.0
+                    timeout_s = min(max(0.0, timeout_s), 600.0)
                 except ValueError:
                     return self._send(
                         400,

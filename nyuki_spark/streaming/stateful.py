@@ -278,20 +278,28 @@ def sleep_release(
 
 def funnel_match(
     sdf: DataFrame,
-    steps: tuple[str, str, str] = ("view", "click", "purchase"),
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
     key_col: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
     within_us: int = 7 * 86_400_000_000,
+    absent: str | None = None,
 ) -> DataFrame:
-    """CEP sequence detection (the MATCH_RECOGNIZE / Flink-CEP shape):
-    per key, the earliest ``steps[0]`` event anchors a pattern window of
-    ``within_us``; the match is the earliest ``steps[1]`` strictly after
-    the anchor and the earliest ``steps[2]`` strictly after that, BOTH
-    inside the window. One row per completed match, emitted exactly once
-    when the anchor's horizon closes. Output columns are generic
-    (``step1_ts``/``step2_ts``/``step3_ts``) so the parameters mean what
-    they say; callers alias to domain names.
+    """CEP sequence detection: per key, the earliest ``steps[0]`` event
+    anchors a pattern window of ``within_us``; the match is the earliest
+    ``steps[i]`` strictly after the matched ``steps[i-1]``, every step
+    inside the window — a k-step existence chain. With ``absent`` set,
+    the pattern additionally FAILS if any event of that type occurs
+    strictly after the anchor and inside the window (the abandoned-cart
+    shape: view -> click with NO purchase). One row per completed match,
+    emitted exactly once per key when the earliest anchor's horizon
+    closes. Output columns are generic (``step1_ts`` .. ``stepK_ts``) so
+    the parameters mean what they say; callers alias to domain names.
+
+    Scope, stated plainly: k-step existence chains plus one negated
+    event type — the funnel and absence-within-window classes of
+    MATCH_RECOGNIZE / Flink-CEP workloads. NOT a general pattern-regex
+    engine: no quantifiers, no alternation, no multiple negations.
 
     Mechanics — the event-time-timer buffered fold, the standard way to
     run order-sensitive logic over an out-of-order stream: rows buffer
@@ -304,8 +312,23 @@ def funnel_match(
     lose matches whose later steps simply had not arrived yet. Keys with
     no anchor yet re-arm at last-event + window, which also GCs state
     for keys that never anchor. The min-chain fold itself is
-    order-insensitive (three running minimums), so buffered arrival
+    order-insensitive (k running minimums), so buffered arrival
     order never matters.
+
+    Exactly-once per key on a TRUE CONTINUOUS stream (not just under a
+    finite replay): after an anchored horizon closes, the key's state is
+    not removed but replaced with an empty-buffer TOMBSTONE — later
+    events for the key would otherwise re-create state with a NEW
+    (later) anchor and emit a second row, diverging from the batch
+    twin's global-MIN anchor. The tombstone is O(1) per key (two empty
+    arrays, no buffered events, no timer) — the floor any
+    exactly-once-per-key contract pays. And it is semantics-exact, not
+    just dedup: once the EARLIEST anchor's horizon closes, the batch
+    twin's outcome for that key is final, whether or not a row was
+    emitted. Anchor-less GC still removes state entirely: a pre-anchor
+    event that could complete a FUTURE anchor's chain must have
+    ts > last-event + window (or the GC timer had not fired), so
+    dropping the old buffer is lossless.
 
     State per key is bounded by the pattern window, not the stream:
     events past ANCHOR + WINDOW are pruned at buffer time (they can
@@ -315,12 +338,16 @@ def funnel_match(
     :func:`~nyuki_spark.streaming.replay.replay_stream`) because timers
     are evaluated against the PREVIOUS batch's watermark.
     """
+    k = len(steps)
+    if k < 1:
+        raise ValueError("funnel_match needs at least one step")
+    if absent is not None and absent in steps:
+        raise ValueError("absent type cannot also be a chain step")
     out_schema = StructType(
-        [
-            StructField(key_col, LongType()),
-            StructField("step1_ts", TimestampType()),
-            StructField("step2_ts", TimestampType()),
-            StructField("step3_ts", TimestampType()),
+        [StructField(key_col, LongType())]
+        + [
+            StructField(f"step{i}_ts", TimestampType())
+            for i in range(1, k + 1)
         ]
     )
     state_schema = StructType(
@@ -329,60 +356,78 @@ def funnel_match(
             StructField("types", ArrayType(StringType())),
         ]
     )
-    s0, s1, s2 = steps
+    s0 = steps[0]
 
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         if state.hasTimedOut:
             ts_us, types = state.get
-            state.remove()
-            v = min(
+            anchor = min(
                 (t for t, ty in zip(ts_us, types) if ty == s0), default=None
             )
-            c = (
-                None
-                if v is None
-                else min(
-                    (
-                        t
-                        for t, ty in zip(ts_us, types)
-                        if ty == s1 and v < t <= v + within_us
-                    ),
-                    default=None,
+            if anchor is None:
+                state.remove()  # never-anchored key: plain GC
+                return
+            # Anchored horizon closed: the outcome is final for this key
+            # (the batch twin anchors at the global MIN step-0 event).
+            # Tombstone instead of remove — exactly-once per key.
+            state.update(([], []))
+            chain: list[int | None] = [anchor]
+            prev: int | None = anchor
+            for s in steps[1:]:
+                nxt = (
+                    None
+                    if prev is None
+                    else min(
+                        (
+                            t
+                            for t, ty in zip(ts_us, types)
+                            if ty == s and prev < t <= anchor + within_us
+                        ),
+                        default=None,
+                    )
                 )
-            )
-            p = (
-                None
-                if c is None
-                else min(
-                    (
-                        t
-                        for t, ty in zip(ts_us, types)
-                        if ty == s2 and c < t <= v + within_us
-                    ),
-                    default=None,
+                chain.append(nxt)
+                prev = nxt
+            matched = all(c is not None for c in chain)
+            if matched and absent is not None:
+                matched = not any(
+                    ty == absent and anchor < t <= anchor + within_us
+                    for t, ty in zip(ts_us, types)
                 )
-            )
-            if p is not None:
+            if matched:
                 yield pd.DataFrame(
                     {
                         key_col: [int(key[0])],
-                        "step1_ts": [pd.to_datetime(v, unit="us")],
-                        "step2_ts": [pd.to_datetime(c, unit="us")],
-                        "step3_ts": [pd.to_datetime(p, unit="us")],
+                        **{
+                            f"step{i + 1}_ts": [
+                                pd.to_datetime(chain[i], unit="us")
+                            ]
+                            for i in range(k)
+                        },
                     }
                 )
             return
         ts_us, types = (
             ([], []) if not state.exists else tuple(map(list, state.get))
         )
+        if state.exists and not ts_us:
+            # Tombstoned key: the earliest anchor's horizon already
+            # closed and the outcome was emitted (or ruled out) — later
+            # events cannot change it. Keep the tombstone, arm no timer.
+            return
         for pdf in pdfs:
             # Buffer at MICROSECOND precision — the fixture carries sub-ms
             # components, and the min-chain must agree with the oracle's
-            # exact timestamp comparisons.
+            # exact timestamp comparisons. Normalize to ns explicitly:
+            # a bare astype("int64") assumes Arrow handed datetime64[ns],
+            # and under a datetime64[us] pandas/Arrow config every
+            # buffered time would silently be 1000x off.
             ts_us.extend(
-                int(x) for x in pdf[ts_col].astype("int64") // 1_000
+                int(x)
+                for x in pdf[ts_col].astype("datetime64[ns]").astype("int64")
+                // 1_000
             )
             types.extend(str(t) for t in pdf[type_col])
         anchor = min(

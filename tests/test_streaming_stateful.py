@@ -271,3 +271,110 @@ def test_funnel_match_out_of_order_batches(spark, tmp_path):
     assert r.step1_ts == t0, "decoy click before the view must not anchor"
     assert r.step2_ts == t0 + timedelta(minutes=10)
     assert r.step3_ts == t0 + timedelta(minutes=20)
+
+
+def test_funnel_match_negation_abandoned_cart(spark, tmp_path):
+    """k=2 chain + negation (the abandoned-cart shape): view -> click
+    with NO purchase inside the 7-day anchor window. User 1 abandons
+    (match), user 2 purchases inside the window (no match), user 3's
+    purchase lands AFTER the window closes (match — the negation scope
+    is window-bounded, not forever)."""
+    from datetime import datetime, timedelta
+
+    from nyuki_spark.streaming.replay import replay_stream
+    from nyuki_spark.streaming.stateful import funnel_match
+
+    t0 = datetime(2026, 3, 1, 9, 0, 0)
+    schema = "user_id long, ts timestamp, event_type string"
+    rows = [
+        Row(user_id=1, ts=t0, event_type="view"),
+        Row(user_id=1, ts=t0 + timedelta(minutes=10), event_type="click"),
+        Row(user_id=2, ts=t0, event_type="view"),
+        Row(user_id=2, ts=t0 + timedelta(minutes=5), event_type="click"),
+        Row(user_id=2, ts=t0 + timedelta(hours=2), event_type="purchase"),
+        Row(user_id=3, ts=t0, event_type="view"),
+        Row(user_id=3, ts=t0 + timedelta(minutes=7), event_type="click"),
+        Row(user_id=3, ts=t0 + timedelta(days=8), event_type="purchase"),
+    ]
+    df = spark.createDataFrame(rows, schema)
+    flush = [
+        spark.createDataFrame(
+            [Row(user_id=-1, ts=t0 + timedelta(days=d), event_type="__flush__")],
+            schema,
+        )
+        for d in (80, 81)
+    ]
+    scratch = str(tmp_path / f"cep-neg-{uuid.uuid4().hex[:8]}")
+    sdf = replay_stream(spark, df, n_chunks=3, scratch_dir=scratch, flush_df=flush)
+    out = funnel_match(
+        sdf.withWatermark("ts", "35 days"),
+        steps=("view", "click"),
+        absent="purchase",
+    )
+    res = run_to_table(out, mode="append").collect()
+    got = {r.user_id: r for r in res if r.user_id >= 0}
+    assert set(got) == {1, 3}
+    assert got[1].step1_ts == t0
+    assert got[1].step2_ts == t0 + timedelta(minutes=10)
+    assert got[3].step2_ts == t0 + timedelta(minutes=7)
+    assert not hasattr(got[1], "step3_ts"), "k=2 output has exactly 2 step columns"
+
+
+def test_funnel_match_tombstone_exactly_once_per_key(spark, tmp_path):
+    """Continuous-stream exactly-once (r9 ADVICE): after a key's first
+    anchored horizon closes, LATER events must not re-anchor and emit a
+    second row — the batch twin anchors at the global MIN view, so the
+    first epoch's outcome (here: no purchase -> no row) is final. The
+    flush_df list is used as ordered micro-batches: epoch-1 events,
+    sentinels that close epoch 1's horizon, then a complete epoch-2
+    funnel for the same key, then final sentinels."""
+    from datetime import datetime, timedelta
+
+    from nyuki_spark.streaming.replay import replay_stream
+    from nyuki_spark.streaming.stateful import funnel_match
+
+    t0 = datetime(2026, 3, 1, 9, 0, 0)
+    schema = "user_id long, ts timestamp, event_type string"
+    epoch1 = spark.createDataFrame(
+        [
+            # user 1: incomplete funnel (no purchase) in epoch 1
+            Row(user_id=1, ts=t0, event_type="view"),
+            Row(user_id=1, ts=t0 + timedelta(minutes=10), event_type="click"),
+            # user 2: positive control, completes in epoch 1
+            Row(user_id=2, ts=t0, event_type="view"),
+            Row(user_id=2, ts=t0 + timedelta(minutes=5), event_type="click"),
+            Row(user_id=2, ts=t0 + timedelta(hours=1), event_type="purchase"),
+        ],
+        schema,
+    )
+
+    def sentinel(days: int):
+        return spark.createDataFrame(
+            [Row(user_id=-1, ts=t0 + timedelta(days=days), event_type="__flush__")],
+            schema,
+        )
+
+    # Complete epoch-2 funnel for user 1, ABOVE the watermark that closed
+    # epoch 1 (wm after the day-51 sentinel = t0+16d; these sit at t0+20d).
+    epoch2 = spark.createDataFrame(
+        [
+            Row(user_id=1, ts=t0 + timedelta(days=20), event_type="view"),
+            Row(user_id=1, ts=t0 + timedelta(days=20, minutes=9), event_type="click"),
+            Row(user_id=1, ts=t0 + timedelta(days=20, hours=3), event_type="purchase"),
+        ],
+        schema,
+    )
+    scratch = str(tmp_path / f"cep-tomb-{uuid.uuid4().hex[:8]}")
+    sdf = replay_stream(
+        spark,
+        epoch1,
+        n_chunks=1,
+        scratch_dir=scratch,
+        flush_df=[sentinel(50), sentinel(51), epoch2, sentinel(80), sentinel(81)],
+    )
+    out = funnel_match(sdf.withWatermark("ts", "35 days"))
+    res = run_to_table(out, mode="append").collect()
+    got = sorted(r.user_id for r in res if r.user_id >= 0)
+    # Without the tombstone user 1 would re-anchor at t0+20d and emit a
+    # second-epoch match; the batch twin (global MIN view) never would.
+    assert got == [2], f"expected exactly user 2, got {got}"
