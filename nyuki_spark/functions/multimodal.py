@@ -522,3 +522,36 @@ def decode_wav_samples(
             )
 
     return df.select(id_col, payload_col).mapInPandas(fn, out_schema)
+
+
+def resize_image_nn(
+    df: DataFrame,
+    factor: int = 2,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """REAL image downsample: decode the BMP payload, nearest-neighbor
+    subsample every ``factor``-th pixel (rows and columns, anchored at
+    (0,0) — the standard NN grid for an integer factor), re-encode as a
+    standards-conformant BMP. The full round trip (decode -> resize ->
+    ENCODE -> downstream re-decode) is what a production thumbnail /
+    vision-preprocessing stage does; the closed-form pixel definition
+    survives it (resized pixel (x,y) = original (factor*x, factor*y)),
+    which is what the DuckDB twin recomputes. Map-only mapInPandas —
+    payload bytes never cross the driver."""
+    dec_bmp, enc_bmp = _codecs.decode_bmp, _codecs.encode_bmp_gray8
+    out_schema = StructType(
+        [StructField(id_col, LongType()), StructField("payload", BinaryType())]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs = []
+            for b in pdf[payload_col]:
+                img = dec_bmp(bytes(b))
+                outs.append(enc_bmp(img[::factor, ::factor]))
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].to_numpy(), "payload": outs}
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(fn, out_schema)

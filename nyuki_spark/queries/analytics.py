@@ -4498,3 +4498,260 @@ register(
         "motif-discovery consumer of ts_sax_symbols"
     ),
 )
+
+
+# -- Kendall rank correlation (round 10) ------------------------------------------
+
+_KENDALL_SQL = (
+    # Kendall's tau-b between the daily mean values of the click and
+    # purchase series — the pair-counting rank association next to
+    # stat_spearman (rank-transform) and ts_rolling_corr (Pearson).
+    # Concordant/discordant/tied pairs over the DAY-bounded rollup
+    # (time-range^2 pairs, never data rows — the ts_theilsen_trend
+    # contract); daily means are rounded to 6 dp BEFORE comparison so
+    # both engines order identical operands. tau-b's tie correction
+    # divides by sqrt((nc+nd+tx)(nc+nd+ty)) — exact integer cells into
+    # one float division, bit-identical across engines.
+    "WITH daily AS (\n"
+    "  SELECT event_type, DATE_TRUNC('day', ts) AS d,\n"
+    "    CAST(ROUND(AVG(value), 6) AS DOUBLE) AS m\n"
+    "  FROM events WHERE value IS NOT NULL\n"
+    "    AND event_type IN ('click', 'purchase') GROUP BY 1, 2),\n"
+    "wide AS (\n"
+    "  SELECT c.d, c.m AS x, p.m AS y\n"
+    "  FROM (SELECT d, m FROM daily WHERE event_type = 'click') c\n"
+    "  JOIN (SELECT d, m FROM daily WHERE event_type = 'purchase') p\n"
+    "    USING (d)),\n"
+    "p AS (SELECT a.x AS x1, a.y AS y1, b.x AS x2, b.y AS y2\n"
+    "  FROM wide a JOIN wide b ON a.d < b.d),\n"
+    "c AS (SELECT\n"
+    "    SUM(CASE WHEN (x1 < x2 AND y1 < y2)\n"
+    "          OR (x1 > x2 AND y1 > y2) THEN 1 ELSE 0 END) AS nc,\n"
+    "    SUM(CASE WHEN (x1 < x2 AND y1 > y2)\n"
+    "          OR (x1 > x2 AND y1 < y2) THEN 1 ELSE 0 END) AS nd,\n"
+    "    SUM(CASE WHEN x1 = x2 AND y1 <> y2 THEN 1 ELSE 0 END) AS tx,\n"
+    "    SUM(CASE WHEN y1 = y2 AND x1 <> x2 THEN 1 ELSE 0 END) AS ty,\n"
+    "    COUNT(*) AS np FROM p)\n"
+    "SELECT CAST(np AS BIGINT) AS n_pairs,\n"
+    "  CAST(nc AS BIGINT) AS n_concordant,\n"
+    "  CAST(nd AS BIGINT) AS n_discordant,\n"
+    "  CAST(tx AS BIGINT) AS ties_x, CAST(ty AS BIGINT) AS ties_y,\n"
+    "  CAST(ROUND((nc - nd) / SQRT(CAST((nc + nd + tx) AS DOUBLE)\n"
+    "    * CAST((nc + nd + ty) AS DOUBLE)), 6) AS DOUBLE) AS tau_b\n"
+    "FROM c"
+)
+
+register(
+    "stat_kendall_tau",
+    engine=_KENDALL_SQL,
+    oracle=_KENDALL_SQL,
+    category="stats",
+    suite="extension",
+    doc=(
+        "Kendall tau-b between the click and purchase daily-mean "
+        "series: concordant/discordant pair census over the day-bounded "
+        "rollup (time-range^2 pairs), exact integer cells, tie-corrected "
+        "denominator"
+    ),
+)
+
+
+# -- Levene variance-homogeneity test (round 10) -----------------------------------
+
+_LEVENE_SQL = (
+    # Levene's test for equal variances of `value` across event types —
+    # the precondition check the two-sample location tests
+    # (stat_welch_ttest, stat_mann_whitney) pair with. Mean-centered
+    # variant: z_ij = |x_ij - mean_i| with the group mean rounded to
+    # 6 dp before the absolute deviation (the stat_spearman operand-
+    # pinning trick), W = ((N-k)/(k-1)) * sum_i n_i (zbar_i - zbar)^2
+    # / sum_ij (z_ij - zbar_i)^2. Three partial-aggregable passes and a
+    # k-row join (k = event types) — no window, no pair stage.
+    "WITH x AS (SELECT event_type AS g, value AS v FROM events\n"
+    "  WHERE value IS NOT NULL),\n"
+    "gm AS (SELECT g, CAST(ROUND(AVG(v), 6) AS DOUBLE) AS mu,\n"
+    "    COUNT(*) AS n FROM x GROUP BY g),\n"
+    "z AS (SELECT x.g, ABS(x.v - gm.mu) AS z FROM x JOIN gm USING (g)),\n"
+    "zg AS (SELECT g, AVG(z) AS zbar_g, COUNT(*) AS n,\n"
+    "    SUM(z * z) AS szz, SUM(z) AS sz FROM z GROUP BY g),\n"
+    "tot AS (SELECT SUM(sz) / SUM(n) AS zbar, SUM(n) AS nn,\n"
+    "    COUNT(*) AS k FROM zg),\n"
+    "parts AS (SELECT\n"
+    "    SUM(zg.n * (zg.zbar_g - tot.zbar) * (zg.zbar_g - tot.zbar))\n"
+    "      AS between_ss,\n"
+    "    SUM(zg.szz - zg.n * zg.zbar_g * zg.zbar_g) AS within_ss,\n"
+    "    MAX(tot.nn) AS nn, MAX(tot.k) AS k\n"
+    "  FROM zg CROSS JOIN tot)\n"
+    "SELECT CAST(nn AS BIGINT) AS n_rows, CAST(k AS BIGINT) AS n_groups,\n"
+    "  CAST(ROUND((nn - k) * between_ss\n"
+    "    / ((k - 1) * within_ss), 4) AS DOUBLE) AS levene_w\n"
+    "FROM parts"
+)
+
+register(
+    "stat_levene",
+    engine=_LEVENE_SQL,
+    oracle=_LEVENE_SQL,
+    category="stats",
+    suite="extension",
+    doc=(
+        "Levene variance-homogeneity W across event types (mean-centered "
+        "variant): group means rounded before the absolute deviations, "
+        "three partial-aggregable passes + a k-row join — no window, "
+        "4-dp pinned statistic"
+    ),
+)
+
+
+# -- Wald-Wolfowitz runs test (round 10) --------------------------------------------
+
+_RUNS_SQL = (
+    # Runs test for randomness of the daily mean series around its
+    # median: days above/below the median form a +/- sequence; too few
+    # runs means trending, too many means oscillation. R = 1 + number of
+    # sign changes (LAG over the day-bounded rollup), z-scored against
+    # the exact null mean/variance for (n1, n2). Median via the
+    # PERCENTILE == QUANTILE_CONT identity (ts_theilsen_trend); days
+    # exactly AT the (rounded) median are dropped, per the classical
+    # construction. All windows run over time-range rows only.
+    "WITH d AS (SELECT DATE_TRUNC('day', ts) AS day,\n"
+    "    CAST(ROUND(AVG(value), 6) AS DOUBLE) AS m\n"
+    "  FROM events WHERE value IS NOT NULL GROUP BY 1),\n"
+    "md AS (SELECT CAST(ROUND({MEDIAN}(m), 6) AS DOUBLE) AS med FROM d),\n"
+    "s AS (SELECT day, CASE WHEN m > med THEN 1 ELSE -1 END AS sgn\n"
+    "  FROM d CROSS JOIN md WHERE m <> med),\n"
+    "r AS (SELECT sgn, LAG(sgn) OVER ({PART}ORDER BY day) AS prev FROM s),\n"
+    "c AS (SELECT\n"
+    "    SUM(CASE WHEN prev IS NULL OR sgn <> prev THEN 1 ELSE 0 END)\n"
+    "      AS runs,\n"
+    "    SUM(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) AS n1,\n"
+    "    SUM(CASE WHEN sgn = -1 THEN 1 ELSE 0 END) AS n2\n"
+    "  FROM r),\n"
+    "k AS (SELECT runs, n1, n2,\n"
+    "    1.0 + 2.0 * n1 * n2 / (n1 + n2) AS mu,\n"
+    "    2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)\n"
+    "      / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1.0)) AS var\n"
+    "  FROM c)\n"
+    "SELECT CAST(runs AS BIGINT) AS n_runs, CAST(n1 AS BIGINT) AS n_above,\n"
+    "  CAST(n2 AS BIGINT) AS n_below,\n"
+    "  CAST(ROUND(mu, 6) AS DOUBLE) AS expected_runs,\n"
+    "  CAST(ROUND((runs - mu) / SQRT(var), 6) AS DOUBLE) AS z\n"
+    "FROM k"
+)
+
+register(
+    "stat_runs_test",
+    # Engine dialect: Spark median via PERCENTILE(m, 0.5) (the
+    # QUANTILE_CONT identity), LAG under the one_group constant
+    # partition (series is global by definition; input is the
+    # day-bounded rollup — ts_sax_motifs precedent).
+    engine=_RUNS_SQL.replace("{MEDIAN}(m)", "PERCENTILE(m, 0.5)").replace(
+        "{PART}", "PARTITION BY PMOD(HASH(sgn), 1) "
+    ),
+    oracle=_RUNS_SQL.replace("{MEDIAN}(m)", "MEDIAN(m)").replace(
+        "{PART}", ""
+    ),
+    category="stats",
+    suite="extension",
+    doc=(
+        "Wald-Wolfowitz runs test on the daily mean series vs its "
+        "median: sign-change count via LAG over the day-bounded rollup, "
+        "z-scored against the exact (n1,n2) null — trend/oscillation "
+        "randomness check"
+    ),
+)
+
+
+# -- maximum drawdown (round 10) -----------------------------------------------------
+
+_DRAWDOWN_SQL = (
+    # Maximum drawdown of cumulative purchase revenue: running total
+    # over the daily rollup, running peak, drawdown = peak - cum; report
+    # the deepest point with its peak/trough days. The operational
+    # "worst run" metric for any cumulative KPI. Running SUM/MAX are
+    # sequential folds over the day-bounded series in BOTH engines
+    # (same order => bit-identical doubles before the 6-dp pin).
+    "WITH d AS (SELECT DATE_TRUNC('day', ts) AS day,\n"
+    "    SUM(value) AS rev\n"
+    "  FROM events WHERE value IS NOT NULL AND event_type = 'purchase'\n"
+    "  GROUP BY 1),\n"
+    "c AS (SELECT day,\n"
+    "    SUM(rev) OVER ({PART}ORDER BY day\n"
+    "      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum\n"
+    "  FROM d),\n"
+    "p AS (SELECT day, cum,\n"
+    "    MAX(cum) OVER ({PART}ORDER BY day\n"
+    "      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak\n"
+    "  FROM c)\n"
+    "SELECT day AS trough_day,\n"
+    "  CAST(ROUND(cum, 6) AS DOUBLE) AS cum_at_trough,\n"
+    "  CAST(ROUND(peak, 6) AS DOUBLE) AS peak_before,\n"
+    "  CAST(ROUND(peak - cum, 6) AS DOUBLE) AS max_drawdown\n"
+    # Order by the ROUNDED drawdown: the raw doubles carry partial-sum
+    # ulp noise from the per-day revenue aggregate, and an unrounded
+    # ORDER BY could pick different trough days across engines on a
+    # near-tie; the 6-dp pin + day tiebreak is fully deterministic.
+    "FROM p ORDER BY ROUND(peak - cum, 6) DESC, day LIMIT 1"
+)
+
+register(
+    "ts_drawdown",
+    engine=_DRAWDOWN_SQL.replace(
+        "{PART}", "PARTITION BY PMOD(HASH(day), 1) "
+    ),
+    oracle=_DRAWDOWN_SQL.replace("{PART}", ""),
+    category="timeseries",
+    suite="extension",
+    doc=(
+        "maximum drawdown of cumulative purchase revenue: running "
+        "sum + running peak over the daily rollup (one_group windows "
+        "on time-range rows), deepest trough reported with its peak"
+    ),
+)
+
+
+# -- STL residual anomaly flags (round 10) --------------------------------------
+
+_STL_ANOM_TAIL = (
+    # Consumer of the ts_stl_decompose residuals: z-score each day's
+    # residual against its TYPE's residual distribution and report the
+    # anomalous days (|z| >= 2) — seasonality-aware anomaly detection,
+    # the thing a raw-value z-score (ts_burst_zscore) gets wrong on
+    # strongly weekly series. Residuals are 6-dp pinned BEFORE the
+    # moment pass (identical operands on both engines); the per-type
+    # moment table is k rows joined back broadcast-style.
+    "r AS (SELECT t.event_type, CAST(t.day AS DATE) AS day,\n"
+    "    CAST(ROUND(t.n - t.s / 7.0 - s.seasonal, 6) AS DOUBLE)"
+    " AS resid\n"
+    "  FROM t JOIN s ON t.event_type = s.event_type\n"
+    "    AND {dow_t} = s.dow\n"
+    "  WHERE t.s IS NOT NULL),\n"
+    "m AS (SELECT event_type, AVG(resid) AS mu,\n"
+    "    STDDEV_POP(resid) AS sigma FROM r GROUP BY 1)\n"
+    "SELECT r.event_type, r.day, r.resid,\n"
+    "  CAST(ROUND((r.resid - m.mu) / m.sigma, 4) AS DOUBLE) AS z\n"
+    "FROM r JOIN m ON r.event_type = m.event_type\n"
+    "WHERE m.sigma > 0 AND ABS((r.resid - m.mu) / m.sigma) >= 2.0\n"
+    "ORDER BY r.event_type, r.day"
+)
+
+register(
+    "ts_anomaly_stl_residual",
+    engine=(
+        _STL_BODY.format(dow="(DAYOFWEEK(day) + 5) % 7")
+        + ", "
+        + _STL_ANOM_TAIL.format(dow_t="(DAYOFWEEK(t.day) + 5) % 7")
+    ),
+    oracle=(
+        _STL_BODY.format(dow="(DAYOFWEEK(day) + 6) % 7")
+        + ", "
+        + _STL_ANOM_TAIL.format(dow_t="(DAYOFWEEK(t.day) + 6) % 7")
+    ),
+    category="timeseries",
+    suite="extension",
+    doc=(
+        "seasonality-aware anomaly days: z-score of the STL residual "
+        "per type (6-dp pinned residuals, k-row moment join), |z| >= 2 "
+        "flagged — the decomposition consumer next to ts_burst_zscore"
+    ),
+)

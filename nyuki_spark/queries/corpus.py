@@ -2265,3 +2265,174 @@ register(
         "bytes verified by MD5 fingerprint — zero-shuffle map pass"
     ),
 )
+
+
+# -- per-source document cap (round 10) -------------------------------------------
+
+_DOMAIN_CAP_SQL = (
+    # Corpus balancing: cap documents per source at K=3, keeping the
+    # longest (n_chars DESC, doc_id tiebreak) — the anti-domination
+    # pass every web-scale training mix runs so one crawl domain cannot
+    # swamp the mixture. ROW_NUMBER over a REAL partition key (source),
+    # so the window parallelizes across sources at any scale; the
+    # output is the per-source census (total/kept/dropped chars), not
+    # the kept rows — the number the mix report consumes.
+    "WITH r AS (SELECT source, n_chars,\n"
+    "    ROW_NUMBER() OVER (PARTITION BY source\n"
+    "      ORDER BY n_chars DESC, doc_id) AS rn\n"
+    "  FROM documents),\n"
+    "k AS (SELECT source,\n"
+    "    COUNT(*) AS n_total,\n"
+    "    SUM(CASE WHEN rn <= 3 THEN 1 ELSE 0 END) AS n_kept,\n"
+    "    SUM(CASE WHEN rn <= 3 THEN n_chars ELSE 0 END) AS kept_chars,\n"
+    "    SUM(CASE WHEN rn > 3 THEN n_chars ELSE 0 END) AS dropped_chars\n"
+    "  FROM r GROUP BY source)\n"
+    "SELECT source, CAST(n_total AS BIGINT) AS n_total,\n"
+    "  CAST(n_kept AS BIGINT) AS n_kept,\n"
+    "  CAST(kept_chars AS BIGINT) AS kept_chars,\n"
+    "  CAST(dropped_chars AS BIGINT) AS dropped_chars\n"
+    "FROM k ORDER BY source"
+)
+
+register(
+    "llm_domain_cap",
+    engine=_DOMAIN_CAP_SQL,
+    oracle=_DOMAIN_CAP_SQL,
+    category="llm-text",
+    suite="extension",
+    doc=(
+        "per-source document cap (keep top-3 by length): ROW_NUMBER "
+        "over the real source partition + conditional census — the "
+        "anti-domination balancing pass of a training mix"
+    ),
+)
+
+
+# -- ROUGE-1 overlap eval (round 10) ------------------------------------------------
+
+
+def _rouge1_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-1 (unigram overlap P/R/F1) between each document and the
+    NEXT document of the same source (LEAD pairing over doc_id order) —
+    the eval-metric primitive for summarization/generation scoring,
+    exercised here as a within-source similarity census. Clipped
+    overlap = sum_w min(c_cand(w), c_ref(w)) per the ROUGE definition.
+
+    Plan: token counts via explode + (pair, word) aggregate; the
+    overlap join is an equi-join on (pair_id, word); per-pair P/R/F1
+    are exact rationals in float64; the final per-source AVG is the
+    only cross-pair reduction. No pair is wider than its two documents
+    — linear in corpus size, shuffle keyed by (pair, word)."""
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("source").orderBy("doc_id")
+    pairs = (
+        docs.select(
+            "source",
+            F.col("doc_id").alias("cand_id"),
+            F.lead("doc_id").over(w).alias("ref_id"),
+        )
+        .where(F.col("ref_id").isNotNull())
+    )
+
+    toks = docs.select(
+        F.col("doc_id"),
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("word"),
+    ).groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("c"))
+
+    cand = toks.select(
+        F.col("doc_id").alias("cand_id"),
+        "word",
+        F.col("c").alias("c_cand"),
+    )
+    ref = toks.select(
+        F.col("doc_id").alias("ref_id"), "word", F.col("c").alias("c_ref")
+    )
+    ov = (
+        pairs.join(cand, "cand_id")
+        .join(ref, ["ref_id", "word"])
+        .groupBy("source", "cand_id", "ref_id")
+        .agg(F.sum(F.least("c_cand", "c_ref")).alias("overlap"))
+    )
+    lens = toks.groupBy("doc_id").agg(F.sum("c").alias("n_tok"))
+    scored = (
+        pairs.join(ov, ["source", "cand_id", "ref_id"], "left")
+        .na.fill({"overlap": 0})
+        .join(lens.select(F.col("doc_id").alias("cand_id"),
+                          F.col("n_tok").alias("n_cand")), "cand_id")
+        .join(lens.select(F.col("doc_id").alias("ref_id"),
+                          F.col("n_tok").alias("n_ref")), "ref_id")
+        .select(
+            "source",
+            (F.col("overlap") / F.col("n_cand")).alias("p"),
+            (F.col("overlap") / F.col("n_ref")).alias("r"),
+            F.when(
+                F.col("overlap") > 0,
+                2.0 * (F.col("overlap") / F.col("n_cand"))
+                * (F.col("overlap") / F.col("n_ref"))
+                / (F.col("overlap") / F.col("n_cand")
+                   + F.col("overlap") / F.col("n_ref")),
+            ).otherwise(F.lit(0.0)).alias("f1"),
+        )
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.avg("p"), 6).cast("double").alias("rouge1_p"),
+            F.round(F.avg("r"), 6).cast("double").alias("rouge1_r"),
+            F.round(F.avg("f1"), 6).cast("double").alias("rouge1_f1"),
+        )
+        .orderBy("source")
+    )
+
+
+register(
+    "llm_rouge1_eval",
+    engine_fn=_rouge1_fn,
+    oracle=(
+        "WITH docs AS (SELECT doc_id, source, text FROM documents\n"
+        "  WHERE text IS NOT NULL),\n"
+        "pairs AS (SELECT source, doc_id AS cand_id,\n"
+        "    LEAD(doc_id) OVER (PARTITION BY source ORDER BY doc_id)\n"
+        "      AS ref_id\n"
+        "  FROM docs QUALIFY ref_id IS NOT NULL),\n"
+        "toks AS (SELECT doc_id, w AS word, COUNT(*) AS c\n"
+        "  FROM docs, UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS t(w)\n"
+        "  GROUP BY doc_id, w),\n"
+        "lens AS (SELECT doc_id, SUM(c) AS n_tok FROM toks GROUP BY 1),\n"
+        "ov AS (SELECT p.source, p.cand_id, p.ref_id,\n"
+        "    SUM(LEAST(a.c, b.c)) AS overlap\n"
+        "  FROM pairs p\n"
+        "  JOIN toks a ON a.doc_id = p.cand_id\n"
+        "  JOIN toks b ON b.doc_id = p.ref_id AND b.word = a.word\n"
+        "  GROUP BY 1, 2, 3),\n"
+        "scored AS (SELECT p.source,\n"
+        "    COALESCE(ov.overlap, 0) / lc.n_tok AS pr,\n"
+        "    COALESCE(ov.overlap, 0) / lr.n_tok AS rc,\n"
+        "    CASE WHEN COALESCE(ov.overlap, 0) > 0 THEN\n"
+        "      2.0 * (ov.overlap / lc.n_tok) * (ov.overlap / lr.n_tok)\n"
+        "        / (ov.overlap / lc.n_tok + ov.overlap / lr.n_tok)\n"
+        "      ELSE 0.0 END AS f1\n"
+        "  FROM pairs p\n"
+        "  LEFT JOIN ov ON ov.cand_id = p.cand_id AND ov.ref_id = p.ref_id\n"
+        "  JOIN lens lc ON lc.doc_id = p.cand_id\n"
+        "  JOIN lens lr ON lr.doc_id = p.ref_id)\n"
+        "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_pairs,\n"
+        "  CAST(ROUND(AVG(pr), 6) AS DOUBLE) AS rouge1_p,\n"
+        "  CAST(ROUND(AVG(rc), 6) AS DOUBLE) AS rouge1_r,\n"
+        "  CAST(ROUND(AVG(f1), 6) AS DOUBLE) AS rouge1_f1\n"
+        "FROM scored GROUP BY source ORDER BY source"
+    ),
+    category="llm-text",
+    suite="extension",
+    doc=(
+        "ROUGE-1 P/R/F1 between same-source neighbor documents: clipped "
+        "unigram overlap via (pair, word) equi-joins on exploded token "
+        "counts, per-source averages — the eval-metric primitive as a "
+        "linear-cost census"
+    ),
+)

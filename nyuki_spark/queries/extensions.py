@@ -3979,3 +3979,158 @@ register(
         "plain join aggregate"
     ),
 )
+
+
+# -- LATERAL correlated subquery (round 10) ---------------------------------------
+
+_LATERAL_SQL = (
+    # Per-customer top-2 orders via a LATERAL correlated subquery — the
+    # ANSI form of "top-k per group" that pipelines express as a
+    # dependent join (DuckDB/Postgres LATERAL, Spark 3.2+ lateral
+    # subquery). Catalyst rewrites the correlated LIMIT into a
+    # rank-partitioned window (DomainJoin -> window), so the physical
+    # plan is the same shuffle-once shape as win_topk_per_group — the
+    # declarative surface is what this id locks in. Nations 0-2 bound
+    # the output; the inner ORDER BY is fully deterministic
+    # (o_totalprice DESC, o_orderkey).
+    "SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice\n"
+    "FROM customer c, LATERAL (\n"
+    "  SELECT o_orderkey, o_totalprice FROM orders\n"
+    "  WHERE o_custkey = c.c_custkey\n"
+    "  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o\n"
+    "WHERE c.c_nationkey <= 2\n"
+    "ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey"
+)
+
+register(
+    "subq_lateral",
+    engine=_LATERAL_SQL,
+    oracle=_LATERAL_SQL,
+    category="subquery",
+    suite="extension",
+    doc=(
+        "LATERAL correlated subquery (per-customer top-2 orders by "
+        "price): the ANSI dependent-join surface, planned by Catalyst "
+        "as a rank window — same SQL text on both engines"
+    ),
+)
+
+
+# -- live CEP, 4-step chain (round 10) --------------------------------------------
+
+
+def _cep_kstep_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live 4-step CEP (signup -> view -> click -> purchase min-chain
+    inside the 7-day anchor window) over the out-of-order replay —
+    exercises funnel_match's k-step generalization end-to-end on a
+    REAL chain longer than the fixed arity-3 the operator had before
+    round 10. Same event-time-timer mechanics and two-flush-sentinel
+    replay contract as stream_cep_funnel_live."""
+    import datetime
+
+    from nyuki_spark.streaming.stateful import funnel_match
+
+    events = load_table(spark, sf_dir, "events")
+    scratch = tempfile.mkdtemp(prefix="nyuki-live-")
+    name = f"nyuki_live_{uuid.uuid4().hex[:12]}"
+    try:
+        mx = events.agg(F.max("ts")).head()[0]
+
+        def sentinel(days: int) -> DataFrame:
+            return spark.createDataFrame(
+                [
+                    (
+                        -1,
+                        mx + datetime.timedelta(days=days),
+                        -1,
+                        "__flush__",
+                        0.0,
+                        "{}",
+                    )
+                ],
+                events.schema,
+            )
+
+        sdf = replay_stream(
+            spark,
+            events,
+            n_chunks=4,
+            scratch_dir=scratch,
+            flush_df=[sentinel(80), sentinel(81)],
+        )
+        sdf = (
+            sdf.select(
+                F.col("ts").cast("timestamp").alias("ts"),
+                "user_id",
+                "event_type",
+            )
+            .where(
+                F.col("event_type").isin(
+                    "signup", "view", "click", "purchase", "__flush__"
+                )
+            )
+            .withWatermark("ts", "35 days")
+        )
+        out = funnel_match(
+            sdf, steps=("signup", "view", "click", "purchase")
+        )
+        res = run_to_table(out, mode="append", name=name)
+        res = (
+            res.where(F.col("user_id") >= 0)
+            .select(
+                "user_id",
+                F.col("step1_ts").alias("signup_ts"),
+                F.col("step2_ts").alias("view_ts"),
+                F.col("step3_ts").alias("click_ts"),
+                F.col("step4_ts").alias("purchase_ts"),
+            )
+            .orderBy("user_id")
+            .cache()
+        )
+        res.count()
+        return res
+    finally:
+        try:
+            spark.catalog.dropTempView(name)
+        except Exception:
+            pass
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+register(
+    "stream_cep_kstep_live",
+    engine_fn=_cep_kstep_fn,
+    oracle=(
+        "WITH s AS (SELECT user_id, MIN(ts) AS s FROM events\n"
+        "  WHERE event_type = 'signup' GROUP BY 1),\n"
+        "v AS (SELECT e.user_id, MIN(e.ts) AS v FROM events e\n"
+        "  JOIN s ON s.user_id = e.user_id\n"
+        "  WHERE e.event_type = 'view' AND e.ts > s.s\n"
+        "    AND e.ts <= s.s + INTERVAL 7 DAY GROUP BY 1),\n"
+        "c AS (SELECT e.user_id, MIN(e.ts) AS c FROM events e\n"
+        "  JOIN v ON v.user_id = e.user_id\n"
+        "  JOIN s ON s.user_id = e.user_id\n"
+        "  WHERE e.event_type = 'click' AND e.ts > v.v\n"
+        "    AND e.ts <= s.s + INTERVAL 7 DAY GROUP BY 1),\n"
+        "p AS (SELECT e.user_id, MIN(e.ts) AS p FROM events e\n"
+        "  JOIN c ON c.user_id = e.user_id\n"
+        "  JOIN s ON s.user_id = e.user_id\n"
+        "  WHERE e.event_type = 'purchase' AND e.ts > c.c\n"
+        "    AND e.ts <= s.s + INTERVAL 7 DAY GROUP BY 1)\n"
+        "SELECT s.user_id, CAST(s.s AS TIMESTAMP) AS signup_ts,\n"
+        "  CAST(v.v AS TIMESTAMP) AS view_ts,\n"
+        "  CAST(c.c AS TIMESTAMP) AS click_ts,\n"
+        "  CAST(p.p AS TIMESTAMP) AS purchase_ts\n"
+        "FROM s JOIN v ON v.user_id = s.user_id\n"
+        "JOIN c ON c.user_id = s.user_id\n"
+        "JOIN p ON p.user_id = s.user_id ORDER BY s.user_id"
+    ),
+    category="streaming-live",
+    suite="extension",
+    doc=(
+        "live 4-step CEP chain (signup -> view -> click -> purchase "
+        "min-chain in a 7-day anchor window) via the generalized k-step "
+        "funnel_match; window-bounded min-chain SQL twin — stream/batch "
+        "parity at arity 4"
+    ),
+)

@@ -561,3 +561,52 @@ register(
         "samples"
     ),
 )
+
+
+def _mm_resize_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thumbnail pipeline: encode real BMPs, decode -> nearest-neighbor
+    2x downsample -> RE-ENCODE (functions/multimodal.py:resize_image_nn),
+    then decode the RESIZED payloads and stat their pixels. The oracle
+    recomputes the mean from the closed-form definition of the sampled
+    grid (resized (x,y) = original (2x, 2y)), so a wrong anchor, a
+    transposed subsample, or a resize-side encode bug all hash-fail."""
+    from nyuki_spark.functions.multimodal import resize_image_nn
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 48)
+    media = attach_synthetic_media(docs, kind="image")
+    resized = resize_image_nn(media, factor=2)
+    return decode_media_stats(resized).select(
+        "doc_id",
+        "kind",
+        "width",
+        "height",
+        "n_values",
+        F.round("mean_val", 6).alias("mean_px"),
+    ).orderBy("doc_id")
+
+
+register(
+    "mm_image_resize",
+    engine_fn=_mm_resize_fn,
+    oracle=(
+        "SELECT d.doc_id, 'bmp' AS kind,\n"
+        "  CAST(CEIL((16 + d.doc_id % 8) / 2.0) AS INT) AS width,\n"
+        "  CAST(CEIL((8 + d.doc_id % 5) / 2.0) AS INT) AS height,\n"
+        "  COUNT(*) AS n_values,\n"
+        "  CAST(ROUND(AVG((6*x.i + 14*y.j + 11*d.doc_id) % 251), 6)"
+        " AS DOUBLE) AS mean_px\n"
+        "FROM documents d\n"
+        "JOIN range(12) x(i) ON x.i < CEIL((16 + d.doc_id % 8) / 2.0)\n"
+        "JOIN range(7) y(j) ON y.j < CEIL((8 + d.doc_id % 5) / 2.0)\n"
+        "WHERE d.doc_id < 48\n"
+        "GROUP BY d.doc_id ORDER BY d.doc_id"
+    ),
+    category="llm-multimodal",
+    suite="extension",
+    doc=(
+        "REAL image resize round trip: decode BMP -> nearest-neighbor "
+        "2x downsample -> re-encode -> re-decode -> pixel stats; oracle "
+        "recomputes from the sampled-grid closed form — map-only "
+        "mapInPandas stages"
+    ),
+)

@@ -29,6 +29,11 @@ PROBES = [
     "stream_sliding_live_append",
     "stream_session_live_append",
     "stream_dedup_live_append",
+    # r9 verdict #6: the CEP funnel was the only live family without a
+    # 1M-row/both-stores probe. It is append-mode stateful
+    # (applyInPandasWithState buffered fold + event-time timers), so the
+    # same state-rows/watermark-drop/output-equality evidence applies.
+    "stream_cep_funnel_live",
 ]
 
 PROVIDER_KEY = "spark.sql.streaming.stateStore.providerClass"

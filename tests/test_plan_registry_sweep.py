@@ -489,6 +489,31 @@ ALLOWLIST: dict[str, tuple[tuple[str, ...], str]] = {
         "onto the day-bounded rollup — the explicit-broadcast "
         "scalar-subquery shape (stat_psi_drift precedent)",
     ),
+    "stat_kendall_tau": (
+        ("BroadcastNestedLoopJoin",),
+        "the concordance pair join (a.d < b.d) runs over the DAY-bounded "
+        "click/purchase rollup — time-range^2 pairs, never data rows "
+        "(stat_spearman / ts_theilsen_trend contract)",
+    ),
+    "stat_levene": (
+        ("BroadcastNestedLoopJoin",),
+        "1-row broadcast of the partial-aggregated grand totals (zbar, "
+        "N, k) crossJoined onto the k-row group table — the explicit-"
+        "broadcast scalar-subquery shape (stat_psi_drift precedent)",
+    ),
+    "stat_runs_test": (
+        ("Exchange OneGroupConstant", "BroadcastNestedLoopJoin"),
+        "the LAG sign-change chain runs over the DAY-bounded rollup "
+        "under the one_group constant partition (global series by "
+        "definition — ts_sax_motifs precedent); the BNLJ is the 1-row "
+        "median broadcast (stat_psi_drift shape)",
+    ),
+    "ts_drawdown": (
+        ("Exchange OneGroupConstant",),
+        "running sum / running peak over the DAY-bounded daily rollup "
+        "under the one_group constant partition (global cumulative "
+        "series by definition — ts_sax_motifs precedent)",
+    ),
     "llm_roc_auc": (
         ("Exchange OneGroupConstant", "BroadcastNestedLoopJoin"),
         "the cum_neg one_group window folds over the 4-dp-quantized "
