@@ -555,3 +555,33 @@ def resize_image_nn(
             )
 
     return df.select(id_col, payload_col).mapInPandas(fn, out_schema)
+
+
+def downsample_audio(
+    df: DataFrame,
+    factor: int = 2,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """REAL audio decimation: decode the WAV payload, keep every
+    ``factor``-th sample (anchor 0 — plain decimation without an AA
+    filter, the cheapest resample tier), re-encode at sample_rate /
+    factor. Same round-trip contract as :func:`resize_image_nn`: the
+    closed-form sample definition survives (resampled s[t] = original
+    s[factor*t]), which the DuckDB twin recomputes. Map-only."""
+    dec_wav, enc_wav = _codecs.decode_wav, _codecs.encode_wav_pcm16
+    out_schema = StructType(
+        [StructField(id_col, LongType()), StructField("payload", BinaryType())]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs = []
+            for b in pdf[payload_col]:
+                rate, samples = dec_wav(bytes(b))
+                outs.append(enc_wav(samples[::factor], rate // factor))
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].to_numpy(), "payload": outs}
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(fn, out_schema)

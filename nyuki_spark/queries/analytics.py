@@ -4755,3 +4755,137 @@ register(
         "flagged — the decomposition consumer next to ts_burst_zscore"
     ),
 )
+
+
+# -- Benjamini-Hochberg FDR correction (round 10) ---------------------------------
+
+_BH_SQL = (
+    # Multiple-testing correction over the per-type location tests: for
+    # each event type, a Welch z of its `value` distribution against
+    # the pooled REST, two-sided p via the Abramowitz-Stegun 26.2.17
+    # normal-CDF polynomial (pure EXP/arithmetic — identical on both
+    # engines), then Benjamini-Hochberg: rank the m p-values ascending
+    # and adjust p_adj(i) = min_{j >= i} (p(j) * m / j), the step-up
+    # running minimum from the bottom, capped at 1. The family is the
+    # k-row TYPE census, so every window folds over k rows. This is the
+    # governance pass any metric sweep runs before claiming per-segment
+    # effects.
+    "WITH s AS (SELECT event_type AS g, COUNT(*) AS n, AVG(value) AS mu,\n"
+    "    VAR_SAMP(value) AS v FROM events WHERE value IS NOT NULL\n"
+    "  GROUP BY 1),\n"
+    "tot AS (SELECT SUM(n) AS n_all, SUM(n * mu) / SUM(n) AS mu_all,\n"
+    "    (SUM(v * (n - 1)) + SUM(n * mu * mu)\n"
+    "      - SUM(n) * POW(SUM(n * mu) / SUM(n), 2)) / (SUM(n) - 1)\n"
+    "      AS v_all\n"
+    "  FROM s),\n"
+    # Complement (rest-of-corpus) moments from the sufficient statistics
+    # — no second scan.
+    "w AS (SELECT s.g, s.n, s.mu, s.v,\n"
+    "    tot.n_all - s.n AS n2,\n"
+    "    (tot.n_all * tot.mu_all - s.n * s.mu) / (tot.n_all - s.n)"
+    " AS mu2,\n"
+    "    ((tot.v_all * (tot.n_all - 1) + tot.n_all * tot.mu_all"
+    " * tot.mu_all)\n"
+    "      - (s.v * (s.n - 1) + s.n * s.mu * s.mu)\n"
+    "      - (tot.n_all - s.n) * POW((tot.n_all * tot.mu_all"
+    " - s.n * s.mu)\n"
+    "        / (tot.n_all - s.n), 2)) / (tot.n_all - s.n - 1) AS v2\n"
+    "  FROM s CROSS JOIN tot),\n"
+    "z AS (SELECT g, ABS((mu - mu2) / SQRT(v / n + v2 / n2)) AS az\n"
+    "  FROM w),\n"
+    # Two-sided p = 2 * (1 - Phi(|z|)), Phi via A&S 26.2.17 (5-term).
+    "p AS (SELECT g, az,\n"
+    "    2.0 * (EXP(-az * az / 2.0) / SQRT(2.0 * PI())) * (\n"
+    "      0.319381530 * (1.0 / (1.0 + 0.2316419 * az))\n"
+    "      - 0.356563782 * POW(1.0 / (1.0 + 0.2316419 * az), 2)\n"
+    "      + 1.781477937 * POW(1.0 / (1.0 + 0.2316419 * az), 3)\n"
+    "      - 1.821255978 * POW(1.0 / (1.0 + 0.2316419 * az), 4)\n"
+    "      + 1.330274429 * POW(1.0 / (1.0 + 0.2316419 * az), 5))"
+    " AS pval\n"
+    "  FROM p0),\n"
+    "r AS (SELECT g, az, pval,\n"
+    "    ROW_NUMBER() OVER ({PART}ORDER BY pval, g) AS rk,\n"
+    "    COUNT(*) OVER ({CPART}) AS m\n"
+    "  FROM p),\n"
+    "adj AS (SELECT g, az, pval, rk, m,\n"
+    "    MIN(pval * m / rk) OVER ({PART}ORDER BY rk\n"
+    "      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS p_min\n"
+    "  FROM r)\n"
+    "SELECT g AS event_type, CAST(ROUND(az, 6) AS DOUBLE) AS abs_z,\n"
+    "  CAST(ROUND(pval, 6) AS DOUBLE) AS p_value,\n"
+    "  CAST(ROUND(LEAST(p_min, 1.0), 6) AS DOUBLE) AS p_adj,\n"
+    "  LEAST(p_min, 1.0) < 0.05 AS reject_fdr05\n"
+    "FROM adj ORDER BY event_type"
+)
+
+register(
+    "stat_bh_fdr",
+    engine=_BH_SQL.replace("FROM p0", "FROM z").replace(
+        "{PART}", "PARTITION BY PMOD(HASH(g), 1) "
+    ).replace("{CPART}", "PARTITION BY PMOD(HASH(g), 1)"),
+    oracle=_BH_SQL.replace("FROM p0", "FROM z").replace(
+        "{PART}", ""
+    ).replace("{CPART}", ""),
+    category="stats",
+    suite="extension",
+    doc=(
+        "Benjamini-Hochberg FDR over per-type Welch z tests (each type "
+        "vs the pooled rest, complement moments from sufficient stats — "
+        "one scan): A&S normal-CDF polynomial p-values, step-up running "
+        "minimum over the k-row family census"
+    ),
+)
+
+
+# -- Bollinger band breakouts (round 10) --------------------------------------------
+
+_BOLLINGER_SQL = (
+    # Bollinger-band breakout days per metric group: 7-day trailing
+    # mean +/- 2 sample stddev on the DAILY COUNT series, flag days
+    # outside the band. All-integer discipline: the window carries only
+    # the integer sums S and SS over the full 7-day frame, and the
+    # breakout test (n - S/7)^2 > 4 * var is cleared of denominators to
+    # 3*(7n - S)^2 > 14*(7*SS - S^2) — EXACT BIGINT comparison on both
+    # engines, no float boundary to flip (the ts_stl_decompose integer
+    # trick). The reported band edges are display-only doubles.
+    # Overflow bound: 14 * 7 * SS needs SS * 98 < 2^63, i.e. daily
+    # counts up to ~3e8 — comfortable for any real per-type daily
+    # rollup; beyond that, promote to DECIMAL(38,0) on both engines.
+    "WITH d AS (SELECT event_type, DATE_TRUNC('day', ts) AS day,\n"
+    "    CAST(COUNT(*) AS BIGINT) AS n\n"
+    "  FROM events GROUP BY 1, 2),\n"
+    "w AS (SELECT event_type, day, n,\n"
+    "    CASE WHEN COUNT(*) OVER fr = 7 THEN SUM(n) OVER fr END AS s,\n"
+    "    CASE WHEN COUNT(*) OVER fr = 7 THEN SUM(n * n) OVER fr END"
+    " AS ss\n"
+    "  FROM d\n"
+    "  WINDOW fr AS (PARTITION BY event_type ORDER BY day\n"
+    "    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))\n"
+    # The band WIDTH is reported as the EXACT integer variance
+    # numerator (42 * var_samp = 7*SS - S^2), not a rounded sqrt: a
+    # 6-dp ROUND of the identical sigma double tie-broke differently
+    # across engines on this very fixture (5.6987885 -> .788 vs .789 —
+    # Spark rounds the binary double via BigDecimal, DuckDB rounds the
+    # scaled decimal), and an irrational can't be operand-pinned.
+    # band_mid = S/7 is safe: x/7 scaled by 1e6 never lands exactly on
+    # .5 (the 142857 repetend), so its ROUND is tie-free.
+    "SELECT event_type, CAST(day AS DATE) AS day, n,\n"
+    "  CAST(ROUND(s / 7.0, 6) AS DOUBLE) AS band_mid,\n"
+    "  CAST(7 * ss - s * s AS BIGINT) AS var_num_x42\n"
+    "FROM w WHERE s IS NOT NULL\n"
+    "  AND 3 * (7 * n - s) * (7 * n - s) > 14 * (7 * ss - s * s)\n"
+    "ORDER BY event_type, day"
+)
+
+register(
+    "ts_bollinger_breakout",
+    engine=_BOLLINGER_SQL,
+    oracle=_BOLLINGER_SQL,
+    category="timeseries",
+    suite="extension",
+    doc=(
+        "Bollinger 7-day trailing-band breakouts on daily counts per "
+        "type: integer window sums, denominator-cleared EXACT breakout "
+        "test (no float boundary), band edges as display doubles"
+    ),
+)

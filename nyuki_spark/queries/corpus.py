@@ -2436,3 +2436,129 @@ register(
         "linear-cost census"
     ),
 )
+
+
+# -- LLM watermark detection (round 10) ---------------------------------------------
+
+_WATERMARK_SQL = (
+    # Greenlist watermark detector (Kirchenbauer et al. 2023 shape): a
+    # generation-time watermark biases sampling toward a pseudorandom
+    # "green" half of the vocabulary, so detection is a one-proportion
+    # z-test on the green-token fraction. The greenlist here is the
+    # md5 top-bit of the token (p = 1/2, deterministic on both
+    # engines); z = (2g - n) / sqrt(n) is exact-integer arithmetic into
+    # one division. Docs under 20 tokens are skipped (no detection
+    # power), per the standard minimum-length guard. Map + one
+    # per-doc aggregate — linear, shuffle keyed by doc.
+    "WITH t AS (SELECT doc_id, tok FROM {src}),\n"
+    "g AS (SELECT doc_id, COUNT(*) AS n,\n"
+    "    SUM(CASE WHEN SUBSTRING(MD5(tok), 1, 1) IN\n"
+    "      ('0','1','2','3','4','5','6','7') THEN 1 ELSE 0 END) AS ng\n"
+    "  FROM t GROUP BY doc_id)\n"
+    "SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,\n"
+    "  CAST(ng AS BIGINT) AS n_green,\n"
+    "  CAST(ROUND((2.0 * ng - n) / SQRT(CAST(n AS DOUBLE)), 6)"
+    " AS DOUBLE) AS z,\n"
+    "  (2.0 * ng - n) / SQRT(CAST(n AS DOUBLE)) >= 2.0 AS flagged\n"
+    "FROM g WHERE n >= 20 ORDER BY doc_id"
+)
+
+register(
+    "llm_watermark_detect",
+    engine=_WATERMARK_SQL.format(
+        src="(SELECT doc_id, tok FROM documents\n"
+        "    LATERAL VIEW EXPLODE(SPLIT(LOWER(text), ' ')) AS tok\n"
+        "    WHERE text IS NOT NULL)"
+    ),
+    oracle=_WATERMARK_SQL.format(
+        src="(SELECT doc_id, UNNEST(STRING_SPLIT(LOWER(text), ' '))"
+        " AS tok\n"
+        "    FROM documents WHERE text IS NOT NULL)"
+    ),
+    category="llm-text",
+    suite="extension",
+    doc=(
+        "greenlist watermark detection: md5-top-bit green fraction per "
+        "doc, one-proportion z-test (exact-integer numerator), >= 2 "
+        "sigma flagged — the Kirchenbauer-style detector as one "
+        "map + per-doc aggregate"
+    ),
+)
+
+
+# -- T5 span corruption (round 10) ---------------------------------------------------
+
+_SPAN_CORRUPT_SQL = (
+    # T5-style span corruption (Raffel et al. 2020): deterministic
+    # 3-token spans starting at positions p where p % 10 == 7 are
+    # replaced by <extra_id_K> sentinels in the INPUT, and collected
+    # (sentinel-prefixed) into the TARGET — the (input, target) pair a
+    # denoising pretrain consumes. K = p / 10 (span index by
+    # construction, since spans start every 10 positions). Both
+    # renders are verified by MD5 fingerprint, so sentinel numbering,
+    # span boundaries, and token order are all load-bearing. Pure
+    # per-row array transforms — zero shuffle until the final ORDER BY.
+    "WITH t AS (SELECT doc_id, {toks} AS toks FROM documents\n"
+    "  WHERE text IS NOT NULL),\n"
+    "r AS (SELECT doc_id, {n} AS n,\n"
+    "    {input_render} AS input_txt,\n"
+    "    {target_render} AS target_txt\n"
+    "  FROM t)\n"
+    # FLOOR, not a bare int cast: DuckDB CAST(double -> BIGINT) rounds
+    # half-up while Spark truncates — FLOOR is identical in both.
+    "SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,\n"
+    "  CAST(FLOOR((n + 2) / 10.0) AS BIGINT) AS n_spans,\n"
+    "  MD5(input_txt) AS input_md5, MD5(target_txt) AS target_md5\n"
+    "FROM r ORDER BY doc_id"
+)
+
+register(
+    "llm_span_corruption",
+    engine=_SPAN_CORRUPT_SQL.format(
+        toks="SPLIT(LOWER(text), ' ')",
+        n="SIZE(toks)",
+        # positions are 0-based in Spark transform's index argument.
+        input_render=(
+            "ARRAY_JOIN(FILTER(TRANSFORM(toks, (x, i) -> CASE\n"
+            "      WHEN i % 10 = 7 THEN CONCAT('<extra_id_',"
+            " CAST(i DIV 10 AS STRING), '>')\n"
+            "      WHEN i % 10 IN (8, 9) THEN NULL ELSE x END),\n"
+            "      x -> x IS NOT NULL), ' ')"
+        ),
+        target_render=(
+            "ARRAY_JOIN(FILTER(TRANSFORM(toks, (x, i) -> CASE\n"
+            "      WHEN i % 10 = 7 THEN CONCAT('<extra_id_',"
+            " CAST(i DIV 10 AS STRING), '> ', x)\n"
+            "      WHEN i % 10 IN (8, 9) THEN x ELSE NULL END),\n"
+            "      x -> x IS NOT NULL), ' ')"
+        ),
+    ),
+    oracle=_SPAN_CORRUPT_SQL.format(
+        toks="STRING_SPLIT(LOWER(text), ' ')",
+        n="LEN(toks)",
+        # DuckDB list positions are 1-based: i-1 is the 0-based pos.
+        input_render=(
+            "ARRAY_TO_STRING(LIST_FILTER(LIST_TRANSFORM(toks,\n"
+            "      (x, i) -> CASE\n"
+            "      WHEN (i - 1) % 10 = 7 THEN '<extra_id_' ||\n"
+            "        CAST((i - 1) // 10 AS VARCHAR) || '>'\n"
+            "      WHEN (i - 1) % 10 IN (8, 9) THEN NULL ELSE x END),\n"
+            "      x -> x IS NOT NULL), ' ')"
+        ),
+        target_render=(
+            "ARRAY_TO_STRING(LIST_FILTER(LIST_TRANSFORM(toks,\n"
+            "      (x, i) -> CASE\n"
+            "      WHEN (i - 1) % 10 = 7 THEN '<extra_id_' ||\n"
+            "        CAST((i - 1) // 10 AS VARCHAR) || '> ' || x\n"
+            "      WHEN (i - 1) % 10 IN (8, 9) THEN x ELSE NULL END),\n"
+            "      x -> x IS NOT NULL), ' ')"
+        ),
+    ),
+    category="llm-text",
+    suite="extension",
+    doc=(
+        "T5 span corruption: deterministic 3-token spans -> "
+        "<extra_id_K> sentinels, (input, target) renders verified by "
+        "MD5 fingerprint — per-row array transforms, zero shuffle"
+    ),
+)

@@ -4134,3 +4134,99 @@ register(
         "parity at arity 4"
     ),
 )
+
+
+# -- as-of join with tolerance (round 10) ------------------------------------------
+
+
+def _asof_tolerance_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a MAX-GAP TOLERANCE: each purchase matches the
+    user's most recent strictly-earlier click only if it is within 1
+    hour; otherwise the purchase stays unmatched (NULL) — the kdb
+    `aj`-with-tolerance / pandas merge_asof(tolerance=...) surface the
+    plain as-of (join_asof_emulated) cannot express. Implemented as the
+    standard union + window rewrite, but with a RANGE frame on the
+    microsecond epoch ending at -1 us: the frame boundary IS the
+    strictly-earlier predicate, so a click sharing the purchase's exact
+    timestamp is excluded identically to the oracle's `c.ts < p.ts`
+    (a ROWS frame would include same-timestamp rows and diverge).
+    Output is the per-day match census + mean matched gap."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "purchase")
+    )
+    from pyspark.sql.window import Window
+
+    tagged = ev.select(
+        "user_id",
+        # ts is TIMESTAMP_NTZ; unix_micros needs TIMESTAMP — the session
+        # is pinned UTC (configure_session), so the cast is the identity
+        # epoch DuckDB's EPOCH_US computes.
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "event_type",
+        F.col("ts"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    lastc = tagged.withColumn(
+        "last_click_us",
+        F.max(F.when(F.col("event_type") == "click", F.col("us"))).over(w),
+    )
+    purch = lastc.where(F.col("event_type") == "purchase").select(
+        F.to_date("ts").alias("day"),
+        (F.col("us") - F.col("last_click_us")).alias("gap_us"),
+    )
+    return (
+        purch.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum(
+                (F.col("gap_us") <= 3_600_000_000).cast("long")
+            ).alias("n_matched"),
+            F.round(
+                F.avg(
+                    F.when(
+                        F.col("gap_us") <= 3_600_000_000, F.col("gap_us")
+                    )
+                )
+                / 1e6,
+                6,
+            )
+            .cast("double")
+            .alias("avg_gap_sec"),
+        )
+        .orderBy("day")
+    )
+
+
+register(
+    "ts_asof_tolerance",
+    engine_fn=_asof_tolerance_fn,
+    oracle=(
+        "WITH p AS (SELECT user_id, ts, CAST(ts AS DATE) AS day\n"
+        "  FROM events WHERE event_type = 'purchase'),\n"
+        "m AS (SELECT p.day,\n"
+        "    (SELECT MAX(EPOCH_US(c.ts)) FROM events c\n"
+        "      WHERE c.user_id = p.user_id AND c.event_type = 'click'\n"
+        "        AND c.ts < p.ts) AS lc_us,\n"
+        "    EPOCH_US(p.ts) AS p_us\n"
+        "  FROM p)\n"
+        "SELECT day, CAST(COUNT(*) AS BIGINT) AS n_purchases,\n"
+        "  CAST(SUM(CASE WHEN p_us - lc_us <= 3600000000 THEN 1\n"
+        "    ELSE 0 END) AS BIGINT) AS n_matched,\n"
+        "  CAST(ROUND(AVG(CASE WHEN p_us - lc_us <= 3600000000\n"
+        "    THEN p_us - lc_us END) / 1e6, 6) AS DOUBLE) AS avg_gap_sec\n"
+        "FROM m GROUP BY day ORDER BY day"
+    ),
+    category="timeseries",
+    suite="extension",
+    doc=(
+        "as-of join with 1-hour tolerance (purchase -> most recent "
+        "strictly-earlier click): union + window rewrite with a RANGE "
+        "frame ending at -1 us so the frame boundary IS the "
+        "strictly-earlier predicate; per-day match census vs a "
+        "correlated-subquery twin"
+    ),
+)

@@ -610,3 +610,48 @@ register(
         "mapInPandas stages"
     ),
 )
+
+
+def _mm_downsample_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio preprocessing pipeline: encode real 16 kHz WAVs, decode ->
+    2x decimate -> RE-ENCODE at 8 kHz (functions/multimodal.py:
+    downsample_audio), then decode the resampled payloads and stat the
+    samples. Oracle recomputes from the closed form of the decimated
+    grid (s[t] = (2t * (1 + id % 13)) % 251 - 125); a wrong anchor,
+    off-by-one sample count, or rate mishandling hash-fails."""
+    from nyuki_spark.functions.multimodal import downsample_audio
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 48)
+    media = attach_synthetic_media(docs, kind="audio")
+    resampled = downsample_audio(media, factor=2)
+    return decode_media_stats(resampled).select(
+        "doc_id",
+        "kind",
+        "sample_rate",
+        F.col("n_values").alias("n_samples"),
+        F.round("mean_val", 6).alias("mean_sample"),
+    ).orderBy("doc_id")
+
+
+register(
+    "mm_audio_downsample",
+    engine_fn=_mm_downsample_fn,
+    oracle=(
+        "SELECT d.doc_id, 'wav' AS kind, CAST(8000 AS INT) AS sample_rate,\n"
+        "  COUNT(*) AS n_samples,\n"
+        "  CAST(ROUND(AVG((2 * t.i * (1 + d.doc_id % 13)) % 251 - 125),"
+        " 6) AS DOUBLE) AS mean_sample\n"
+        "FROM documents d\n"
+        "JOIN range(440) t(i) ON t.i < (400 + (d.doc_id % 5) * 80) / 2\n"
+        "WHERE d.doc_id < 48\n"
+        "GROUP BY d.doc_id ORDER BY d.doc_id"
+    ),
+    category="llm-multimodal",
+    suite="extension",
+    doc=(
+        "REAL audio downsample round trip: decode WAV -> 2x decimation "
+        "-> re-encode at half rate -> re-decode -> sample stats; oracle "
+        "recomputes from the decimated closed form — map-only "
+        "mapInPandas stages"
+    ),
+)

@@ -514,6 +514,14 @@ ALLOWLIST: dict[str, tuple[tuple[str, ...], str]] = {
         "under the one_group constant partition (global cumulative "
         "series by definition — ts_sax_motifs precedent)",
     ),
+    "stat_bh_fdr": (
+        ("Exchange OneGroupConstant", "BroadcastNestedLoopJoin"),
+        "the BH step-up running minimum ranks the k-row FAMILY census "
+        "(one p-value per event type) under the one_group constant "
+        "partition; the BNLJ is the 1-row partial-aggregated pooled "
+        "moments broadcast onto the k-row type table (stat_psi_drift "
+        "shape)",
+    ),
     "llm_roc_auc": (
         ("Exchange OneGroupConstant", "BroadcastNestedLoopJoin"),
         "the cum_neg one_group window folds over the 4-dp-quantized "
