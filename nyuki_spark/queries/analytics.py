@@ -4683,7 +4683,10 @@ _DRAWDOWN_SQL = (
     "    MAX(cum) OVER ({PART}ORDER BY day\n"
     "      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak\n"
     "  FROM c)\n"
-    "SELECT day AS trough_day,\n"
+    # CAST AS DATE: Spark DATE_TRUNC returns a timestamp, DuckDB's
+    # returns a date — pin the output type identically (the
+    # ts_stl_decompose convention).
+    "SELECT CAST(day AS DATE) AS trough_day,\n"
     "  CAST(ROUND(cum, 6) AS DOUBLE) AS cum_at_trough,\n"
     "  CAST(ROUND(peak, 6) AS DOUBLE) AS peak_before,\n"
     "  CAST(ROUND(peak - cum, 6) AS DOUBLE) AS max_drawdown\n"
@@ -4887,5 +4890,84 @@ register(
         "Bollinger 7-day trailing-band breakouts on daily counts per "
         "type: integer window sums, denominator-cleared EXACT breakout "
         "test (no float boundary), band edges as display doubles"
+    ),
+)
+
+
+# -- forecast accuracy of the seasonal-naive baseline (round 10) --------------------
+
+_FORECAST_ACC_SQL = (
+    # Forecast-accuracy scorecard for the seasonal-naive baseline
+    # (forecast(d) = actual(d - 7)) on the daily count series per type:
+    # WAPE = sum|err| / sum|actual| and sMAPE = mean(2|err| /
+    # (|f| + |a|)) — the two scale-free error metrics every forecast
+    # eval reports. All-integer error cells (counts), LAG(7) over the
+    # type-partitioned day rollup; divisions are exact-int-operand
+    # singles. The first 7 days per type have no forecast and drop.
+    "WITH d AS (SELECT event_type, DATE_TRUNC('day', ts) AS day,\n"
+    "    CAST(COUNT(*) AS BIGINT) AS n\n"
+    "  FROM events GROUP BY 1, 2),\n"
+    "f AS (SELECT event_type, day, n,\n"
+    "    LAG(n, 7) OVER (PARTITION BY event_type ORDER BY day) AS fc\n"
+    "  FROM d),\n"
+    "e AS (SELECT event_type, n, fc, ABS(n - fc) AS ae FROM f\n"
+    "  WHERE fc IS NOT NULL)\n"
+    "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,\n"
+    "  CAST(SUM(ae) AS BIGINT) AS abs_err_sum,\n"
+    "  CAST(ROUND(SUM(ae) / CAST(SUM(n) AS DOUBLE), 6) AS DOUBLE)"
+    " AS wape,\n"
+    "  CAST(ROUND(AVG(2.0 * ae / (n + fc)), 6) AS DOUBLE) AS smape\n"
+    "FROM e GROUP BY event_type ORDER BY event_type"
+)
+
+register(
+    "ts_forecast_accuracy",
+    engine=_FORECAST_ACC_SQL,
+    oracle=_FORECAST_ACC_SQL,
+    category="timeseries",
+    suite="extension",
+    doc=(
+        "WAPE + sMAPE scorecard of the seasonal-naive baseline "
+        "(LAG-7 forecast) on daily counts per type: exact integer "
+        "error cells, two scale-free accuracy metrics"
+    ),
+)
+
+
+# -- chi-square goodness of fit (round 10) ------------------------------------------
+
+_CHISQ_GOF_SQL = (
+    # Chi-square goodness-of-fit of each type's day-of-week event
+    # distribution against uniform (the "is traffic flat across the
+    # week" check behind ts_dow_profile's seasonal index). Exact
+    # integer observed cells; chi2 = sum (O - N/7)^2 / (N/7) is
+    # algebraically cleared to (7 * sum(O^2) - N^2) / N — exact BIGINT
+    # numerator, ONE division, bit-identical across engines. The
+    # statistic and df are reported; the p-value needs the incomplete
+    # gamma (not expressible identically in both SQL dialects) and is
+    # the caller's table lookup, as with stat_ks_test.
+    "WITH d AS (SELECT event_type,\n"
+    "    {dow} AS dow, COUNT(*) AS o\n"
+    "  FROM events GROUP BY 1, 2),\n"
+    "s AS (SELECT event_type, SUM(o) AS n, SUM(o * o) AS ss,\n"
+    "    COUNT(*) AS k FROM d GROUP BY 1)\n"
+    "SELECT event_type, CAST(n AS BIGINT) AS n_events,\n"
+    "  CAST(k - 1 AS BIGINT) AS df,\n"
+    "  CAST(ROUND((7.0 * ss - CAST(n AS DOUBLE) * n) / n, 6)"
+    " AS DOUBLE) AS chi2\n"
+    "FROM s ORDER BY event_type"
+)
+
+register(
+    "stat_chisq_gof",
+    engine=_CHISQ_GOF_SQL.format(dow="(DAYOFWEEK(ts) + 5) % 7"),
+    oracle=_CHISQ_GOF_SQL.format(dow="(DAYOFWEEK(ts) + 6) % 7"),
+    category="stats",
+    suite="extension",
+    doc=(
+        "chi-square goodness-of-fit of day-of-week traffic vs uniform "
+        "per type: exact integer cells, denominator-cleared statistic "
+        "(one division), df reported — p-value is the caller's table "
+        "lookup like stat_ks_test"
     ),
 )

@@ -2562,3 +2562,50 @@ register(
         "MD5 fingerprint — per-row array transforms, zero shuffle"
     ),
 )
+
+
+# -- prefix-fingerprint dedup (round 10) --------------------------------------------
+
+_PREFIX_DEDUP_SQL = (
+    # Boilerplate-prefix dedup census: documents sharing their first 10
+    # tokens are near-certain template/boilerplate duplicates (the
+    # "same header, different tail" class exact-hash dedup misses and
+    # shingle dedup pays n-gram cost to find). One md5 over the token
+    # prefix, one group census: cluster count, docs in clusters, and
+    # the keep-first survivor count — linear, shuffle keyed by the
+    # 16-byte fingerprint. Docs under 10 tokens are exempt (their
+    # "prefix" is the whole doc — that is exact dedup's job).
+    "WITH p AS (SELECT doc_id,\n"
+    "    MD5({prefix}) AS fp\n"
+    "  FROM documents WHERE text IS NOT NULL AND {n} >= 10),\n"
+    "g AS (SELECT fp, COUNT(*) AS n, MIN(doc_id) AS keeper\n"
+    "  FROM p GROUP BY fp)\n"
+    "SELECT CAST(COUNT(*) AS BIGINT) AS n_prefixes,\n"
+    "  CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT)"
+    " AS n_dup_clusters,\n"
+    "  CAST(SUM(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT)"
+    " AS docs_in_clusters,\n"
+    "  CAST(SUM(n - 1) AS BIGINT) AS n_removable,\n"
+    "  CAST(MIN(keeper) AS BIGINT) AS min_keeper\n"
+    "FROM g"
+)
+
+register(
+    "llm_prefix_dedup",
+    engine=_PREFIX_DEDUP_SQL.format(
+        prefix="ARRAY_JOIN(SLICE(SPLIT(LOWER(text), ' '), 1, 10), ' ')",
+        n="SIZE(SPLIT(LOWER(text), ' '))",
+    ),
+    oracle=_PREFIX_DEDUP_SQL.format(
+        prefix="ARRAY_TO_STRING(STRING_SPLIT(LOWER(text), ' ')[1:10], ' ')",
+        n="LEN(STRING_SPLIT(LOWER(text), ' '))",
+    ),
+    category="llm-dedup",
+    suite="extension",
+    doc=(
+        "boilerplate-prefix dedup census: md5 of the first-10-token "
+        "prefix, one group census (clusters, members, keep-first "
+        "removable count) — the template-duplicate class between exact "
+        "and near-dup, linear cost"
+    ),
+)

@@ -4182,9 +4182,13 @@ def _asof_tolerance_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         purch.groupBy("day")
         .agg(
             F.count(F.lit(1)).alias("n_purchases"),
+            # when/otherwise, not a bare boolean cast: a day where EVERY
+            # purchase lacks a prior click makes all comparisons NULL,
+            # and SUM(all-NULL) is NULL while the oracle's CASE emits 0
+            # (caught at sf0.001, where such days exist).
             F.sum(
-                (F.col("gap_us") <= 3_600_000_000).cast("long")
-            ).alias("n_matched"),
+                F.when(F.col("gap_us") <= 3_600_000_000, 1).otherwise(0)
+            ).cast("long").alias("n_matched"),
             F.round(
                 F.avg(
                     F.when(
