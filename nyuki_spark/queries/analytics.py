@@ -4843,10 +4843,17 @@ register(
 # -- Bollinger band breakouts (round 10) --------------------------------------------
 
 _BOLLINGER_SQL = (
-    # Bollinger-band breakout days per metric group: 7-day trailing
-    # mean +/- 2 sample stddev on the DAILY COUNT series, flag days
-    # outside the band. All-integer discipline: the window carries only
-    # the integer sums S and SS over the full 7-day frame, and the
+    # Bollinger-band breakout days per metric group: trailing mean +/- 2
+    # sample stddev over the 7 PRECEDING OBSERVED DAYS of the daily
+    # count series, flag days outside the band. Stated precisely (r10
+    # ADVICE): the frame is ROWS over observed days, so a gap in the
+    # rollup stretches the lookback past 7 calendar days — the standard
+    # trading-days convention (markets skip weekends; Bollinger's own
+    # formulation is over observed bars). A strict-calendar variant
+    # would densify with a day spine first; this fixture's series is
+    # gap-free at sf>=0.01, where the two coincide. All-integer
+    # discipline: the window carries only
+    # the integer sums S and SS over the full 7-row frame, and the
     # breakout test (n - S/7)^2 > 4 * var is cleared of denominators to
     # 3*(7n - S)^2 > 14*(7*SS - S^2) — EXACT BIGINT comparison on both
     # engines, no float boundary to flip (the ts_stl_decompose integer
@@ -4887,9 +4894,10 @@ register(
     category="timeseries",
     suite="extension",
     doc=(
-        "Bollinger 7-day trailing-band breakouts on daily counts per "
-        "type: integer window sums, denominator-cleared EXACT breakout "
-        "test (no float boundary), band edges as display doubles"
+        "Bollinger trailing-band breakouts (7 preceding OBSERVED days — "
+        "trading-days convention) on daily counts per type: integer "
+        "window sums, denominator-cleared EXACT breakout test (no float "
+        "boundary), band edges as display doubles"
     ),
 )
 
@@ -4945,14 +4953,19 @@ _CHISQ_GOF_SQL = (
     # numerator, ONE division, bit-identical across engines. The
     # statistic and df are reported; the p-value needs the incomplete
     # gamma (not expressible identically in both SQL dialects) and is
-    # the caller's table lookup, as with stat_ks_test.
+    # the caller's table lookup, as with stat_ks_test. df is the
+    # CONSTANT 6 (7 uniform cells - 1): the cleared statistic already
+    # charges empty weekdays their full (0 - N/7)^2/(N/7) term, so a
+    # COUNT-of-observed-groups df would understate and make the
+    # (chi2, df) pair statistically inconsistent for sparse types
+    # (r10 ADVICE).
     "WITH d AS (SELECT event_type,\n"
     "    {dow} AS dow, COUNT(*) AS o\n"
     "  FROM events GROUP BY 1, 2),\n"
-    "s AS (SELECT event_type, SUM(o) AS n, SUM(o * o) AS ss,\n"
-    "    COUNT(*) AS k FROM d GROUP BY 1)\n"
+    "s AS (SELECT event_type, SUM(o) AS n, SUM(o * o) AS ss\n"
+    "  FROM d GROUP BY 1)\n"
     "SELECT event_type, CAST(n AS BIGINT) AS n_events,\n"
-    "  CAST(k - 1 AS BIGINT) AS df,\n"
+    "  CAST(6 AS BIGINT) AS df,\n"
     "  CAST(ROUND((7.0 * ss - CAST(n AS DOUBLE) * n) / n, 6)"
     " AS DOUBLE) AS chi2\n"
     "FROM s ORDER BY event_type"
@@ -4967,7 +4980,8 @@ register(
     doc=(
         "chi-square goodness-of-fit of day-of-week traffic vs uniform "
         "per type: exact integer cells, denominator-cleared statistic "
-        "(one division), df reported — p-value is the caller's table "
-        "lookup like stat_ks_test"
+        "(one division), df = constant 6 (all 7 uniform cells, empty "
+        "weekdays included) — p-value is the caller's table lookup "
+        "like stat_ks_test"
     ),
 )

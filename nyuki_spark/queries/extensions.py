@@ -4136,6 +4136,215 @@ register(
 )
 
 
+# -- CBO statistics-fed join reorder (round 11) -------------------------------------
+
+
+def _cbo_join_reorder_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cost-based-optimizer demonstration (r10 verdict Next #4/#5 —
+    SURVEY §4's planned ANALYZE tier): registers the three join tables
+    as EXTERNAL catalog tables over the same parquet (no copy), runs
+    `ANALYZE TABLE ... COMPUTE STATISTICS FOR ALL COLUMNS`, then plans a
+    deliberately badly-ordered 3-way join (fact first) under
+    spark.sql.cbo.enabled + joinReorder.enabled. Measured effect at
+    sf0.01, asserted in tests/test_plan_quality.py: WITHOUT stats
+    Catalyst joins left-to-right — (orders JOIN customer) JOIN nation —
+    and estimates the root at ~1 TiB; WITH stats the reorderer puts the
+    selective dimension pair first — (customer JOIN nation) JOIN
+    orders — and the root estimate collapses to rowCount=1. AQE's
+    runtime re-planning cannot do this (it only demotes/coalesces an
+    already-ordered join tree); on a real 100 TB star schema the
+    stats-fed reorder is the difference between shuffling the fact
+    table once and twice. Confs are restored and catalog entries
+    dropped after materialization; the result itself is the revenue
+    census the twin recomputes."""
+    tag = uuid.uuid4().hex[:8]
+    names = {t: f"cbo_{t}_{tag}" for t in ("nation", "customer", "orders")}
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.cbo.enabled",
+            "spark.sql.cbo.joinReorder.enabled",
+            "spark.sql.cbo.planStats.enabled",
+        )
+    }
+    try:
+        for t, n in names.items():
+            spark.sql(
+                f"CREATE TABLE {n} USING parquet"
+                f" LOCATION '{sf_dir}/{t}.parquet'"
+            )
+            spark.sql(f"ANALYZE TABLE {n} COMPUTE STATISTICS FOR ALL COLUMNS")
+        for k in saved:
+            spark.conf.set(k, "true")
+        res = spark.sql(
+            # Deliberately fact-first FROM order: the reorderer, not the
+            # written order, must pick the join tree.
+            f"SELECT n.n_name,\n"
+            f"  CAST(COUNT(*) AS BIGINT) AS n_orders,\n"
+            f"  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2)))"
+            f" AS DOUBLE) AS revenue\n"
+            f"FROM {names['orders']} o\n"
+            f"JOIN {names['customer']} c ON o.o_custkey = c.c_custkey\n"
+            f"JOIN {names['nation']} n ON c.c_nationkey = n.n_nationkey\n"
+            f"WHERE n.n_regionkey <= 1\n"
+            f"GROUP BY n.n_name ORDER BY n.n_name"
+        ).cache()
+        res.count()  # materialize under CBO confs, before restore/drop
+        return res
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+        for n in names.values():
+            try:
+                spark.sql(f"DROP TABLE IF EXISTS {n}")
+            except Exception:
+                pass
+
+
+register(
+    "plan_cbo_join_reorder",
+    engine_fn=_cbo_join_reorder_fn,
+    oracle=(
+        "SELECT n.n_name, CAST(COUNT(*) AS BIGINT) AS n_orders,\n"
+        "  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)"
+        " AS revenue\n"
+        "FROM orders o\n"
+        "JOIN customer c ON o.o_custkey = c.c_custkey\n"
+        "JOIN nation n ON c.c_nationkey = n.n_nationkey\n"
+        "WHERE n.n_regionkey <= 1\n"
+        "GROUP BY n.n_name ORDER BY n.n_name"
+    ),
+    category="planning",
+    suite="extension",
+    doc=(
+        "ANALYZE TABLE column stats + CBO join reorder: fact-first "
+        "3-way join rewritten by the cost-based reorderer to join the "
+        "selective dimension pair first (plan asserted in "
+        "tests/test_plan_quality.py); exact DECIMAL revenue census"
+    ),
+)
+
+
+# -- live CEP with per-step quantifiers (round 11) ---------------------------------
+
+
+def _cep_quantified_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live quantified CEP — the Flink-CEP/MATCH_RECOGNIZE ``A{m,}``
+    class (r10 verdict Next #3): ``view{3,} -> click{2,}`` per user
+    inside the 7-day anchor window. The anchor is the user's earliest
+    view; the view step is SATISFIED at the 3rd view in the window, the
+    click step at the 2nd click strictly after that — funnel_match's
+    greedy-earliest order-statistic semantics, which the batch twin
+    re-derives as window-bounded ROW_NUMBER order statistics (rn = m).
+    Same out-of-order replay, event-time-timer and two-flush-sentinel
+    mechanics as the other CEP live ids; state stays window-bounded
+    (quantifiers change which buffered row satisfies a step, not what
+    is buffered)."""
+    import datetime
+
+    from nyuki_spark.streaming.stateful import funnel_match
+
+    events = load_table(spark, sf_dir, "events")
+    scratch = tempfile.mkdtemp(prefix="nyuki-live-")
+    name = f"nyuki_live_{uuid.uuid4().hex[:12]}"
+    try:
+        mx = events.agg(F.max("ts")).head()[0]
+
+        def sentinel(days: int) -> DataFrame:
+            return spark.createDataFrame(
+                [
+                    (
+                        -1,
+                        mx + datetime.timedelta(days=days),
+                        -1,
+                        "__flush__",
+                        0.0,
+                        "{}",
+                    )
+                ],
+                events.schema,
+            )
+
+        sdf = replay_stream(
+            spark,
+            events,
+            n_chunks=4,
+            scratch_dir=scratch,
+            flush_df=[sentinel(80), sentinel(81)],
+        )
+        sdf = (
+            sdf.select(
+                F.col("ts").cast("timestamp").alias("ts"),
+                "user_id",
+                "event_type",
+            )
+            .where(F.col("event_type").isin("view", "click", "__flush__"))
+            .withWatermark("ts", "35 days")
+        )
+        out = funnel_match(
+            sdf, steps=("view", "click"), min_counts=(3, 2)
+        )
+        res = run_to_table(out, mode="append", name=name)
+        res = (
+            res.where(F.col("user_id") >= 0)
+            .select(
+                "user_id",
+                F.col("step1_ts").alias("view3_ts"),
+                F.col("step2_ts").alias("click2_ts"),
+            )
+            .orderBy("user_id")
+            .cache()
+        )
+        res.count()
+        return res
+    finally:
+        try:
+            spark.catalog.dropTempView(name)
+        except Exception:
+            pass
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+register(
+    "stream_cep_quantified_live",
+    engine_fn=_cep_quantified_fn,
+    oracle=(
+        "WITH a AS (SELECT user_id, MIN(ts) AS anchor FROM events\n"
+        "  WHERE event_type = 'view' GROUP BY 1),\n"
+        "v AS (SELECT user_id, ts FROM (\n"
+        "  SELECT e.user_id, e.ts,\n"
+        "    ROW_NUMBER() OVER (PARTITION BY e.user_id ORDER BY e.ts)"
+        " AS rn\n"
+        "  FROM events e JOIN a ON a.user_id = e.user_id\n"
+        "  WHERE e.event_type = 'view' AND e.ts >= a.anchor\n"
+        "    AND e.ts <= a.anchor + INTERVAL 7 DAY) t WHERE rn = 3),\n"
+        "c AS (SELECT user_id, ts FROM (\n"
+        "  SELECT e.user_id, e.ts,\n"
+        "    ROW_NUMBER() OVER (PARTITION BY e.user_id ORDER BY e.ts)"
+        " AS rn\n"
+        "  FROM events e JOIN v ON v.user_id = e.user_id\n"
+        "  JOIN a ON a.user_id = e.user_id\n"
+        "  WHERE e.event_type = 'click' AND e.ts > v.ts\n"
+        "    AND e.ts <= a.anchor + INTERVAL 7 DAY) t WHERE rn = 2)\n"
+        "SELECT a.user_id, CAST(v.ts AS TIMESTAMP) AS view3_ts,\n"
+        "  CAST(c.ts AS TIMESTAMP) AS click2_ts\n"
+        "FROM a JOIN v ON v.user_id = a.user_id\n"
+        "JOIN c ON c.user_id = a.user_id ORDER BY a.user_id"
+    ),
+    category="streaming-live",
+    suite="extension",
+    doc=(
+        "live quantified CEP (view{3,} -> click{2,} in a 7-day anchor "
+        "window — the A{m,} MATCH_RECOGNIZE class) via funnel_match "
+        "per-step min_counts; order-statistic SQL twin (ROW_NUMBER "
+        "rn = m), stream/batch parity"
+    ),
+)
+
+
 # -- as-of join with tolerance (round 10) ------------------------------------------
 
 

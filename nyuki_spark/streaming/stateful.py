@@ -284,6 +284,8 @@ def funnel_match(
     type_col: str = "event_type",
     within_us: int = 7 * 86_400_000_000,
     absent: str | None = None,
+    tombstone_ttl_us: int | None = None,
+    min_counts: tuple[int, ...] | None = None,
 ) -> DataFrame:
     """CEP sequence detection: per key, the earliest ``steps[0]`` event
     anchors a pattern window of ``within_us``; the match is the earliest
@@ -296,10 +298,25 @@ def funnel_match(
     closes. Output columns are generic (``step1_ts`` .. ``stepK_ts``) so
     the parameters mean what they say; callers alias to domain names.
 
-    Scope, stated plainly: k-step existence chains plus one negated
-    event type — the funnel and absence-within-window classes of
-    MATCH_RECOGNIZE / Flink-CEP workloads. NOT a general pattern-regex
-    engine: no quantifiers, no alternation, no multiple negations.
+    Scope, stated plainly: k-step existence chains with optional
+    PER-STEP LOWER-BOUND QUANTIFIERS (``min_counts[i]`` = the
+    MATCH_RECOGNIZE / Flink-CEP ``A{m,}`` class — "m or more of step
+    type i before the chain advances") plus one negated event type —
+    the funnel, repeated-action and absence-within-window classes of
+    CEP workloads. NOT a general pattern-regex engine: no ``A{m,n}``
+    upper bounds, no alternation, no multiple negations, no per-step
+    value predicates (pre-filter the input stream for those).
+
+    Quantifier semantics, greedy-earliest: the anchor (window start) is
+    still the EARLIEST ``steps[0]`` event; step i is *satisfied* at the
+    ``min_counts[i]``-th earliest event of its type strictly after the
+    previous step's satisfaction time (>= the anchor itself for step 0)
+    and inside the window, and the next step must start strictly after
+    that satisfaction time. ``step{i}_ts`` reports the satisfaction
+    time — the instant the quantifier completes, which is what "the
+    funnel advanced" means operationally. Order statistics over the
+    buffered window are order-insensitive, so out-of-order arrival
+    still cannot change the answer.
 
     Mechanics — the event-time-timer buffered fold, the standard way to
     run order-sensitive logic over an out-of-order stream: rows buffer
@@ -321,8 +338,9 @@ def funnel_match(
     events for the key would otherwise re-create state with a NEW
     (later) anchor and emit a second row, diverging from the batch
     twin's global-MIN anchor. The tombstone is O(1) per key (two empty
-    arrays, no buffered events, no timer) — the floor any
-    exactly-once-per-key contract pays. And it is semantics-exact, not
+    arrays, no buffered events, no timer unless ``tombstone_ttl_us``
+    arms the removal timer) — the floor any exactly-once-per-key
+    contract pays. And it is semantics-exact, not
     just dedup: once the EARLIEST anchor's horizon closes, the batch
     twin's outcome for that key is final, whether or not a row was
     emitted. Anchor-less GC still removes state entirely: a pre-anchor
@@ -333,7 +351,18 @@ def funnel_match(
     State per key is bounded by the pattern window, not the stream:
     events past ANCHOR + WINDOW are pruned at buffer time (they can
     never participate — the anchor only ever moves EARLIER, which moves
-    the window earlier too). The caller must ``withWatermark`` the
+    the window earlier too). Stated honestly (r10 ADVICE): that bound is
+    the BUFFER per key; the tombstones themselves are retained per
+    anchored key FOREVER by default, so total state grows with the
+    cardinality of keys that ever anchor — the unavoidable price of
+    exactly-once-per-key over an unbounded key space. For key spaces
+    where that matters (e.g. session-scoped keys that never recur),
+    set ``tombstone_ttl_us``: the tombstone re-arms a timer at
+    horizon + TTL and is removed when it fires. The exactly-once
+    contract then weakens to exactly-once-per-key-within-TTL — a key
+    recurring after horizon + TTL re-anchors and may emit again; pick a
+    TTL comfortably above any plausible key-recurrence gap. The caller
+    must ``withWatermark`` the
     input; a finite replay needs TWO flush sentinels (see
     :func:`~nyuki_spark.streaming.replay.replay_stream`) because timers
     are evaluated against the PREVIOUS batch's watermark.
@@ -343,6 +372,10 @@ def funnel_match(
         raise ValueError("funnel_match needs at least one step")
     if absent is not None and absent in steps:
         raise ValueError("absent type cannot also be a chain step")
+    if min_counts is None:
+        min_counts = (1,) * k
+    if len(min_counts) != k or any(m < 1 for m in min_counts):
+        raise ValueError("min_counts needs one >=1 entry per step")
     out_schema = StructType(
         [StructField(key_col, LongType())]
         + [
@@ -367,26 +400,52 @@ def funnel_match(
                 (t for t, ty in zip(ts_us, types) if ty == s0), default=None
             )
             if anchor is None:
-                state.remove()  # never-anchored key: plain GC
+                # Never-anchored key (plain GC) — or an expired
+                # tombstone-TTL timer (empty buffer): either way the
+                # key's residue is released.
+                state.remove()
                 return
             # Anchored horizon closed: the outcome is final for this key
             # (the batch twin anchors at the global MIN step-0 event).
-            # Tombstone instead of remove — exactly-once per key.
-            state.update(([], []))
-            chain: list[int | None] = [anchor]
-            prev: int | None = anchor
-            for s in steps[1:]:
+            # Tombstone instead of remove — exactly-once per key. With a
+            # TTL the tombstone carries its removal deadline (event-time
+            # us) and arms the removal timer; the data branch needs the
+            # deadline too, for a key that recurs in the SAME batch the
+            # timer would have fired in (data suppresses timeouts).
+            if tombstone_ttl_us is not None:
+                deadline = anchor + within_us + tombstone_ttl_us
+                state.update(([deadline], ["__tombstone__"]))
+                state.setTimeoutTimestamp(
+                    max(
+                        deadline // 1000 + 1,
+                        state.getCurrentWatermarkMs() + 1,
+                    )
+                )
+            else:
+                state.update(([], []))
+            hi = anchor + within_us
+
+            def nth_after(s: str, lo: int, m: int, incl: bool) -> int | None:
+                # m-th order statistic of the step type's buffered times
+                # in (lo, hi] (or [lo, hi] for the anchor step) — the
+                # quantifier's satisfaction time; m=1 degenerates to the
+                # original min-chain.
+                cands = sorted(
+                    t
+                    for t, ty in zip(ts_us, types)
+                    if ty == s and (t >= lo if incl else t > lo) and t <= hi
+                )
+                return cands[m - 1] if len(cands) >= m else None
+
+            chain: list[int | None] = [
+                nth_after(s0, anchor, min_counts[0], incl=True)
+            ]
+            prev: int | None = chain[0]
+            for s, m in zip(steps[1:], min_counts[1:]):
                 nxt = (
                     None
                     if prev is None
-                    else min(
-                        (
-                            t
-                            for t, ty in zip(ts_us, types)
-                            if ty == s and prev < t <= anchor + within_us
-                        ),
-                        default=None,
-                    )
+                    else nth_after(s, prev, m, incl=False)
                 )
                 chain.append(nxt)
                 prev = nxt
@@ -412,11 +471,19 @@ def funnel_match(
         ts_us, types = (
             ([], []) if not state.exists else tuple(map(list, state.get))
         )
-        if state.exists and not ts_us:
+        if state.exists and (not ts_us or types == ["__tombstone__"]):
             # Tombstoned key: the earliest anchor's horizon already
-            # closed and the outcome was emitted (or ruled out) — later
-            # events cannot change it. Keep the tombstone, arm no timer.
-            return
+            # closed and the outcome was emitted (or ruled out).
+            if types == ["__tombstone__"] and (
+                state.getCurrentWatermarkMs() * 1000 >= ts_us[0]
+            ):
+                # TTL already expired (data in the same batch suppresses
+                # the removal timer): drop the tombstone and process the
+                # arriving events as a fresh key.
+                ts_us, types = [], []
+            else:
+                # Keep the tombstone; the TTL timer (if any) stays armed.
+                return
         for pdf in pdfs:
             # Buffer at MICROSECOND precision — the fixture carries sub-ms
             # components, and the min-chain must agree with the oracle's

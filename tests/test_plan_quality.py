@@ -131,6 +131,93 @@ def test_skew_report_single_partition_is_partial_aggregated(spark, sf_dir):
     assert "BroadcastExchange" in plan
 
 
+def test_cbo_stats_reorder_join(spark, sf_dir):
+    """r10 verdict Next #5 (SURVEY §4's ANALYZE tier): column stats from
+    `ANALYZE TABLE ... FOR ALL COLUMNS` must actually feed the
+    cost-based join reorderer. The probe query is written fact-first
+    (orders JOIN customer JOIN nation); without stats Catalyst joins
+    left-to-right, with stats + cbo.joinReorder the optimized tree
+    joins the selective dimension pair (customer JOIN nation) FIRST and
+    the root cardinality estimate collapses from a multi-GiB guess to a
+    stats-derived rowCount. Both properties are asserted on the
+    OPTIMIZED plan — the layer the reorderer rewrites."""
+    import uuid as _uuid
+
+    tag = _uuid.uuid4().hex[:8]
+    names = {t: f"cbot_{t}_{tag}" for t in ("nation", "customer", "orders")}
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.cbo.enabled",
+            "spark.sql.cbo.joinReorder.enabled",
+            "spark.sql.cbo.planStats.enabled",
+        )
+    }
+    q = (
+        f"SELECT n.n_name, COUNT(*) AS n_orders\n"
+        f"FROM {names['orders']} o\n"
+        f"JOIN {names['customer']} c ON o.o_custkey = c.c_custkey\n"
+        f"JOIN {names['nation']} n ON c.c_nationkey = n.n_nationkey\n"
+        f"WHERE n.n_name = 'FRANCE' GROUP BY n.n_name"
+    )
+
+    def optimized() -> str:
+        return spark.sql(q)._jdf.queryExecution().optimizedPlan().toString()
+
+    try:
+        for t, n in names.items():
+            spark.sql(
+                f"CREATE TABLE {n} USING parquet LOCATION '{sf_dir}/{t}.parquet'"
+            )
+            spark.sql(f"ANALYZE TABLE {n} COMPUTE STATISTICS FOR ALL COLUMNS")
+        # Stats are in the catalog (DESC EXTENDED shows rowCount)...
+        desc = {
+            r.col_name: r.data_type
+            for r in spark.sql(f"DESCRIBE EXTENDED {names['nation']}").collect()
+        }
+        assert "rows" in desc.get("Statistics", ""), desc
+
+        for k in saved:
+            spark.conf.set(k, "false")
+        baseline = optimized()
+        for k in saved:
+            spark.conf.set(k, "true")
+        reordered = optimized()
+
+        def first_join_sides(plan: str) -> str:
+            # The INNERMOST join is the last 'Join Inner' line; its two
+            # children are the first two relations after it.
+            lines = plan.split("\n")
+            idx = max(i for i, l in enumerate(lines) if "Join Inner" in l)
+            rels = [l for l in lines[idx:] if "Relation" in l]
+            return " ".join(rels[:2])
+
+        base_inner = first_join_sides(baseline)
+        cbo_inner = first_join_sides(reordered)
+        assert names["orders"] in base_inner, (
+            "without stats the written fact-first order plans first: "
+            + base_inner
+        )
+        assert (
+            names["customer"] in cbo_inner and names["nation"] in cbo_inner
+        ), "stats-fed reorder must join the dimension pair first: " + cbo_inner
+        assert names["orders"] not in cbo_inner
+        # ...and the reordered root estimate is stats-derived (rowCount
+        # present), not the sizeInBytes-product fallback.
+        stats = (
+            spark.sql(q)._jdf.queryExecution().optimizedPlan().stats().toString()
+        )
+        assert "rowCount" in stats, stats
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+        for n in names.values():
+            spark.sql(f"DROP TABLE IF EXISTS {n}")
+
+
 def test_dynamic_partition_pruning_fires(spark, sf_dir, tmp_path):
     """SURVEY §4's last untouched row (r9 verdict next #3): the
     join-driven pruning path must inject a DynamicPruningExpression into

@@ -261,3 +261,72 @@ def test_ivf_index_key_staleness_fingerprint(spark, sf_dir, tmp_path):
     shutil.copytree(str(tmp_path / "emb2"), f"{local}/embeddings.parquet")
     d2 = _ivf_index_dir(spark, local, load_table(spark, local, "embeddings"))
     assert d2 != d1, "in-place fixture rewrite must invalidate the index key"
+
+
+def test_ivf_index_key_value_sensitive(spark, sf_dir, tmp_path):
+    """r10 ADVICE (medium): a rewrite that keeps the SAME row count and
+    SAME vec_id range but different embedding VALUES (fixture
+    regenerated with a new seed) must also change the key — count+max
+    alone is blind to it; the xxhash64 value sum is not."""
+    import os
+    import shutil
+
+    from nyuki_spark.queries.llm import _ivf_index_dir
+
+    local = str(tmp_path / "sf")
+    shutil.copytree(sf_dir, local)
+    emb = load_table(spark, local, "embeddings")
+    d1 = _ivf_index_dir(spark, local, emb)
+    n1 = emb.count()
+
+    # Same ids, same count — perturb one component of every vector.
+    mutated = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x, i: F.when(i == 0, x + F.lit(0.5)).otherwise(x).cast("float"),
+        ).alias("embedding"),
+        *[c for c in emb.columns if c not in ("vec_id", "embedding")],
+    )
+    mutated.write.mode("overwrite").parquet(str(tmp_path / "emb2"))
+    os.remove(f"{local}/embeddings.parquet")  # fixture is a single file
+    shutil.copytree(str(tmp_path / "emb2"), f"{local}/embeddings.parquet")
+    emb2 = load_table(spark, local, "embeddings")
+    assert emb2.count() == n1  # the scenario: identical count + id range
+    d2 = _ivf_index_dir(spark, local, emb2)
+    assert d2 != d1, "same-count/same-ids value rewrite must invalidate the key"
+
+
+def test_ivf_index_colocated_and_reused(spark, sf_dir, tmp_path):
+    """r10 verdict Next #6: the persisted IVF index lives beside the data
+    it indexes (`<sf_dir>/.nyuki_index/`) when the dataset dir is
+    writable, so a second session reuses the build instead of refitting
+    after tempdir cleanup; a read-only sf_dir (the driver's testdata
+    contract) falls back to tempdir."""
+    import os
+    import shutil
+
+    from nyuki_spark.queries.llm import _ivf_index_dir, _knn_ivf_fn
+
+    local = str(tmp_path / "sf")
+    shutil.copytree(sf_dir, local)
+    r1 = [tuple(r) for r in _knn_ivf_fn(spark, local).collect()]
+    d = _ivf_index_dir(spark, local, load_table(spark, local, "embeddings"))
+    assert d.startswith(os.path.join(local, ".nyuki_index"))
+    success = os.path.join(d, "vectors", "_SUCCESS")
+    assert os.path.exists(success)
+    m1 = os.path.getmtime(success)
+    # "Second session": a fresh call path re-deriving the key from disk —
+    # must hit the co-located cache (same hashes, no rebuild).
+    r2 = [tuple(r) for r in _knn_ivf_fn(spark, local).collect()]
+    assert r2 == r1
+    assert os.path.getmtime(success) == m1, "index was rebuilt, not reused"
+    # Read-only dataset root -> tempdir fallback, never a write attempt.
+    ro = str(tmp_path / "ro")
+    shutil.copytree(sf_dir, ro)
+    os.chmod(ro, 0o555)
+    try:
+        d_ro = _ivf_index_dir(spark, ro, load_table(spark, ro, "embeddings"))
+        assert not d_ro.startswith(ro)
+    finally:
+        os.chmod(ro, 0o755)

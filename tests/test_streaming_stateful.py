@@ -378,3 +378,126 @@ def test_funnel_match_tombstone_exactly_once_per_key(spark, tmp_path):
     # Without the tombstone user 1 would re-anchor at t0+20d and emit a
     # second-epoch match; the batch twin (global MIN view) never would.
     assert got == [2], f"expected exactly user 2, got {got}"
+
+
+def test_funnel_match_quantifiers(spark, tmp_path):
+    """Per-step lower-bound quantifiers (r10 verdict Next #3 — the
+    A{m,} class): view{3,} -> click{2,}. The view step is satisfied at
+    the 3rd view inside the window; clicks BEFORE that satisfaction
+    time must not count toward the click step (user 2); fewer than m
+    occurrences -> no match (user 3); satisfaction timestamps are the
+    m-th order statistics (user 1)."""
+    from datetime import datetime, timedelta
+
+    from nyuki_spark.streaming.replay import replay_stream
+    from nyuki_spark.streaming.stateful import funnel_match
+
+    t0 = datetime(2026, 3, 1, 9, 0, 0)
+    schema = "user_id long, ts timestamp, event_type string"
+    mins = timedelta(minutes=1)
+    rows = [
+        # user 1: views at +0,+2,+4 min (3rd view = +4), clicks at
+        # +1 (before satisfaction — ignored), +5, +6 (2nd after = +6).
+        Row(user_id=1, ts=t0, event_type="view"),
+        Row(user_id=1, ts=t0 + 2 * mins, event_type="view"),
+        Row(user_id=1, ts=t0 + 4 * mins, event_type="view"),
+        Row(user_id=1, ts=t0 + 1 * mins, event_type="click"),
+        Row(user_id=1, ts=t0 + 5 * mins, event_type="click"),
+        Row(user_id=1, ts=t0 + 6 * mins, event_type="click"),
+        # user 2: 3 views, but only ONE click after the 3rd view.
+        Row(user_id=2, ts=t0, event_type="view"),
+        Row(user_id=2, ts=t0 + 1 * mins, event_type="view"),
+        Row(user_id=2, ts=t0 + 2 * mins, event_type="view"),
+        Row(user_id=2, ts=t0 + 1 * mins, event_type="click"),
+        Row(user_id=2, ts=t0 + 3 * mins, event_type="click"),
+        # user 3: only 2 views, plenty of clicks.
+        Row(user_id=3, ts=t0, event_type="view"),
+        Row(user_id=3, ts=t0 + 1 * mins, event_type="view"),
+        Row(user_id=3, ts=t0 + 2 * mins, event_type="click"),
+        Row(user_id=3, ts=t0 + 3 * mins, event_type="click"),
+    ]
+    df = spark.createDataFrame(rows, schema)
+    flush = [
+        spark.createDataFrame(
+            [Row(user_id=-1, ts=t0 + timedelta(days=d), event_type="__flush__")],
+            schema,
+        )
+        for d in (80, 81)
+    ]
+    scratch = str(tmp_path / f"cep-q-{uuid.uuid4().hex[:8]}")
+    sdf = replay_stream(spark, df, n_chunks=3, scratch_dir=scratch, flush_df=flush)
+    out = funnel_match(
+        sdf.withWatermark("ts", "35 days"),
+        steps=("view", "click"),
+        min_counts=(3, 2),
+    )
+    res = run_to_table(out, mode="append").collect()
+    got = {r.user_id: r for r in res if r.user_id >= 0}
+    assert set(got) == {1}, f"expected only user 1, got {sorted(got)}"
+    assert got[1].step1_ts == t0 + 4 * mins, "view step satisfied at 3rd view"
+    assert got[1].step2_ts == t0 + 6 * mins, "click step: 2nd click AFTER the 3rd view"
+
+
+def test_funnel_match_tombstone_ttl_gc(spark, tmp_path):
+    """r10 ADVICE (low): with ``tombstone_ttl_us`` set, an anchored key's
+    tombstone is GARBAGE-COLLECTED at horizon + TTL instead of living
+    forever — and the contract weakens, by design, to exactly-once-per-
+    key-within-TTL: user 1's epoch-2 funnel (20 days after the epoch-1
+    anchor, far past horizon + 1-day TTL) re-anchors and DOES emit,
+    where the default (no TTL) test above proves it would not. This is
+    the bounded-state mode for unbounded key spaces."""
+    from datetime import datetime, timedelta
+
+    from nyuki_spark.streaming.replay import replay_stream
+    from nyuki_spark.streaming.stateful import funnel_match
+
+    t0 = datetime(2026, 3, 1, 9, 0, 0)
+    schema = "user_id long, ts timestamp, event_type string"
+    epoch1 = spark.createDataFrame(
+        [
+            # user 1: incomplete funnel in epoch 1 (tombstoned, no row)
+            Row(user_id=1, ts=t0, event_type="view"),
+            Row(user_id=1, ts=t0 + timedelta(minutes=10), event_type="click"),
+            # user 2: positive control, completes in epoch 1
+            Row(user_id=2, ts=t0, event_type="view"),
+            Row(user_id=2, ts=t0 + timedelta(minutes=5), event_type="click"),
+            Row(user_id=2, ts=t0 + timedelta(hours=1), event_type="purchase"),
+        ],
+        schema,
+    )
+
+    def sentinel(days: int):
+        return spark.createDataFrame(
+            [Row(user_id=-1, ts=t0 + timedelta(days=days), event_type="__flush__")],
+            schema,
+        )
+
+    # Epoch-2 funnel for user 1 at t0+20d: past the epoch-1 horizon
+    # (t0+7d) + 1-day TTL (deadline t0+8d) — must re-anchor and emit.
+    epoch2 = spark.createDataFrame(
+        [
+            Row(user_id=1, ts=t0 + timedelta(days=20), event_type="view"),
+            Row(user_id=1, ts=t0 + timedelta(days=20, minutes=9), event_type="click"),
+            Row(user_id=1, ts=t0 + timedelta(days=20, hours=3), event_type="purchase"),
+        ],
+        schema,
+    )
+    scratch = str(tmp_path / f"cep-ttl-{uuid.uuid4().hex[:8]}")
+    sdf = replay_stream(
+        spark,
+        epoch1,
+        n_chunks=1,
+        scratch_dir=scratch,
+        flush_df=[sentinel(50), sentinel(51), epoch2, sentinel(80), sentinel(81)],
+    )
+    out = funnel_match(
+        sdf.withWatermark("ts", "35 days"),
+        tombstone_ttl_us=86_400_000_000,  # 1 day
+    )
+    res = run_to_table(out, mode="append").collect()
+    got = {r.user_id: r for r in res if r.user_id >= 0}
+    assert sorted(got) == [1, 2], f"expected users 1 (epoch 2) and 2, got {sorted(got)}"
+    # User 1's row is the EPOCH-2 chain — the tombstone expired and the
+    # key re-anchored fresh; epoch-1 events are long gone.
+    assert got[1].step1_ts == t0 + timedelta(days=20)
+    assert got[1].step3_ts == t0 + timedelta(days=20, hours=3)
