@@ -34,6 +34,12 @@ PROBES = [
     # (applyInPandasWithState buffered fold + event-time timers), so the
     # same state-rows/watermark-drop/output-equality evidence applies.
     "stream_cep_funnel_live",
+    # r11: the quantified (A{m,}) and alternation ((B|C)) CEP ids —
+    # quantifiers/alternation change which buffered row satisfies a
+    # step, not what is buffered, so state must stay window-bounded
+    # exactly like the plain funnel.
+    "stream_cep_quantified_live",
+    "stream_cep_alternation_live",
 ]
 
 PROVIDER_KEY = "spark.sql.streaming.stateStore.providerClass"
