@@ -4345,6 +4345,119 @@ register(
 )
 
 
+# -- live CEP with alternation (round 11) -------------------------------------------
+
+
+def _cep_alternation_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live CEP with ALTERNATION — the `A -> (B|C) -> D` MATCH_RECOGNIZE
+    class (listed inexpressible in the r10 verdict): signup ->
+    (view|click) -> purchase inside the 7-day anchor window. A step
+    given to funnel_match as a tuple of types matches the EARLIEST
+    event of any of them, so the batch twin is the same min-chain SQL
+    with `event_type IN (...)` on the alternated step. Same replay /
+    timer / sentinel mechanics as the other CEP live ids."""
+    import datetime
+
+    from nyuki_spark.streaming.stateful import funnel_match
+
+    events = load_table(spark, sf_dir, "events")
+    scratch = tempfile.mkdtemp(prefix="nyuki-live-")
+    name = f"nyuki_live_{uuid.uuid4().hex[:12]}"
+    try:
+        mx = events.agg(F.max("ts")).head()[0]
+
+        def sentinel(days: int) -> DataFrame:
+            return spark.createDataFrame(
+                [
+                    (
+                        -1,
+                        mx + datetime.timedelta(days=days),
+                        -1,
+                        "__flush__",
+                        0.0,
+                        "{}",
+                    )
+                ],
+                events.schema,
+            )
+
+        sdf = replay_stream(
+            spark,
+            events,
+            n_chunks=4,
+            scratch_dir=scratch,
+            flush_df=[sentinel(80), sentinel(81)],
+        )
+        sdf = (
+            sdf.select(
+                F.col("ts").cast("timestamp").alias("ts"),
+                "user_id",
+                "event_type",
+            )
+            .where(
+                F.col("event_type").isin(
+                    "signup", "view", "click", "purchase", "__flush__"
+                )
+            )
+            .withWatermark("ts", "35 days")
+        )
+        out = funnel_match(
+            sdf, steps=("signup", ("view", "click"), "purchase")
+        )
+        res = run_to_table(out, mode="append", name=name)
+        res = (
+            res.where(F.col("user_id") >= 0)
+            .select(
+                "user_id",
+                F.col("step1_ts").alias("signup_ts"),
+                F.col("step2_ts").alias("engage_ts"),
+                F.col("step3_ts").alias("purchase_ts"),
+            )
+            .orderBy("user_id")
+            .cache()
+        )
+        res.count()
+        return res
+    finally:
+        try:
+            spark.catalog.dropTempView(name)
+        except Exception:
+            pass
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+register(
+    "stream_cep_alternation_live",
+    engine_fn=_cep_alternation_fn,
+    oracle=(
+        "WITH a AS (SELECT user_id, MIN(ts) AS s FROM events\n"
+        "  WHERE event_type = 'signup' GROUP BY 1),\n"
+        "m AS (SELECT e.user_id, MIN(e.ts) AS m FROM events e\n"
+        "  JOIN a ON a.user_id = e.user_id\n"
+        "  WHERE e.event_type IN ('view', 'click') AND e.ts > a.s\n"
+        "    AND e.ts <= a.s + INTERVAL 7 DAY GROUP BY 1),\n"
+        "p AS (SELECT e.user_id, MIN(e.ts) AS p FROM events e\n"
+        "  JOIN m ON m.user_id = e.user_id\n"
+        "  JOIN a ON a.user_id = e.user_id\n"
+        "  WHERE e.event_type = 'purchase' AND e.ts > m.m\n"
+        "    AND e.ts <= a.s + INTERVAL 7 DAY GROUP BY 1)\n"
+        "SELECT a.user_id, CAST(a.s AS TIMESTAMP) AS signup_ts,\n"
+        "  CAST(m.m AS TIMESTAMP) AS engage_ts,\n"
+        "  CAST(p.p AS TIMESTAMP) AS purchase_ts\n"
+        "FROM a JOIN m ON m.user_id = a.user_id\n"
+        "JOIN p ON p.user_id = a.user_id ORDER BY a.user_id"
+    ),
+    category="streaming-live",
+    suite="extension",
+    doc=(
+        "live CEP alternation (signup -> (view|click) -> purchase in a "
+        "7-day anchor window — the (B|C) MATCH_RECOGNIZE class) via "
+        "funnel_match type-set steps; min-chain twin with IN-list on "
+        "the alternated step, stream/batch parity"
+    ),
+)
+
+
 # -- as-of join with tolerance (round 10) ------------------------------------------
 
 

@@ -278,7 +278,7 @@ def sleep_release(
 
 def funnel_match(
     sdf: DataFrame,
-    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    steps: tuple[str | tuple[str, ...], ...] = ("view", "click", "purchase"),
     key_col: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
@@ -301,11 +301,17 @@ def funnel_match(
     Scope, stated plainly: k-step existence chains with optional
     PER-STEP LOWER-BOUND QUANTIFIERS (``min_counts[i]`` = the
     MATCH_RECOGNIZE / Flink-CEP ``A{m,}`` class — "m or more of step
-    type i before the chain advances") plus one negated event type —
-    the funnel, repeated-action and absence-within-window classes of
-    CEP workloads. NOT a general pattern-regex engine: no ``A{m,n}``
-    upper bounds, no alternation, no multiple negations, no per-step
-    value predicates (pre-filter the input stream for those).
+    type i before the chain advances"), PER-STEP ALTERNATION (a step
+    given as a tuple of types matches the earliest event of ANY of
+    them — the ``(B|C)`` class; a quantified alternation counts events
+    of all its types together), plus one negated event type — the
+    funnel, repeated-action and absence-within-window classes of CEP
+    workloads. NOT a general pattern-regex engine: no ``A{m,n}`` upper
+    bounds, no multiple negations, no per-step value predicates whose
+    truth depends only on the event itself (pre-filter the input stream
+    for those — equivalent by construction), and no CROSS-STEP value
+    predicates (e.g. purchase.value > view.value), which genuinely need
+    a backtracking matcher.
 
     Quantifier semantics, greedy-earliest: the anchor (window start) is
     still the EARLIEST ``steps[0]`` event; step i is *satisfied* at the
@@ -370,7 +376,15 @@ def funnel_match(
     k = len(steps)
     if k < 1:
         raise ValueError("funnel_match needs at least one step")
-    if absent is not None and absent in steps:
+    # Normalize: every step is a frozenset of acceptable types
+    # (alternation); a bare string is the one-type degenerate case.
+    step_sets: tuple[frozenset[str], ...] = tuple(
+        frozenset((s,)) if isinstance(s, str) else frozenset(s)
+        for s in steps
+    )
+    if any(not s for s in step_sets):
+        raise ValueError("every step needs at least one event type")
+    if absent is not None and any(absent in s for s in step_sets):
         raise ValueError("absent type cannot also be a chain step")
     if min_counts is None:
         min_counts = (1,) * k
@@ -389,7 +403,7 @@ def funnel_match(
             StructField("types", ArrayType(StringType())),
         ]
     )
-    s0 = steps[0]
+    s0 = step_sets[0]
 
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -397,7 +411,7 @@ def funnel_match(
         if state.hasTimedOut:
             ts_us, types = state.get
             anchor = min(
-                (t for t, ty in zip(ts_us, types) if ty == s0), default=None
+                (t for t, ty in zip(ts_us, types) if ty in s0), default=None
             )
             if anchor is None:
                 # Never-anchored key (plain GC) — or an expired
@@ -425,7 +439,9 @@ def funnel_match(
                 state.update(([], []))
             hi = anchor + within_us
 
-            def nth_after(s: str, lo: int, m: int, incl: bool) -> int | None:
+            def nth_after(
+                s: frozenset, lo: int, m: int, incl: bool
+            ) -> int | None:
                 # m-th order statistic of the step type's buffered times
                 # in (lo, hi] (or [lo, hi] for the anchor step) — the
                 # quantifier's satisfaction time; m=1 degenerates to the
@@ -433,7 +449,7 @@ def funnel_match(
                 cands = sorted(
                     t
                     for t, ty in zip(ts_us, types)
-                    if ty == s and (t >= lo if incl else t > lo) and t <= hi
+                    if ty in s and (t >= lo if incl else t > lo) and t <= hi
                 )
                 return cands[m - 1] if len(cands) >= m else None
 
@@ -441,7 +457,7 @@ def funnel_match(
                 nth_after(s0, anchor, min_counts[0], incl=True)
             ]
             prev: int | None = chain[0]
-            for s, m in zip(steps[1:], min_counts[1:]):
+            for s, m in zip(step_sets[1:], min_counts[1:]):
                 nxt = (
                     None
                     if prev is None
@@ -498,7 +514,7 @@ def funnel_match(
             )
             types.extend(str(t) for t in pdf[type_col])
         anchor = min(
-            (t for t, ty in zip(ts_us, types) if ty == s0), default=None
+            (t for t, ty in zip(ts_us, types) if ty in s0), default=None
         )
         if anchor is not None:
             # Events past the window can never participate: the anchor

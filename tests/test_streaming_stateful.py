@@ -438,6 +438,57 @@ def test_funnel_match_quantifiers(spark, tmp_path):
     assert got[1].step2_ts == t0 + 6 * mins, "click step: 2nd click AFTER the 3rd view"
 
 
+def test_funnel_match_alternation(spark, tmp_path):
+    """Per-step alternation (the (B|C) class), composed with a
+    quantifier: view -> (click|purchase){2,}. The alternated step counts
+    events of BOTH types together and is satisfied at the 2nd such
+    event after the view (user 1: click+purchase mix). Only one
+    union event -> no match (user 2). Union events BEFORE the anchor
+    must not count (user 3)."""
+    from datetime import datetime, timedelta
+
+    from nyuki_spark.streaming.replay import replay_stream
+    from nyuki_spark.streaming.stateful import funnel_match
+
+    t0 = datetime(2026, 3, 1, 9, 0, 0)
+    schema = "user_id long, ts timestamp, event_type string"
+    mins = timedelta(minutes=1)
+    rows = [
+        # user 1: view @0, click @1, purchase @3 -> satisfied @3.
+        Row(user_id=1, ts=t0, event_type="view"),
+        Row(user_id=1, ts=t0 + 1 * mins, event_type="click"),
+        Row(user_id=1, ts=t0 + 3 * mins, event_type="purchase"),
+        # user 2: view then a single click — quantifier unmet.
+        Row(user_id=2, ts=t0, event_type="view"),
+        Row(user_id=2, ts=t0 + 1 * mins, event_type="click"),
+        # user 3: one click BEFORE the view, one after — only the
+        # post-anchor one counts, quantifier unmet.
+        Row(user_id=3, ts=t0 - 1 * mins, event_type="click"),
+        Row(user_id=3, ts=t0, event_type="view"),
+        Row(user_id=3, ts=t0 + 2 * mins, event_type="purchase"),
+    ]
+    df = spark.createDataFrame(rows, schema)
+    flush = [
+        spark.createDataFrame(
+            [Row(user_id=-1, ts=t0 + timedelta(days=d), event_type="__flush__")],
+            schema,
+        )
+        for d in (80, 81)
+    ]
+    scratch = str(tmp_path / f"cep-alt-{uuid.uuid4().hex[:8]}")
+    sdf = replay_stream(spark, df, n_chunks=3, scratch_dir=scratch, flush_df=flush)
+    out = funnel_match(
+        sdf.withWatermark("ts", "35 days"),
+        steps=("view", ("click", "purchase")),
+        min_counts=(1, 2),
+    )
+    res = run_to_table(out, mode="append").collect()
+    got = {r.user_id: r for r in res if r.user_id >= 0}
+    assert set(got) == {1}, f"expected only user 1, got {sorted(got)}"
+    assert got[1].step1_ts == t0
+    assert got[1].step2_ts == t0 + 3 * mins, "2nd union event satisfies the step"
+
+
 def test_funnel_match_tombstone_ttl_gc(spark, tmp_path):
     """r10 ADVICE (low): with ``tombstone_ttl_us`` set, an anchored key's
     tombstone is GARBAGE-COLLECTED at horizon + TTL instead of living
