@@ -310,6 +310,10 @@ def test_ivf_index_colocated_and_reused(spark, sf_dir, tmp_path):
 
     local = str(tmp_path / "sf")
     shutil.copytree(sf_dir, local)
+    # copytree preserves the driver fixture's read-only 555 bits; this
+    # half of the test models a USER-WRITABLE dataset dir, so restore
+    # the write bit explicitly (the read-only path is the second half).
+    os.chmod(local, 0o755)
     r1 = [tuple(r) for r in _knn_ivf_fn(spark, local).collect()]
     d = _ivf_index_dir(spark, local, load_table(spark, local, "embeddings"))
     assert d.startswith(os.path.join(local, ".nyuki_index"))
