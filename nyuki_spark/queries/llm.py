@@ -727,16 +727,99 @@ def _ivf_fingerprint(emb: DataFrame) -> str:
     overflow under ANSI mode, so the key is stable across runs on
     unchanged data (pairwise-duplicate rows would cancel in XOR, but
     vec_id makes rows unique and COUNT is folded in anyway). Cost: one columnar scan of (vec_id, embedding) at build-check
-    time — amortized by build-once/query-many, and still vastly cheaper
-    than one wrong ANN answer; a metadata-only variant (parquet file
-    size+mtime) would be cheaper but breaks when a dataset is copied
-    between stores, so the value hash is the contract."""
+    time — and ONLY when the source files changed (r11 ADVICE #3):
+    :func:`_ivf_fingerprint_cached` memoizes the value hash in-session
+    keyed on the parquet files' (path, size, mtime) listing, so a pure
+    cache-hit query pays a metadata stat, not a scan; the value hash —
+    not the file metadata — stays the KEY'S identity, so a dataset
+    copied between stores (same values, new mtimes) still maps to the
+    same index."""
     row = emb.agg(
         F.count(F.lit(1)).alias("n"),
         F.max("vec_id").alias("mx"),
         F.bit_xor(F.xxhash64("vec_id", "embedding")).alias("vh"),
     ).head()
     return f"n{row['n']}mx{row['mx']}vh{row['vh']}"
+
+
+# In-session fingerprint memo: {(abspath(sf_dir), file-metadata sig) ->
+# value fingerprint}. Bounded by the handful of sf_dirs a session touches.
+_FP_MEMO: dict[tuple, str] = {}
+
+
+def _emb_meta_sig(sf_dir: str) -> tuple | None:
+    """Cheap change detector for ``<sf_dir>/embeddings.parquet``: the
+    sorted (relpath, size, mtime_ns) listing of its files. ``None`` when
+    the path is not a local file/dir (remote stores skip the memo and
+    pay the scan — correctness never depends on the memo)."""
+    import os
+
+    p = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        if os.path.isfile(p):
+            st = os.stat(p)
+            return (("", st.st_size, st.st_mtime_ns),)
+        if not os.path.isdir(p):
+            return None
+        out = []
+        for root, _dirs, files in os.walk(p):
+            for f in files:
+                fp = os.path.join(root, f)
+                st = os.stat(fp)
+                out.append((os.path.relpath(fp, p), st.st_size, st.st_mtime_ns))
+        return tuple(sorted(out))
+    except OSError:
+        return None
+
+
+def _ivf_fingerprint_cached(sf_dir: str, emb: DataFrame) -> str:
+    """:func:`_ivf_fingerprint` of the corpus (vec_id != 0), memoized on
+    the embeddings parquet's file metadata — recomputed only when a file
+    is added/rewritten, so repeat queries against an unchanged corpus
+    skip the full-column scan (r11 ADVICE #3)."""
+    import os
+
+    sig = _emb_meta_sig(sf_dir)
+    if sig is None:
+        return _ivf_fingerprint(emb.where(F.col("vec_id") != 0))
+    key = (os.path.abspath(sf_dir), sig)
+    if key not in _FP_MEMO:
+        _FP_MEMO[key] = _ivf_fingerprint(emb.where(F.col("vec_id") != 0))
+    return _FP_MEMO[key]
+
+
+def _publish_index(index_dir: str, marker_rel: str, build) -> None:
+    """Crash- and race-safe index publication (r11 ADVICE #4): ``build``
+    writes the full layout into a unique temp SIBLING, which is then
+    atomically renamed into place — a reader can never observe a
+    partially-written index at ``index_dir``, and two sessions racing on
+    a shared writable dataset dir resolve to whichever rename wins (the
+    loser's work is discarded). If the rename loses to a COMPLETE index
+    (``marker_rel`` present) the winner stands; a stale partial dir
+    (crashed pre-r12 build) is cleared and the rename retried. Local-FS
+    rename is atomic; on an object store, front this with a lock."""
+    import os
+    import shutil
+    import uuid as _uuid
+
+    tmp = f"{index_dir}.tmp-{_uuid.uuid4().hex[:8]}"
+    try:
+        build(tmp)
+        try:
+            os.rename(tmp, index_dir)
+            return
+        except OSError:
+            pass
+        if os.path.exists(os.path.join(index_dir, marker_rel)):
+            return  # a concurrent builder published a complete index
+        shutil.rmtree(index_dir, ignore_errors=True)
+        try:
+            os.rename(tmp, index_dir)
+        except OSError:
+            if not os.path.exists(os.path.join(index_dir, marker_rel)):
+                raise
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def _index_root(sf_dir: str) -> str:
@@ -746,8 +829,9 @@ def _index_root(sf_dir: str) -> str:
     mounting the same store — reuses the build instead of refitting).
     The driver's `/root/testdata/*` dirs are read-only by contract, so a
     non-writable sf_dir falls back to the old tempdir location; the key
-    (path + fingerprint + params + version) is identical either way, so
-    correctness never depends on which root won."""
+    (value fingerprint + params + version — path-free since r12) is
+    identical either way, so correctness never depends on which root
+    won."""
     import os
     import stat
     import tempfile
@@ -766,15 +850,17 @@ def _index_root(sf_dir: str) -> str:
 
 def _ivf_index_dir(spark: SparkSession, sf_dir: str, emb: DataFrame) -> str:
     """Shared persisted-index location for llm_knn_ivf / llm_knn_ivfpq
-    (the coarse quantizer is shared), keyed by path + data fingerprint +
-    parameters + layout version."""
+    (the coarse quantizer is shared), keyed by data fingerprint +
+    parameters + layout version — NOT the mount path (r11 ADVICE #2):
+    the count+max+xxhash64 value fingerprint already uniquely identifies
+    the data, so a dataset copied or mounted at a different absolute
+    path carries its co-located ``.nyuki_index`` along AND hits the
+    cache."""
     import hashlib
     import os
 
-    fp = _ivf_fingerprint(emb.where(F.col("vec_id") != 0))
-    key = hashlib.md5(
-        f"{sf_dir}|{fp}|cells=16|det|v4".encode()
-    ).hexdigest()[:12]
+    fp = _ivf_fingerprint_cached(sf_dir, emb)
+    key = hashlib.md5(f"{fp}|cells=16|det|v5".encode()).hexdigest()[:12]
     return os.path.join(_index_root(sf_dir), f"nyuki-ivf-{key}")
 
 
@@ -797,7 +883,13 @@ def _knn_ivf_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     index_dir = _ivf_index_dir(spark, sf_dir, emb)
     if not fs_exists(spark, os.path.join(index_dir, "vectors", "_SUCCESS")):
-        build_ivf_index(emb.where(F.col("vec_id") != 0), index_dir, n_cells=16)
+        _publish_index(
+            index_dir,
+            os.path.join("vectors", "_SUCCESS"),
+            lambda d: build_ivf_index(
+                emb.where(F.col("vec_id") != 0), d, n_cells=16
+            ),
+        )
     return knn_cosine_ivf_indexed(spark, index_dir, [float(x) for x in q], k=10)
 
 
@@ -854,12 +946,10 @@ def _ivf_append_dir(sf_dir: str, emb: DataFrame) -> str:
     import hashlib
     import os
 
-    # Data fingerprint in the key, same rationale as _ivf_index_dir;
-    # co-located root, same rationale as _index_root.
-    fp = _ivf_fingerprint(emb.where(F.col("vec_id") != 0))
-    key = hashlib.md5(
-        f"{sf_dir}|{fp}|cells=16|append|v2".encode()
-    ).hexdigest()[:12]
+    # Data fingerprint in the key (path-free, memoized), same rationale
+    # as _ivf_index_dir; co-located root, same rationale as _index_root.
+    fp = _ivf_fingerprint_cached(sf_dir, emb)
+    key = hashlib.md5(f"{fp}|cells=16|append|v3".encode()).hexdigest()[:12]
     return os.path.join(_index_root(sf_dir), f"nyuki-ivfapp-{key}")
 
 
@@ -899,10 +989,19 @@ def _knn_ivf_append_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     index_dir = _ivf_append_dir(sf_dir, emb)
     marker = os.path.join(index_dir, "_APPEND_DONE")
     if not fs_exists(spark, marker):
-        base, new = _ivf_splits(emb)
-        build_ivf_index(base, index_dir, n_cells=16)
-        append_ivf_index(new, index_dir)
-        fs_write_marker(spark, marker)
+
+        def _build(d: str) -> None:
+            base, new = _ivf_splits(emb)
+            build_ivf_index(base, d, n_cells=16)
+            append_ivf_index(new, d)
+            fs_write_marker(spark, os.path.join(d, "_APPEND_DONE"))
+
+        # Atomic publish (r11 ADVICE #4): the build+append+marker
+        # sequence lands in a temp sibling and renames into place, so a
+        # reader never sees the index between build and append — and the
+        # pre-r12 "crashed partial reruns from scratch" contract holds
+        # trivially (a partial never occupies index_dir at all).
+        _publish_index(index_dir, "_APPEND_DONE", _build)
     return knn_cosine_ivf_indexed(spark, index_dir, [float(x) for x in q], k=10)
 
 
@@ -3352,8 +3451,12 @@ def _ivfpq_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     # quantizer is shared, and staleness invalidates both together.
     index_dir = _ivf_index_dir(spark, sf_dir, emb)
     if not fs_exists(spark, os.path.join(index_dir, "vectors", "_SUCCESS")):
-        build_ivf_index(
-            emb.where(F.col("vec_id") != 0), index_dir, n_cells=16
+        _publish_index(
+            index_dir,
+            os.path.join("vectors", "_SUCCESS"),
+            lambda d: build_ivf_index(
+                emb.where(F.col("vec_id") != 0), d, n_cells=16
+            ),
         )
     cents = spark.read.parquet(f"{index_dir}/centroids")
     qarr = F.array(*[F.lit(x) for x in q])

@@ -8,6 +8,7 @@ equal hand-written DuckDB SQL with the same semantics.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from nyuki_spark.catalog import load_table
 from nyuki_spark.functions.evaluate import compile_condition
@@ -180,5 +181,94 @@ register(
         "sub-workflow invocation: parent spec's apply step splices a "
         "named child template at compile time — one fused DataFrame "
         "program, cycle-guarded"
+    ),
+)
+
+
+# -- declarative CEP pattern spec (round 12) ----------------------------------
+
+_CEP_SPEC = {
+    "name": "engage-funnel",
+    "version": 1,
+    "key": "user_id",
+    "ts": "ts",
+    "type": "event_type",
+    "within_us": 3 * 86_400_000_000,
+    "steps": [
+        {"types": ["signup"]},
+        {"types": ["view", "click"], "min": 2, "max": 6},
+        {"types": ["purchase"]},
+    ],
+    "absent": "error",
+}
+
+
+def _cep_spec_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative CEP (r11 verdict Next #3 — the nyuki workflow-template
+    shape for the one surface that still required Python): the pattern
+    ``signup -> (view|click){2,6} -> purchase, NO error, 3-day window``
+    is a JSON document (plans/cep.py), validated like a workflow
+    template and compiled HERE to the batch execution form — anchor +
+    order-statistic chain + count veto + absence anti-join as one
+    DataFrame program (k key-partitioned joins + ranks; the 100 TB
+    backfill shape). The SAME spec object compiles to the live
+    funnel_match operator via ``.stream()`` — spec-vs-direct-call and
+    batch-vs-stream parity are asserted in tests/test_cep_spec.py, and
+    a hypothesis property test drives random specs through both the
+    compiler and a pure-Python reference fold."""
+    from nyuki_spark.plans.cep import compile_cep_pattern
+
+    events = load_table(spark, sf_dir, "events")
+    pat = compile_cep_pattern(_CEP_SPEC)
+    return (
+        pat.batch(events)
+        .select(
+            "user_id",
+            F.col("step1_ts").alias("signup_ts"),
+            F.col("step2_ts").alias("engage2_ts"),
+            F.col("step3_ts").alias("purchase_ts"),
+        )
+        .orderBy("user_id")
+    )
+
+
+register(
+    "sem_cep_spec",
+    engine_fn=_cep_spec_fn,
+    oracle=(
+        "WITH a AS (SELECT user_id, MIN(ts) AS anchor FROM events\n"
+        "  WHERE event_type = 'signup' GROUP BY 1),\n"
+        "m AS (SELECT user_id, ts FROM (\n"
+        "  SELECT e.user_id, e.ts,\n"
+        "    ROW_NUMBER() OVER (PARTITION BY e.user_id ORDER BY e.ts)"
+        " AS rn,\n"
+        "    COUNT(*) OVER (PARTITION BY e.user_id) AS cnt\n"
+        "  FROM events e JOIN a ON a.user_id = e.user_id\n"
+        "  WHERE e.event_type IN ('view', 'click') AND e.ts > a.anchor\n"
+        "    AND e.ts <= a.anchor + INTERVAL 3 DAY) t\n"
+        "  WHERE rn = 2 AND cnt <= 6),\n"
+        "p AS (SELECT e.user_id, MIN(e.ts) AS p FROM events e\n"
+        "  JOIN m ON m.user_id = e.user_id\n"
+        "  JOIN a ON a.user_id = e.user_id\n"
+        "  WHERE e.event_type = 'purchase' AND e.ts > m.ts\n"
+        "    AND e.ts <= a.anchor + INTERVAL 3 DAY GROUP BY 1)\n"
+        "SELECT a.user_id, CAST(a.anchor AS TIMESTAMP) AS signup_ts,\n"
+        "  CAST(m.ts AS TIMESTAMP) AS engage2_ts,\n"
+        "  CAST(p.p AS TIMESTAMP) AS purchase_ts\n"
+        "FROM a JOIN m ON m.user_id = a.user_id\n"
+        "JOIN p ON p.user_id = a.user_id\n"
+        "WHERE NOT EXISTS (SELECT 1 FROM events x\n"
+        "  WHERE x.user_id = a.user_id AND x.event_type = 'error'\n"
+        "    AND x.ts > a.anchor AND x.ts <= a.anchor + INTERVAL 3 DAY)\n"
+        "ORDER BY a.user_id"
+    ),
+    category="semantics",
+    suite="extension",
+    doc=(
+        "declarative CEP pattern spec (JSON: signup -> (view|click){2,6} "
+        "-> purchase, no error, 3-day window) compiled to the BATCH "
+        "DataFrame form — anchor + order-statistic chain + count veto + "
+        "absence anti-join; same spec compiles to the live funnel_match "
+        "via .stream() (parity in tests/test_cep_spec.py)"
     ),
 )

@@ -28,6 +28,7 @@ def replay_stream(
     n_chunks: int = 4,
     scratch_dir: str | None = None,
     flush_df: DataFrame | list[DataFrame] | None = None,
+    order_col: str | None = None,
 ) -> DataFrame:
     """Return a streaming DataFrame that replays ``df`` in ``n_chunks``
     micro-batches. ``scratch_dir`` (a fresh temp dir by default) holds the
@@ -45,11 +46,50 @@ def replay_stream(
     against the watermark computed at the END of the previous batch, so
     a timer armed below sentinel-1's event time only fires while
     processing sentinel-2).
+
+    ``order_col`` (optional, r12) switches the replay from hash-chunked
+    out-of-order delivery to EVENT-TIME-ORDERED delivery: chunks are
+    range-split on that column (``ntile`` over its sort order) and
+    admitted oldest-first via ascending file mtimes — the
+    roughly-ordered arrival a real bus gives a live consumer, which is
+    what lets mid-stream event-time timers (epoch TTLs, incremental
+    horizon closes) fire while the stream is still running instead of
+    only at the flush sentinels. Disorder is bounded by one chunk span.
     """
     if scratch_dir is None:
         scratch_dir = tempfile.mkdtemp(prefix="nyuki-replay-")
     path = f"{scratch_dir}/replay"
-    df.repartition(n_chunks).write.mode("overwrite").parquet(path)
+    if order_col is not None:
+        import os
+        import time as _time
+
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        chunked = df.withColumn(
+            "___chunk",
+            F.ntile(n_chunks).over(Window.orderBy(order_col)),
+        ).cache()
+        try:
+            base = _time.time() - 86_400
+            for i in range(1, n_chunks + 1):
+                import glob
+
+                before = set(glob.glob(f"{path}/part-*"))
+                (
+                    chunked.where(F.col("___chunk") == i)
+                    .drop("___chunk")
+                    .coalesce(1)
+                    .write.mode("append")
+                    .parquet(path)
+                )
+                t = base + i
+                for f in set(glob.glob(f"{path}/part-*")) - before:
+                    os.utime(f, (t, t))
+        finally:
+            chunked.unpersist()
+    else:
+        df.repartition(n_chunks).write.mode("overwrite").parquet(path)
     if flush_df is not None:
         import glob
         import os

@@ -286,6 +286,7 @@ def funnel_match(
     absent: str | None = None,
     tombstone_ttl_us: int | None = None,
     min_counts: tuple[int, ...] | None = None,
+    max_counts: tuple[int | None, ...] | None = None,
 ) -> DataFrame:
     """CEP sequence detection: per key, the earliest ``steps[0]`` event
     anchors a pattern window of ``within_us``; the match is the earliest
@@ -301,17 +302,33 @@ def funnel_match(
     Scope, stated plainly: k-step existence chains with optional
     PER-STEP LOWER-BOUND QUANTIFIERS (``min_counts[i]`` = the
     MATCH_RECOGNIZE / Flink-CEP ``A{m,}`` class — "m or more of step
-    type i before the chain advances"), PER-STEP ALTERNATION (a step
-    given as a tuple of types matches the earliest event of ANY of
-    them — the ``(B|C)`` class; a quantified alternation counts events
-    of all its types together), plus one negated event type — the
-    funnel, repeated-action and absence-within-window classes of CEP
-    workloads. NOT a general pattern-regex engine: no ``A{m,n}`` upper
-    bounds, no multiple negations, no per-step value predicates whose
-    truth depends only on the event itself (pre-filter the input stream
-    for those — equivalent by construction), and no CROSS-STEP value
-    predicates (e.g. purchase.value > view.value), which genuinely need
-    a backtracking matcher.
+    type i before the chain advances"), optional PER-STEP UPPER BOUNDS
+    (``max_counts[i]`` completes the ``A{m,n}`` class — see below),
+    PER-STEP ALTERNATION (a step given as a tuple of types matches the
+    earliest event of ANY of them — the ``(B|C)`` class; a quantified
+    alternation counts events of all its types together), plus one
+    negated event type — the funnel, repeated-action and
+    absence-within-window classes of CEP workloads. NOT a general
+    pattern-regex engine: no multiple negations, no per-step value
+    predicates whose truth depends only on the event itself (pre-filter
+    the input stream for those — equivalent by construction), and no
+    CROSS-STEP value predicates (e.g. purchase.value > view.value),
+    which genuinely need a backtracking matcher.
+
+    Upper-bound semantics (``max_counts``, r11 verdict Next #2) — VETO,
+    the documented choice: step i's OCCURRENCE COUNT is the number of
+    events of its type-set inside its eligibility interval —
+    ``(prev_satisfaction, anchor + window]``, or ``[anchor, anchor +
+    window]`` for step 0 — and the whole match is vetoed when that
+    count exceeds ``max_counts[i]``. So ``min_counts=(2,), max_counts=
+    (4,)`` reads "between 2 and 4 occurrences inside the step's
+    interval", the bounded-count reading of ``A{2,4}``. A pure count
+    over the buffered window is order-insensitive (out-of-order arrival
+    cannot change it) and final at horizon close, which is what keeps
+    the operator exactly-once and oracle-equivalent; a
+    stop-counting-at-next-step reading (Flink's contiguity modes) is
+    arrival-order-sensitive and deliberately NOT offered. ``None``
+    entries mean unbounded.
 
     Quantifier semantics, greedy-earliest: the anchor (window start) is
     still the EARLIEST ``steps[0]`` event; step i is *satisfied* at the
@@ -354,6 +371,15 @@ def funnel_match(
     ts > last-event + window (or the GC timer had not fired), so
     dropping the old buffer is lossless.
 
+    Tombstone representation is OUT OF BAND (r11 ADVICE): a plain
+    tombstone is the empty buffer ``([], [])`` and a TTL tombstone
+    carries its event-time removal deadline as ``([deadline, ...],
+    [...])`` with ``len(ts_us) == len(types) + 1`` — both
+    unrepresentable by real data (the data path always appends a
+    timestamp AND a type), so NO event-type string is reserved: a
+    stream whose type column literally contains ``"__tombstone__"`` is
+    handled like any other type.
+
     State per key is bounded by the pattern window, not the stream:
     events past ANCHOR + WINDOW are pruned at buffer time (they can
     never participate — the anchor only ever moves EARLIER, which moves
@@ -367,8 +393,26 @@ def funnel_match(
     horizon + TTL and is removed when it fires. The exactly-once
     contract then weakens to exactly-once-per-key-within-TTL — a key
     recurring after horizon + TTL re-anchors and may emit again; pick a
-    TTL comfortably above any plausible key-recurrence gap. The caller
-    must ``withWatermark`` the
+    TTL comfortably above any plausible key-recurrence gap. Epoch
+    boundaries are EVENT-TIME exact (r12): an event with
+    ts > deadline that arrives while the tombstone is still standing
+    (the watermark lags the deadline) is BUFFERED inside the tombstone
+    and seeds the next epoch when the deadline passes, and an in-epoch
+    straggler (ts <= deadline) is dropped — so which epoch an event
+    lands in depends only on its timestamp, never on micro-batch
+    arrival order, and a batch twin that unrolls epochs
+    (anchor_e+1 = first step-0 event after anchor_e + window + TTL)
+    is exact. Next-epoch events (ts > the CURRENT anchor's deadline)
+    are kept across the whole lifecycle — live buffer, close, standing
+    tombstone — so even an event that runs ahead of the watermark
+    seeds its epoch correctly. The one residual arrival-order hazard:
+    an event inside the current tombstone span (horizon, deadline] is
+    pruned immediately, so if a LATER-arriving but EARLIER step-0
+    event then moves the anchor (and with it the deadline) down, a
+    pruned event that now falls past the new deadline was lost; this
+    needs step-0 disorder comparable to the TTL, impossible once
+    TTL > watermark-delay + max-disorder — the deployment rule.
+    The caller must ``withWatermark`` the
     input; a finite replay needs TWO flush sentinels (see
     :func:`~nyuki_spark.streaming.replay.replay_stream`) because timers
     are evaluated against the PREVIOUS batch's watermark.
@@ -390,6 +434,14 @@ def funnel_match(
         min_counts = (1,) * k
     if len(min_counts) != k or any(m < 1 for m in min_counts):
         raise ValueError("min_counts needs one >=1 entry per step")
+    if max_counts is None:
+        max_counts = (None,) * k
+    if len(max_counts) != k or any(
+        mx is not None and mx < mn for mx, mn in zip(max_counts, min_counts)
+    ):
+        raise ValueError(
+            "max_counts needs one entry per step, each None or >= min_counts[i]"
+        )
     out_schema = StructType(
         [StructField(key_col, LongType())]
         + [
@@ -408,134 +460,236 @@ def funnel_match(
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        if state.hasTimedOut:
-            ts_us, types = state.get
+        def settle(ts_us: list, types: list) -> None:
+            # Shared tail for a LIVE (non-tombstone) buffer: prune past
+            # the anchor's window, persist, arm the horizon/GC timer.
             anchor = min(
                 (t for t, ty in zip(ts_us, types) if ty in s0), default=None
             )
-            if anchor is None:
-                # Never-anchored key (plain GC) — or an expired
-                # tombstone-TTL timer (empty buffer): either way the
-                # key's residue is released.
-                state.remove()
-                return
-            # Anchored horizon closed: the outcome is final for this key
-            # (the batch twin anchors at the global MIN step-0 event).
-            # Tombstone instead of remove — exactly-once per key. With a
-            # TTL the tombstone carries its removal deadline (event-time
-            # us) and arms the removal timer; the data branch needs the
-            # deadline too, for a key that recurs in the SAME batch the
-            # timer would have fired in (data suppresses timeouts).
-            if tombstone_ttl_us is not None:
-                deadline = anchor + within_us + tombstone_ttl_us
-                state.update(([deadline], ["__tombstone__"]))
-                state.setTimeoutTimestamp(
-                    max(
-                        deadline // 1000 + 1,
-                        state.getCurrentWatermarkMs() + 1,
-                    )
+            if anchor is not None:
+                # Events past the window can never participate in THIS
+                # epoch: the anchor only moves earlier, which moves the
+                # window earlier too. With a TTL, events already past
+                # this anchor's deadline belong to a FUTURE epoch and
+                # are kept (their volume is bounded by how far arrivals
+                # can run ahead of the watermark — the allowed-lateness
+                # budget — not by the stream).
+                hi = anchor + within_us
+                dl = (
+                    hi + tombstone_ttl_us
+                    if tombstone_ttl_us is not None
+                    else None
                 )
-            else:
-                state.update(([], []))
+                keep = [
+                    (t, ty)
+                    for t, ty in zip(ts_us, types)
+                    if t <= hi or (dl is not None and t > dl)
+                ]
+                ts_us = [t for t, _ in keep]
+                types = [ty for _, ty in keep]
+            state.update((ts_us, types))
+            # Horizon: anchor + window (outcome final once the watermark
+            # is past it); anchor-less keys re-arm at last-event + window
+            # (GC). Timer API is millisecond epoch and must sit above the
+            # current watermark (an old anchor's horizon may already have
+            # passed).
+            base = anchor if anchor is not None else max(ts_us)
+            timer_ms = (base + within_us) // 1000 + 1
+            state.setTimeoutTimestamp(
+                max(timer_ms, state.getCurrentWatermarkMs() + 1)
+            )
+
+        def evaluate(
+            ts_us: list, types: list, anchor: int
+        ) -> pd.DataFrame | None:
+            # Final-horizon match evaluation (the anchor's window can no
+            # longer change): order-statistic chain, A{m,n} count veto,
+            # absence check. Returns the output row, or None.
             hi = anchor + within_us
 
-            def nth_after(
+            def step_stats(
                 s: frozenset, lo: int, m: int, incl: bool
-            ) -> int | None:
-                # m-th order statistic of the step type's buffered times
-                # in (lo, hi] (or [lo, hi] for the anchor step) — the
-                # quantifier's satisfaction time; m=1 degenerates to the
-                # original min-chain.
+            ) -> tuple[int | None, int]:
+                # (satisfaction time, occurrence count) over the step's
+                # eligibility interval (lo, hi] (or [lo, hi] for the
+                # anchor step): satisfaction is the m-th order statistic
+                # — m=1 degenerates to the original min-chain — and the
+                # count feeds the max_counts veto.
                 cands = sorted(
                     t
                     for t, ty in zip(ts_us, types)
                     if ty in s and (t >= lo if incl else t > lo) and t <= hi
                 )
-                return cands[m - 1] if len(cands) >= m else None
+                return (
+                    cands[m - 1] if len(cands) >= m else None,
+                    len(cands),
+                )
 
-            chain: list[int | None] = [
-                nth_after(s0, anchor, min_counts[0], incl=True)
-            ]
+            sat0, cnt0 = step_stats(s0, anchor, min_counts[0], incl=True)
+            chain: list[int | None] = [sat0]
+            counts: list[int] = [cnt0]
             prev: int | None = chain[0]
             for s, m in zip(step_sets[1:], min_counts[1:]):
-                nxt = (
-                    None
-                    if prev is None
-                    else nth_after(s, prev, m, incl=False)
-                )
+                if prev is None:
+                    chain.append(None)
+                    counts.append(0)
+                    continue
+                nxt, cnt = step_stats(s, prev, m, incl=False)
                 chain.append(nxt)
+                counts.append(cnt)
                 prev = nxt
             matched = all(c is not None for c in chain)
+            if matched:
+                # Upper-bound veto (the A{m,n} class): too many
+                # occurrences of a step's type inside its eligibility
+                # interval fails the whole match.
+                matched = all(
+                    mx is None or cnt <= mx
+                    for mx, cnt in zip(max_counts, counts)
+                )
             if matched and absent is not None:
                 matched = not any(
-                    ty == absent and anchor < t <= anchor + within_us
+                    ty == absent and anchor < t <= hi
                     for t, ty in zip(ts_us, types)
                 )
-            if matched:
-                yield pd.DataFrame(
-                    {
-                        key_col: [int(key[0])],
-                        **{
-                            f"step{i + 1}_ts": [
-                                pd.to_datetime(chain[i], unit="us")
-                            ]
-                            for i in range(k)
-                        },
-                    }
-                )
-            return
-        ts_us, types = (
-            ([], []) if not state.exists else tuple(map(list, state.get))
-        )
-        if state.exists and (not ts_us or types == ["__tombstone__"]):
-            # Tombstoned key: the earliest anchor's horizon already
-            # closed and the outcome was emitted (or ruled out).
-            if types == ["__tombstone__"] and (
-                state.getCurrentWatermarkMs() * 1000 >= ts_us[0]
-            ):
-                # TTL already expired (data in the same batch suppresses
-                # the removal timer): drop the tombstone and process the
-                # arriving events as a fresh key.
-                ts_us, types = [], []
-            else:
-                # Keep the tombstone; the TTL timer (if any) stays armed.
-                return
-        for pdf in pdfs:
-            # Buffer at MICROSECOND precision — the fixture carries sub-ms
-            # components, and the min-chain must agree with the oracle's
-            # exact timestamp comparisons. Normalize to ns explicitly:
-            # a bare astype("int64") assumes Arrow handed datetime64[ns],
-            # and under a datetime64[us] pandas/Arrow config every
-            # buffered time would silently be 1000x off.
-            ts_us.extend(
-                int(x)
-                for x in pdf[ts_col].astype("datetime64[ns]").astype("int64")
-                // 1_000
+            if not matched:
+                return None
+            return pd.DataFrame(
+                {
+                    key_col: [int(key[0])],
+                    **{
+                        f"step{i + 1}_ts": [pd.to_datetime(chain[i], unit="us")]
+                        for i in range(k)
+                    },
+                }
             )
-            types.extend(str(t) for t in pdf[type_col])
-        anchor = min(
-            (t for t, ty in zip(ts_us, types) if ty in s0), default=None
-        )
-        if anchor is not None:
-            # Events past the window can never participate: the anchor
-            # only moves earlier, which moves the window earlier too.
-            keep = [
-                (t, ty)
-                for t, ty in zip(ts_us, types)
-                if t <= anchor + within_us
-            ]
-            ts_us = [t for t, _ in keep]
-            types = [ty for _, ty in keep]
-        state.update((ts_us, types))
-        # Horizon: anchor + window (outcome final once the watermark is
-        # past it); anchor-less keys re-arm at last-event + window (GC).
-        # Timer API is millisecond epoch and must sit above the current
-        # watermark (an old anchor's horizon may already have passed).
-        base = anchor if anchor is not None else max(ts_us)
-        timer_ms = (base + within_us) // 1000 + 1
-        state.setTimeoutTimestamp(
-            max(timer_ms, state.getCurrentWatermarkMs() + 1)
-        )
+
+        # ---- load state + arrivals --------------------------------
+        if state.hasTimedOut:
+            ts_us, types = tuple(map(list, state.get))
+            arrivals: list[tuple[int, str]] = []
+            existed = True
+        else:
+            existed = state.exists
+            ts_us, types = (
+                ([], []) if not existed else tuple(map(list, state.get))
+            )
+            arrivals = []
+            for pdf in pdfs:
+                # Buffer at MICROSECOND precision — the fixture carries
+                # sub-ms components, and the min-chain must agree with
+                # the oracle's exact timestamp comparisons. Normalize to
+                # ns explicitly: a bare astype("int64") assumes Arrow
+                # handed datetime64[ns], and under a datetime64[us]
+                # pandas/Arrow config every buffered time would silently
+                # be 1000x off.
+                arrivals.extend(
+                    zip(
+                        (
+                            int(x)
+                            for x in pdf[ts_col]
+                            .astype("datetime64[ns]")
+                            .astype("int64")
+                            // 1_000
+                        ),
+                        (str(t) for t in pdf[type_col]),
+                    )
+                )
+        wm_ms = state.getCurrentWatermarkMs()
+        tombstoned = existed and len(ts_us) == len(types) + 1
+        permanent = existed and not tombstoned and not ts_us
+
+        # ---- resolve every pending epoch transition ----------------
+        # A single watermark advance can carry a key across SEVERAL
+        # state transitions at once (close horizon -> tombstone -> TTL
+        # deadline passes -> next epoch seeds -> ...): one big jump (a
+        # flush sentinel), or a run of batches where same-batch data
+        # kept suppressing the timer (timers only fire on batches with
+        # no data for the key). Each transition depends only on the
+        # watermark vs event-time boundaries, so resolving them in a
+        # loop HERE — instead of one-per-timer-callback — keeps the
+        # outcome independent of micro-batch arrival patterns. The loop
+        # strictly advances (each close moves the anchor past a closed
+        # window; each shed consumes a deadline), so it terminates.
+        out_rows: list[pd.DataFrame] = []
+        while True:
+            if permanent:
+                break
+            if tombstoned:
+                deadline = ts_us[0]
+                if wm_ms * 1000 >= deadline:
+                    # TTL deadline passed: shed it — events that
+                    # buffered inside the tombstone go live as the next
+                    # epoch's seed.
+                    ts_us = ts_us[1:]
+                    tombstoned = False
+                    continue
+                break
+            anchor = min(
+                (t for t, ty in zip(ts_us, types) if ty in s0), default=None
+            )
+            if anchor is not None and wm_ms >= (anchor + within_us) // 1000 + 1:
+                # Anchored horizon is FINAL (the batch twin anchors at
+                # the global MIN step-0 event): evaluate + emit once,
+                # then tombstone — exactly-once per key. With a TTL the
+                # tombstone carries its removal deadline (event-time us)
+                # at ts_us[0] — out of band, len(ts_us) == len(types)+1
+                # — and KEEPS any buffered events already past that
+                # deadline (a shed buffer can span several epochs).
+                row = evaluate(ts_us, types, anchor)
+                if row is not None:
+                    out_rows.append(row)
+                if tombstone_ttl_us is not None:
+                    deadline = anchor + within_us + tombstone_ttl_us
+                    keep = [
+                        (t, ty)
+                        for t, ty in zip(ts_us, types)
+                        if t > deadline
+                    ]
+                    ts_us = [deadline] + [t for t, _ in keep]
+                    types = [ty for _, ty in keep]
+                    tombstoned = True
+                else:
+                    ts_us, types = [], []
+                    permanent = True
+                continue
+            break
+
+        # ---- merge arrivals + persist ------------------------------
+        if permanent:
+            # Permanent tombstone (no TTL): the earliest anchor's
+            # horizon already closed and the outcome was emitted (or
+            # ruled out) — exactly-once per key; arrivals drop.
+            state.update(([], []))
+        elif tombstoned:
+            # Standing TTL tombstone: epoch membership is decided by
+            # EVENT TIME, not arrival time — in-epoch stragglers
+            # (ts <= deadline) drop, next-epoch events (ts > deadline)
+            # buffer inside the tombstone until the deadline passes the
+            # watermark. Removal timer re-armed at the deadline.
+            deadline = ts_us[0]
+            for t, ty in arrivals:
+                if t > deadline:
+                    ts_us.append(t)
+                    types.append(ty)
+            state.update((ts_us, types))
+            state.setTimeoutTimestamp(max(deadline // 1000 + 1, wm_ms + 1))
+        else:
+            ts_us.extend(t for t, _ in arrivals)
+            types.extend(ty for _, ty in arrivals)
+            if not ts_us or (
+                state.hasTimedOut
+                and not arrivals
+                and not any(ty in s0 for ty in types)
+            ):
+                # Shed-to-empty tombstone, or a never-anchored key's GC
+                # timer: release the key's residue entirely (pre-anchor
+                # events can never join a future anchor's chain — every
+                # step is at-or-after the anchor).
+                state.remove()
+            else:
+                settle(ts_us, types)
+        yield from out_rows
 
     return sdf.groupBy(key_col).applyInPandasWithState(
         fn,

@@ -1,37 +1,47 @@
 """Same-machine, same-minute A/B budget check for flagged TPC-H queries.
 
-The repo's perf budget for a TPC-H shape is ``max(0.8 s, 4 x DuckDB)``
-(BASELINE.md). Round-6 judging showed that ambient machine speed drifts
-~1.6-2.2x between sessions (control: tpch_q09 0.35 s record vs 0.78 s at
-loadavg 0.1), so a Spark median compared against a DuckDB time captured in
-a DIFFERENT session argues about the machine, not the plan. This script
-removes that confound: for each query id it times the DuckDB oracle median
-and the Spark engine median back-to-back in one process, stamps
-``os.getloadavg()`` before and after each engine phase, and evaluates the
-budget formula against the same-minute DuckDB number.
+History of the gate scheme (full derivations in BASELINE.md):
+
+- r6-r7: absolute budget ``max(0.8 s, 4 x DuckDB)`` per query. Round-6/7
+  judging showed ambient machine speed drifts ~1.6-3.2x between sessions,
+  so a Spark median compared against a DuckDB time captured in a DIFFERENT
+  session argues about the machine, not the plan. This script removes that
+  confound: DuckDB oracle median and Spark engine median run back-to-back
+  in one process, loadavg-stamped.
+- r8: q11/q21 moved to CONTROL-NORMALIZED gates (ratio vs the same-session
+  tpch_q09 Spark median) after the absolute lines re-fired on host state
+  with the untouched q09 control moving in lockstep.
+- r12 (r11 verdict Next #1): ALL FOUR queries are control-normalized. The
+  r11 same-host worktree bisect (BENCH_bisect_r9tree_r11.json) proved the
+  UNCHANGED r9 tree misses the r9-era absolute lines on today's host —
+  the host's parallel regime degraded ~1.5-1.9x while single-threaded
+  DuckDB stayed normal — so an absolute-seconds line tests the box, not
+  the plan. The scheme:
+
+  * q09 (the control itself) gates on its same-minute Spark/DuckDB ratio:
+    pass iff ratio <= 12x (committed band r7-r11: 5.6-9.8x).
+  * q11 / q18 / q21 gate on spark_median / q09's same-session spark_median:
+    1.9x / 1.6x / 1.6x (committed bands 1.3-1.8 / 1.07-1.28 / 1.1-1.5).
+  * The old absolute lines stay RECORDED per query as
+    ``aspirational_budget`` (max(0.8, 4 x same-minute DuckDB-32t)), and are
+    AUTOMATICALLY RE-ASSERTED as the binding gate in any session whose
+    16-way parallel-scaling probe reads <= 1.1x (a healthy-host regime —
+    the probe measured 1.53x during the r11 drift); on a degraded host a
+    query also passes by beating its aspirational line outright.
+  * Each query additionally stamps a SINGLE-THREAD DuckDB median
+    (PRAGMA threads=1) — the drift discriminator: parallel-regime trouble
+    moves Spark and DuckDB-32t while leaving this flat.
 
 Usage::
 
     python scripts/bench_budget_ab.py tpch_q09 tpch_q11 tpch_q18 tpch_q21
-    NYUKI_BENCH_REPS=7 NYUKI_BUDGET_AB_OUT=BENCH_budget_ab_r07.json ...
+    NYUKI_BENCH_REPS=7 NYUKI_BUDGET_AB_OUT=BENCH_budget_ab_r12.json ...
 
 Output: one JSON line + optional artifact file with, per query:
-``duckdb_median``, ``spark_median``, ``ratio`` (spark/duckdb), ``budget``
-(max(0.8, 4*duckdb)), ``within_budget``.
-
-Round-8 (r7 verdict #2): absolute-seconds budgets are not testable on a
-host whose whole Spark side floats 1.7-3.2x with ambient state (both r7
-judge re-measures fired the 0.9 s re-flag while the untouched q09 control
-moved in lockstep and same-minute DuckDB was flat). The gate is therefore
-CONTROL-NORMALIZED for the flagged shapes: tpch_q09 (never re-planned
-since its 0.35 s record) runs first in the same session, and q11/q21 pass
-if spark_median <= CONTROL_GATES[qid] x the same-session q09 median —
-1.9x for q11, 1.6x for q21, chosen so both committed record runs AND both
-r7 judge runs pass (record 0.80/0.35=2.3... see BASELINE.md r8 for the
-derivation table). A query passes if EITHER the absolute budget (quiet
-host) or the control ratio holds; `pass` in the artifact reflects that
-disjunction, so the gate re-fires only on a real plan regression (ratio
-moves without the control moving), not on host state.
+``duckdb`` (32-thread), ``duckdb_1t``, ``spark`` medians, the ratio and
+gate fields, ``aspirational_budget`` + ``within_aspirational``, and
+``pass``; plus the session-level ``parallel_scaling_probe_16x`` and
+``absolutes_asserted``.
 """
 
 from __future__ import annotations
@@ -49,18 +59,55 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 N_REPS = int(os.environ.get("NYUKI_BENCH_REPS", "7"))
 FLOOR_S = 0.8
 
-# Control-normalized gates (r7 verdict #2): flagged query passes when its
-# same-session spark_median <= gate x the q09 control's spark_median, even
-# if the absolute budget misses (ambient band moves the whole Spark side).
 CONTROL_ID = "tpch_q09"
-CONTROL_GATES = {"tpch_q11": 1.9, "tpch_q21": 1.6}
+# Control self-gate: same-minute Spark/DuckDB-32t ratio (band 5.6-9.8x
+# over every committed artifact r7-r11; 12x = band max + ~20%).
+CONTROL_DUCK_GATE = 12.0
+# Flagged-query gates: spark_median / same-session q09 spark_median.
+CONTROL_GATES = {"tpch_q11": 1.9, "tpch_q18": 1.6, "tpch_q21": 1.6}
 
 # Committed quiet-host reference for the control itself (r8 advice: a
 # regression that slows the control proportionally would never fire the
 # ratio gate — so the artifact must expose the control's own drift).
-# Re-baseline on a quiet host when the plan changes; history: 0.35 s
-# record (r6, loadavg ~0), 0.689 s r8 quiet regime (loadavg 0.04).
+# History: 0.35 s record (r6, loadavg ~0), 0.689 s r8 quiet regime,
+# 0.948 s r11 degraded-parallel regime (probe 1.53x).
 CONTROL_QUIET_REFERENCE_S = 0.689
+
+# Healthy-host threshold for the 16-way scaling probe: at or under this,
+# the r9-era absolute lines are binding again.
+PROBE_HEALTHY = 1.1
+
+
+def _parallel_scaling_probe(n_procs: int = 16, loops: int = 2_000_000) -> float:
+    """Measured parallel-scaling penalty: wall time of ``n_procs``
+    concurrent fixed busy-loops over the single-process wall time of the
+    same loop. ~1.0 on a healthy box with >= n_procs idle cores; the r11
+    drift sessions read ~1.5x. Pure-Python arithmetic loop — no Spark, no
+    allocation — so the number isolates the scheduler/CPU regime."""
+    import multiprocessing as mp
+
+    def burn(_i: int) -> int:
+        acc = 0
+        for j in range(loops):
+            acc += j * j
+        return acc
+
+    t0 = time.perf_counter()
+    burn(0)
+    single = time.perf_counter() - t0
+    with mp.get_context("spawn").Pool(n_procs) as pool:
+        t0 = time.perf_counter()
+        pool.map(_burn_global, [loops] * n_procs)
+        concurrent = time.perf_counter() - t0
+    return round(concurrent / single, 3)
+
+
+def _burn_global(loops: int) -> int:
+    # Module-level so it pickles by reference into the probe's pool.
+    acc = 0
+    for j in range(loops):
+        acc += j * j
+    return acc
 
 
 def _median_times(fn, reps: int) -> dict:
@@ -92,16 +139,22 @@ def main() -> None:
     from nyuki_spark.session import get_session
 
     load_start = os.getloadavg()
+    probe = _parallel_scaling_probe()
+    absolutes_asserted = probe <= PROBE_HEALTHY
 
     con = duckdb.connect()
     con.execute(f"PRAGMA threads={os.environ.get('SPARK_GRAFT_CPUS', '32')}")
+    con1 = duckdb.connect()
+    con1.execute("PRAGMA threads=1")
     for t in TABLES:
-        con.execute(
-            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
-        )
+        for c in (con, con1):
+            c.execute(
+                f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+            )
     # DuckDB warm-up: parquet metadata + buffer pool, mirroring the Spark
     # warm-up below, so neither engine pays cold-read costs in its median.
     con.execute("SELECT COUNT(*) FROM lineitem").fetchall()
+    con1.execute("SELECT COUNT(*) FROM lineitem").fetchall()
 
     spark = get_session("nyuki-budget-ab", master="local[32]")
     register_tables(spark, sf_dir)
@@ -112,6 +165,7 @@ def main() -> None:
         q = REGISTRY[qid]
         load_q = os.getloadavg()
         duck = _median_times(lambda: con.execute(q.oracle_sql).fetchall(), N_REPS)
+        duck1 = _median_times(lambda: con1.execute(q.oracle_sql).fetchall(), N_REPS)
         sp = _median_times(
             lambda: (
                 q.engine_fn(spark, sf_dir) if q.engine_fn else spark.sql(q.engine_sql)
@@ -120,48 +174,55 @@ def main() -> None:
         )
         spark.catalog.clearCache()
         budget = round(max(FLOOR_S, 4.0 * duck["median"]), 3)
-        results[qid] = {
+        r = results[qid] = {
             "duckdb": duck,
+            "duckdb_1t": duck1,
             "spark": sp,
             "ratio_spark_over_duckdb": round(sp["median"] / duck["median"], 2),
-            "budget_max_0.8_4xduck": budget,
-            "within_budget": sp["median"] <= budget,
+            "aspirational_budget_max_0.8_4xduck": budget,
+            "within_aspirational": sp["median"] <= budget,
             "loadavg_at_query": [round(x, 2) for x in load_q],
         }
-        gate = CONTROL_GATES.get(qid)
-        ctl = results.get(CONTROL_ID)
-        if gate is not None and ctl is not None:
-            ctl_ratio = round(sp["median"] / ctl["spark"]["median"], 2)
-            # Raw control median alongside the ratio (r8 advice): a
-            # control-tracking regression shows up as this number
-            # drifting above CONTROL_QUIET_REFERENCE_S across committed
-            # artifacts even while the ratio gate keeps passing.
-            results[qid]["control_spark_median"] = ctl["spark"]["median"]
-            results[qid]["control_quiet_reference_s"] = CONTROL_QUIET_REFERENCE_S
-            results[qid]["control_ratio_vs_q09"] = ctl_ratio
-            results[qid]["control_gate"] = gate
-            results[qid]["within_control_gate"] = ctl_ratio <= gate
-            results[qid]["pass"] = (
-                results[qid]["within_budget"] or ctl_ratio <= gate
+        if qid == CONTROL_ID:
+            r["control_gate_vs_duckdb"] = CONTROL_DUCK_GATE
+            r["control_quiet_reference_s"] = CONTROL_QUIET_REFERENCE_S
+            r["within_control_gate"] = (
+                r["ratio_spark_over_duckdb"] <= CONTROL_DUCK_GATE
             )
         else:
-            results[qid]["pass"] = results[qid]["within_budget"]
+            gate = CONTROL_GATES.get(qid)
+            ctl = results.get(CONTROL_ID)
+            if gate is not None and ctl is not None:
+                ctl_ratio = round(sp["median"] / ctl["spark"]["median"], 2)
+                r["control_spark_median"] = ctl["spark"]["median"]
+                r["control_ratio_vs_q09"] = ctl_ratio
+                r["control_gate"] = gate
+                r["within_control_gate"] = ctl_ratio <= gate
+        # Binding rule (r12): healthy host (probe <= 1.1x) -> the
+        # aspirational absolute line is re-asserted and must hold;
+        # degraded host -> the control-normalized gate governs, with an
+        # outright absolute pass also accepted.
+        wcg = r.get("within_control_gate", r["within_aspirational"])
+        r["pass"] = (
+            r["within_aspirational"]
+            if absolutes_asserted
+            else (wcg or r["within_aspirational"])
+        )
         print(
-            f"{qid:12s} duckdb={duck['median']:.3f}s spark={sp['median']:.3f}s "
-            f"ratio={results[qid]['ratio_spark_over_duckdb']:.2f}x "
-            f"budget={budget:.3f}s within={results[qid]['within_budget']}"
-            + (
-                f" ctl_ratio={results[qid]['control_ratio_vs_q09']:.2f}x"
-                f"<=?{gate}x pass={results[qid]['pass']}"
-                if gate is not None and ctl is not None
-                else ""
-            )
+            f"{qid:12s} duckdb={duck['median']:.3f}s 1t={duck1['median']:.3f}s "
+            f"spark={sp['median']:.3f}s "
+            f"ratio={r['ratio_spark_over_duckdb']:.2f}x "
+            f"aspirational={budget:.3f}s within={r['within_aspirational']} "
+            f"ctl_gate_ok={r.get('within_control_gate')} pass={r['pass']}"
         )
 
     payload = {
         "metric": "tpch_budget_ab",
         "sf_dir": sf_dir,
         "reps": N_REPS,
+        "gate_scheme": "control-normalized-r12",
+        "parallel_scaling_probe_16x": probe,
+        "absolutes_asserted": absolutes_asserted,
         "queries": results,
         "loadavg_start": [round(x, 2) for x in load_start],
         "loadavg_end": [round(x, 2) for x in os.getloadavg()],

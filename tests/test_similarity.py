@@ -334,3 +334,102 @@ def test_ivf_index_colocated_and_reused(spark, sf_dir, tmp_path):
         assert not d_ro.startswith(ro)
     finally:
         os.chmod(ro, 0o755)
+
+
+def test_ivf_index_key_is_path_free(spark, sf_dir, tmp_path):
+    """r11 ADVICE #2: the index key is derived from the VALUE fingerprint
+    only — the same dataset copied to a different absolute path maps to
+    the same `nyuki-ivf-<key>` leaf, so a co-located `.nyuki_index`
+    carried along with a copied/re-mounted dataset dir HITS the cache
+    instead of refitting."""
+    import os
+    import shutil
+
+    from nyuki_spark.queries.llm import _ivf_index_dir
+
+    a = str(tmp_path / "mount_a")
+    b = str(tmp_path / "mount_b")
+    shutil.copytree(sf_dir, a)
+    shutil.copytree(sf_dir, b)
+    os.chmod(a, 0o755)
+    os.chmod(b, 0o755)
+    da = _ivf_index_dir(spark, a, load_table(spark, a, "embeddings"))
+    db = _ivf_index_dir(spark, b, load_table(spark, b, "embeddings"))
+    assert os.path.basename(da) == os.path.basename(db), (
+        "same data at different mount paths must map to the same index key"
+    )
+    assert da != db  # each mount keeps its own co-located root
+
+
+def test_ivf_fingerprint_memoized_on_file_metadata(spark, sf_dir, tmp_path, monkeypatch):
+    """r11 ADVICE #3: the value fingerprint is computed ONCE per (path,
+    file-metadata) in a session — a pure cache-hit query pays a stat()
+    walk, not a full (vec_id, embedding) scan; touching the parquet
+    (metadata change) forces a recompute."""
+    import os
+    import shutil
+
+    from nyuki_spark.queries import llm as llm_mod
+
+    local = str(tmp_path / "sf")
+    shutil.copytree(sf_dir, local)
+    os.chmod(local, 0o755)
+    emb = load_table(spark, local, "embeddings")
+
+    calls = {"n": 0}
+    real = llm_mod._ivf_fingerprint
+
+    def counting(df):
+        calls["n"] += 1
+        return real(df)
+
+    monkeypatch.setattr(llm_mod, "_ivf_fingerprint", counting)
+    llm_mod._FP_MEMO.clear()
+    d1 = llm_mod._ivf_index_dir(spark, local, emb)
+    assert calls["n"] == 1
+    d2 = llm_mod._ivf_index_dir(spark, local, emb)
+    assert d2 == d1
+    assert calls["n"] == 1, "unchanged files must not re-scan the corpus"
+    # Metadata change (mtime bump, same bytes): recompute fires, but the
+    # VALUE key — the index identity — is unchanged.
+    p = f"{local}/embeddings.parquet"
+    target = p if os.path.isfile(p) else os.path.join(
+        p, next(f for f in os.listdir(p) if f.endswith(".parquet"))
+    )
+    st = os.stat(target)
+    os.utime(target, ns=(st.st_atime_ns, st.st_mtime_ns + 1_000_000_000))
+    d3 = llm_mod._ivf_index_dir(spark, local, emb)
+    assert calls["n"] == 2, "metadata change must force a fingerprint recompute"
+    assert d3 == d1, "same values => same key, even after a metadata change"
+
+
+def test_publish_index_atomic_and_race_safe(tmp_path):
+    """r11 ADVICE #4: _publish_index builds into a temp sibling and
+    renames into place — a stale PARTIAL dir (no marker) is cleared and
+    replaced; a COMPLETE dir (marker present) wins the race and the
+    loser's build is discarded; no temp residue survives either way."""
+    import os
+
+    from nyuki_spark.queries.llm import _publish_index
+
+    idx = str(tmp_path / "nyuki-ivf-abc")
+
+    def build(d, tag):
+        os.makedirs(os.path.join(d, "vectors"))
+        with open(os.path.join(d, "vectors", "_SUCCESS"), "w") as f:
+            f.write(tag)
+
+    # 1. Stale partial occupies index_dir (crashed pre-r12 build): the
+    # publish must clear it and install the complete build.
+    os.makedirs(os.path.join(idx, "vectors"))  # no _SUCCESS marker
+    _publish_index(idx, os.path.join("vectors", "_SUCCESS"), lambda d: build(d, "one"))
+    with open(os.path.join(idx, "vectors", "_SUCCESS")) as f:
+        assert f.read() == "one"
+    # 2. Complete index already present: the second builder loses and the
+    # winner's content stands untouched.
+    _publish_index(idx, os.path.join("vectors", "_SUCCESS"), lambda d: build(d, "two"))
+    with open(os.path.join(idx, "vectors", "_SUCCESS")) as f:
+        assert f.read() == "one", "a complete index must never be clobbered"
+    # 3. No temp siblings left behind.
+    residue = [d for d in os.listdir(tmp_path) if ".tmp-" in d]
+    assert residue == [], f"temp build dirs must be cleaned up: {residue}"

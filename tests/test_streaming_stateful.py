@@ -552,3 +552,183 @@ def test_funnel_match_tombstone_ttl_gc(spark, tmp_path):
     # key re-anchored fresh; epoch-1 events are long gone.
     assert got[1].step1_ts == t0 + timedelta(days=20)
     assert got[1].step3_ts == t0 + timedelta(days=20, hours=3)
+
+
+def test_funnel_match_max_counts_veto(spark, tmp_path):
+    """Upper-bound quantifiers (r11 verdict Next #2 — the A{m,n} class,
+    veto semantics): view{2,3} -> click{1,}. The match is VETOED when a
+    step's occurrence count inside its eligibility interval exceeds
+    max_counts[i] (user 2: 4 views in-window > 3); within bounds it is
+    the same order-statistic chain (user 1: 2 views, satisfied at the
+    2nd); a post-satisfaction occurrence still counts toward the bound
+    (pure window count, order-insensitive — user 3's 4th view lands
+    after its clicks but still vetoes)."""
+    from datetime import datetime, timedelta
+
+    from nyuki_spark.streaming.replay import replay_stream
+    from nyuki_spark.streaming.stateful import funnel_match
+
+    t0 = datetime(2026, 3, 1, 9, 0, 0)
+    schema = "user_id long, ts timestamp, event_type string"
+    mins = timedelta(minutes=1)
+    rows = [
+        # user 1: 2 views (satisfied @ +2), click after -> match.
+        Row(user_id=1, ts=t0, event_type="view"),
+        Row(user_id=1, ts=t0 + 2 * mins, event_type="view"),
+        Row(user_id=1, ts=t0 + 3 * mins, event_type="click"),
+        # user 2: 4 views in the window -> vetoed despite a valid chain.
+        Row(user_id=2, ts=t0, event_type="view"),
+        Row(user_id=2, ts=t0 + 1 * mins, event_type="view"),
+        Row(user_id=2, ts=t0 + 2 * mins, event_type="view"),
+        Row(user_id=2, ts=t0 + 3 * mins, event_type="view"),
+        Row(user_id=2, ts=t0 + 4 * mins, event_type="click"),
+        # user 3: 3 views before the click, a 4th AFTER it -> the count
+        # is over the whole window, still vetoed.
+        Row(user_id=3, ts=t0, event_type="view"),
+        Row(user_id=3, ts=t0 + 1 * mins, event_type="view"),
+        Row(user_id=3, ts=t0 + 2 * mins, event_type="view"),
+        Row(user_id=3, ts=t0 + 3 * mins, event_type="click"),
+        Row(user_id=3, ts=t0 + 5 * mins, event_type="view"),
+    ]
+    df = spark.createDataFrame(rows, schema)
+    flush = [
+        spark.createDataFrame(
+            [Row(user_id=-1, ts=t0 + timedelta(days=d), event_type="__flush__")],
+            schema,
+        )
+        for d in (80, 81)
+    ]
+    scratch = str(tmp_path / f"cep-mx-{uuid.uuid4().hex[:8]}")
+    sdf = replay_stream(spark, df, n_chunks=3, scratch_dir=scratch, flush_df=flush)
+    out = funnel_match(
+        sdf.withWatermark("ts", "35 days"),
+        steps=("view", "click"),
+        min_counts=(2, 1),
+        max_counts=(3, None),
+    )
+    res = run_to_table(out, mode="append").collect()
+    got = {r.user_id: r for r in res if r.user_id >= 0}
+    assert set(got) == {1}, f"expected only user 1, got {sorted(got)}"
+    assert got[1].step1_ts == t0 + 2 * mins, "view step satisfied at the 2nd view"
+    assert got[1].step2_ts == t0 + 3 * mins
+
+
+def test_funnel_match_max_counts_validation():
+    """max_counts must be per-step and each entry None or >= the step's
+    min count."""
+    from nyuki_spark.streaming.stateful import funnel_match
+
+    # Validation fires before any DataFrame work, so None is fine here.
+    with pytest.raises(ValueError, match="max_counts"):
+        funnel_match(None, steps=("a", "b"), max_counts=(1,))
+    with pytest.raises(ValueError, match="max_counts"):
+        funnel_match(None, steps=("a", "b"), min_counts=(2, 1), max_counts=(1, None))
+
+
+def test_funnel_match_tombstone_type_not_reserved(spark, tmp_path):
+    """r11 ADVICE: the tombstone is stored OUT OF BAND (empty-types /
+    deadline-prefix state shapes no real data can produce), so an event
+    stream whose type column literally contains "__tombstone__" behaves
+    like any other type — here it is even usable as a chain step."""
+    from datetime import datetime, timedelta
+
+    from nyuki_spark.streaming.replay import replay_stream
+    from nyuki_spark.streaming.stateful import funnel_match
+
+    t0 = datetime(2026, 3, 1, 9, 0, 0)
+    schema = "user_id long, ts timestamp, event_type string"
+    rows = [
+        Row(user_id=1, ts=t0, event_type="view"),
+        Row(user_id=1, ts=t0 + timedelta(minutes=1), event_type="__tombstone__"),
+    ]
+    df = spark.createDataFrame(rows, schema)
+    flush = [
+        spark.createDataFrame(
+            [Row(user_id=-1, ts=t0 + timedelta(days=d), event_type="__flush__")],
+            schema,
+        )
+        for d in (80, 81)
+    ]
+    scratch = str(tmp_path / f"cep-res-{uuid.uuid4().hex[:8]}")
+    sdf = replay_stream(spark, df, n_chunks=1, scratch_dir=scratch, flush_df=flush)
+    out = funnel_match(
+        sdf.withWatermark("ts", "35 days"),
+        steps=("view", "__tombstone__"),
+        tombstone_ttl_us=86_400_000_000,
+    )
+    res = run_to_table(out, mode="append").collect()
+    got = {r.user_id: r for r in res if r.user_id >= 0}
+    assert set(got) == {1}, f"user 1's __tombstone__-typed event must match: {sorted(got)}"
+    assert got[1].step2_ts == t0 + timedelta(minutes=1)
+
+
+def test_funnel_match_ttl_epoch_is_event_time(spark, tmp_path):
+    """Event-time-exact TTL epochs (r12): a NEXT-epoch event
+    (ts > deadline) that ARRIVES while the tombstone is still standing
+    (watermark has not yet passed the deadline) must not be dropped —
+    it buffers inside the tombstone and seeds epoch 2 when the deadline
+    passes; an in-epoch straggler (ts <= deadline) arriving in the same
+    batch IS dropped. Epoch membership depends only on timestamps."""
+    from datetime import datetime, timedelta
+
+    from nyuki_spark.streaming.replay import replay_stream
+    from nyuki_spark.streaming.stateful import funnel_match
+
+    t0 = datetime(2026, 3, 1, 9, 0, 0)
+    schema = "user_id long, ts timestamp, event_type string"
+    # Window 7d, TTL 1d -> deadline t0+8d.
+    epoch1 = spark.createDataFrame(
+        [Row(user_id=1, ts=t0, event_type="view")], schema
+    )
+
+    def sentinel(days: int):
+        return spark.createDataFrame(
+            [Row(user_id=-1, ts=t0 + timedelta(days=days), event_type="__flush__")],
+            schema,
+        )
+
+    # Watermark choreography (delay 35d; wm for a batch is the PREVIOUS
+    # batch's end-of-batch max-ts - 35d): s(42.2) raises wm to t0+7.2d;
+    # during s(42.4) the horizon timer (t0+7d) fires -> tombstone with
+    # deadline t0+8d; the mixed batch then runs at wm t0+7.4d — the
+    # tombstone STANDS (< deadline), so the ts=t0+9d events (> deadline)
+    # must buffer inside it and the ts=t0+7d12h straggler (<= deadline)
+    # must drop; during s(44) (wm t0+8.5d >= deadline) the removal timer
+    # fires and the buffered events seed epoch 2 (anchor t0+9d, horizon
+    # t0+16d); s(52)/s(53) close that horizon and flush the match.
+    mixed = spark.createDataFrame(
+        [
+            Row(user_id=1, ts=t0 + timedelta(days=7, hours=12), event_type="view"),
+            Row(user_id=1, ts=t0 + timedelta(days=9), event_type="view"),
+            Row(user_id=1, ts=t0 + timedelta(days=9, hours=1), event_type="click"),
+            Row(user_id=1, ts=t0 + timedelta(days=9, hours=2), event_type="purchase"),
+        ],
+        schema,
+    )
+    scratch = str(tmp_path / f"cep-ttl2-{uuid.uuid4().hex[:8]}")
+    sdf = replay_stream(
+        spark,
+        epoch1,
+        n_chunks=1,
+        scratch_dir=scratch,
+        flush_df=[
+            sentinel(42.2),
+            sentinel(42.4),  # horizon timer fires -> tombstone stands
+            mixed,  # lands on the standing tombstone (wm < deadline)
+            sentinel(43.5),
+            sentinel(44),  # removal timer fires -> epoch 2 seeded
+            sentinel(52),
+            sentinel(53),  # epoch-2 horizon closes -> emit
+        ],
+    )
+    out = funnel_match(
+        sdf.withWatermark("ts", "35 days"),
+        tombstone_ttl_us=86_400_000_000,  # 1 day
+    )
+    res = run_to_table(out, mode="append").collect()
+    got = [r for r in res if r.user_id >= 0]
+    assert len(got) == 1, f"exactly the epoch-2 match expected, got {got}"
+    # Epoch-2 anchor is the t0+9d view — NOT the dropped t0+7d12h
+    # straggler (its ts is inside epoch 1's tombstone span).
+    assert got[0].step1_ts == t0 + timedelta(days=9)
+    assert got[0].step3_ts == t0 + timedelta(days=9, hours=2)
