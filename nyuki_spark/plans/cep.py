@@ -39,6 +39,20 @@ Spec format::
 defaults to 1, ``max`` to unbounded. ``batch()`` compiles the single-epoch
 (no-TTL) semantics; a TTL pattern's batch twin is an epoch unroll whose
 depth depends on the data span, so it stays streaming-only (ValueError).
+
+Cross-step value predicates (r12) are data too::
+
+    {"value": "value",
+     "predicates": [{"left": 2, "op": ">", "right": 1},
+                    {"left": 3, "op": ">", "right": 2}], ...}
+
+read "value of step ``left``'s event OP value of step ``right``'s event".
+With predicates the reported chain is the lexicographically earliest
+satisfying (t1, .., tk) — ``.stream()`` compiles to funnel_match's
+window-bounded backtracking DFS, ``.batch()`` to the relational rendering
+of the same search: a k-way self-join over the window with the predicates
+applied, ranked by (t1, .., tk), rn = 1. Predicates require every step at
+the default quantifier (min 1, no max) — validated.
 """
 
 from __future__ import annotations
@@ -80,6 +94,8 @@ def validate_cep_spec(spec: dict | str) -> list[dict]:
     if "absent" in spec and spec["absent"] is not None:
         if not isinstance(spec["absent"], str):
             errors.append(_err("/absent", "expected string", "type"))
+    if "value" in spec and not isinstance(spec["value"], str):
+        errors.append(_err("/value", "expected string", "type"))
     steps = spec.get("steps")
     if steps is None:
         errors.append(_err("", "'steps' is a required property", "required"))
@@ -138,6 +154,51 @@ def validate_cep_spec(spec: dict | str) -> list[dict]:
                         "enum",
                     )
                 )
+    preds = spec.get("predicates")
+    if preds is not None:
+        if not isinstance(preds, list):
+            errors.append(_err("/predicates", "expected array", "type"))
+        else:
+            n = len(steps) if isinstance(steps, list) else 0
+            if preds and "value" not in spec:
+                errors.append(
+                    _err("/predicates", "'value' column is required", "required")
+                )
+            if preds and any(
+                isinstance(st, dict)
+                and (st.get("min", 1) != 1 or st.get("max") is not None)
+                for st in (steps if isinstance(steps, list) else [])
+            ):
+                errors.append(
+                    _err(
+                        "/predicates",
+                        "predicates require every step at min 1 / no max",
+                        "enum",
+                    )
+                )
+            for i, pr in enumerate(preds):
+                pp = f"/predicates/{i}"
+                if not isinstance(pr, dict):
+                    errors.append(_err(pp, "expected object", "type"))
+                    continue
+                for side in ("left", "right"):
+                    v = pr.get(side)
+                    if not isinstance(v, int) or isinstance(v, bool):
+                        errors.append(
+                            _err(f"{pp}/{side}", "expected integer step index", "type")
+                        )
+                    elif not 1 <= v <= max(n, 1):
+                        errors.append(
+                            _err(f"{pp}/{side}", f"step index out of range 1..{n}", "maximum")
+                        )
+                if pr.get("left") == pr.get("right"):
+                    errors.append(
+                        _err(pp, "left and right must be distinct steps", "enum")
+                    )
+                if pr.get("op") not in ("<", "<=", ">", ">=", "==", "!="):
+                    errors.append(
+                        _err(f"{pp}/op", "expected one of < <= > >= == !=", "enum")
+                    )
     return errors
 
 
@@ -185,6 +246,11 @@ def compile_cep_pattern(spec: dict | str) -> CepPattern:
     max_counts = tuple(
         int(st["max"]) if st.get("max") is not None else None for st in steps_spec
     )
+    value_name = spec.get("value")
+    preds = tuple(
+        (int(p["left"]), p["op"], int(p["right"]))
+        for p in spec.get("predicates", [])
+    )
     funnel_kwargs = {
         "steps": tuple(
             ts[0] if len(ts) == 1 else ts for ts in step_types
@@ -197,6 +263,8 @@ def compile_cep_pattern(spec: dict | str) -> CepPattern:
         "tombstone_ttl_us": ttl,
         "min_counts": min_counts,
         "max_counts": max_counts,
+        "value_col": value_name,
+        "cross_predicates": preds or None,
     }
     k = len(step_types)
 
@@ -220,6 +288,11 @@ def compile_cep_pattern(spec: dict | str) -> CepPattern:
             # the cast is the identity epoch.
             F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_us"),
             F.col(type_col).alias("_ty"),
+            *(
+                [F.col(value_name).cast("double").alias("_v")]
+                if value_name is not None
+                else []
+            ),
         )
         cur = (
             ev.where(F.col("_ty").isin(list(step_types[0])))
@@ -227,6 +300,63 @@ def compile_cep_pattern(spec: dict | str) -> CepPattern:
             .agg(F.min("_us").alias("_anchor"))
             .withColumn("_hi", F.col("_anchor") + F.lit(within_us))
         )
+        if preds:
+            # Backtracking search, rendered relationally: k-way
+            # self-join over the window with the predicates applied,
+            # then the lexicographically earliest (t1, .., tk) per key
+            # — exactly funnel_match's DFS outcome. Join blowup is
+            # bounded by the per-key window population (the same n the
+            # DFS walks), and every join is key-partitioned.
+            joined = cur
+            for i, types in enumerate(step_types):
+                ei = ev.where(F.col("_ty").isin(list(types))).select(
+                    "_k",
+                    F.col("_us").alias(f"_t{i}"),
+                    F.col("_v").alias(f"_v{i}"),
+                )
+                lo = (
+                    F.col(f"_t{i}") >= F.col("_anchor")
+                    if i == 0
+                    else F.col(f"_t{i}") > F.col(f"_t{i - 1}")
+                )
+                joined = joined.join(ei, "_k").where(
+                    lo & (F.col(f"_t{i}") <= F.col("_hi"))
+                )
+            _OPCOL = {
+                "<": "__lt__", "<=": "__le__", ">": "__gt__",
+                ">=": "__ge__", "==": "__eq__", "!=": "__ne__",
+            }
+            for left, op, right in preds:
+                joined = joined.where(
+                    getattr(F.col(f"_v{left - 1}"), _OPCOL[op])(
+                        F.col(f"_v{right - 1}")
+                    )
+                )
+            if absent is not None:
+                bad = (
+                    ev.where(F.col("_ty") == absent)
+                    .join(cur.select("_k", "_anchor", "_hi"), "_k")
+                    .where(
+                        (F.col("_us") > F.col("_anchor"))
+                        & (F.col("_us") <= F.col("_hi"))
+                    )
+                    .select("_k")
+                    .distinct()
+                )
+                joined = joined.join(bad, "_k", "left_anti")
+            w = Window.partitionBy("_k").orderBy(
+                *[F.col(f"_t{i}") for i in range(k)]
+            )
+            best = joined.withColumn(
+                "_rn", F.row_number().over(w)
+            ).where(F.col("_rn") == 1)
+            return best.select(
+                F.col("_k").alias(key_col),
+                *[
+                    F.timestamp_micros(F.col(f"_t{i}")).alias(f"step{i + 1}_ts")
+                    for i in range(k)
+                ],
+            )
         for i, types in enumerate(step_types):
             lo = F.col("_anchor") if i == 0 else F.col(f"_sat{i - 1}")
             in_interval = (

@@ -4821,3 +4821,134 @@ register(
         "boundaries are event-time-exact by construction"
     ),
 )
+
+
+# -- live CEP with cross-step value predicates (round 12) ---------------------------
+
+
+def _cep_valuechain_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live CEP with CROSS-STEP VALUE PREDICATES — the class the r11
+    docstring declared out of scope ("genuinely need a backtracking
+    matcher"), delivered in r12: ``view -> click -> purchase`` with
+    click.value > view.value AND purchase.value > click.value (strict
+    value escalation) inside the 7-day anchor window. The window stays
+    anchored at the earliest view (exactly-once finality untouched);
+    the reported chain is the LEXICOGRAPHICALLY EARLIEST (t1, t2, t3)
+    satisfying both predicates, found by funnel_match's window-bounded
+    DFS — when the earliest candidate for a step admits no valid
+    continuation the matcher backtracks to the next. The twin is the
+    exact relational rendering of that search: a 3-way self-join over
+    the window with the predicates, ranked by (t1, t2, t3), rn = 1 —
+    so every backtracking decision is hash-verified. Same replay /
+    timer / sentinel mechanics as the other CEP live ids; state stays
+    window-bounded (the buffer gains an 8-byte value per event)."""
+    import datetime
+
+    from nyuki_spark.streaming.stateful import funnel_match
+
+    events = load_table(spark, sf_dir, "events")
+    scratch = tempfile.mkdtemp(prefix="nyuki-live-")
+    name = f"nyuki_live_{uuid.uuid4().hex[:12]}"
+    try:
+        mx = events.agg(F.max("ts")).head()[0]
+
+        def sentinel(days: int) -> DataFrame:
+            return spark.createDataFrame(
+                [
+                    (
+                        -1,
+                        mx + datetime.timedelta(days=days),
+                        -1,
+                        "__flush__",
+                        0.0,
+                        "{}",
+                    )
+                ],
+                events.schema,
+            )
+
+        sdf = replay_stream(
+            spark,
+            events,
+            n_chunks=4,
+            scratch_dir=scratch,
+            flush_df=[sentinel(80), sentinel(81)],
+        )
+        sdf = (
+            sdf.select(
+                F.col("ts").cast("timestamp").alias("ts"),
+                "user_id",
+                "event_type",
+                "value",
+            )
+            .where(
+                F.col("event_type").isin(
+                    "view", "click", "purchase", "__flush__"
+                )
+            )
+            .withWatermark("ts", "35 days")
+        )
+        out = funnel_match(
+            sdf,
+            steps=("view", "click", "purchase"),
+            value_col="value",
+            cross_predicates=((2, ">", 1), (3, ">", 2)),
+        )
+        res = run_to_table(out, mode="append", name=name)
+        res = (
+            res.where(F.col("user_id") >= 0)
+            .select(
+                "user_id",
+                F.col("step1_ts").alias("view_ts"),
+                F.col("step2_ts").alias("click_ts"),
+                F.col("step3_ts").alias("purchase_ts"),
+            )
+            .orderBy("user_id")
+            .cache()
+        )
+        res.count()
+        return res
+    finally:
+        try:
+            spark.catalog.dropTempView(name)
+        except Exception:
+            pass
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+register(
+    "stream_cep_valuechain_live",
+    engine_fn=_cep_valuechain_fn,
+    oracle=(
+        "WITH a AS (SELECT user_id, MIN(ts) AS anchor FROM events\n"
+        "  WHERE event_type = 'view' GROUP BY 1),\n"
+        "ch AS (SELECT v.user_id, v.ts AS t1, c.ts AS t2, p.ts AS t3,\n"
+        "    ROW_NUMBER() OVER (PARTITION BY v.user_id\n"
+        "      ORDER BY v.ts, c.ts, p.ts) AS rn\n"
+        "  FROM events v\n"
+        "  JOIN a ON a.user_id = v.user_id\n"
+        "  JOIN events c ON c.user_id = v.user_id\n"
+        "  JOIN events p ON p.user_id = v.user_id\n"
+        "  WHERE v.event_type = 'view' AND v.ts >= a.anchor\n"
+        "    AND v.ts <= a.anchor + INTERVAL 7 DAY\n"
+        "    AND c.event_type = 'click' AND c.ts > v.ts\n"
+        "    AND c.ts <= a.anchor + INTERVAL 7 DAY\n"
+        "    AND p.event_type = 'purchase' AND p.ts > c.ts\n"
+        "    AND p.ts <= a.anchor + INTERVAL 7 DAY\n"
+        "    AND c.value > v.value AND p.value > c.value)\n"
+        "SELECT user_id, CAST(t1 AS TIMESTAMP) AS view_ts,\n"
+        "  CAST(t2 AS TIMESTAMP) AS click_ts,\n"
+        "  CAST(t3 AS TIMESTAMP) AS purchase_ts\n"
+        "FROM ch WHERE rn = 1 ORDER BY user_id"
+    ),
+    category="streaming-live",
+    suite="extension",
+    doc=(
+        "live CEP with cross-step value predicates (view -> click -> "
+        "purchase, strictly escalating value, 7-day window) via "
+        "funnel_match's window-bounded backtracking DFS — "
+        "lexicographically-earliest satisfying chain; twin is the 3-way "
+        "self-join ranked by (t1,t2,t3), rn=1 — every backtracking "
+        "decision hash-verified"
+    ),
+)

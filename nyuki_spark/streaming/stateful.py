@@ -26,6 +26,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     ArrayType,
     BooleanType,
+    DoubleType,
     LongType,
     StringType,
     StructField,
@@ -287,6 +288,8 @@ def funnel_match(
     tombstone_ttl_us: int | None = None,
     min_counts: tuple[int, ...] | None = None,
     max_counts: tuple[int | None, ...] | None = None,
+    value_col: str | None = None,
+    cross_predicates: tuple[tuple[int, str, int], ...] | None = None,
 ) -> DataFrame:
     """CEP sequence detection: per key, the earliest ``steps[0]`` event
     anchors a pattern window of ``within_us``; the match is the earliest
@@ -306,14 +309,40 @@ def funnel_match(
     (``max_counts[i]`` completes the ``A{m,n}`` class — see below),
     PER-STEP ALTERNATION (a step given as a tuple of types matches the
     earliest event of ANY of them — the ``(B|C)`` class; a quantified
-    alternation counts events of all its types together), plus one
-    negated event type — the funnel, repeated-action and
-    absence-within-window classes of CEP workloads. NOT a general
-    pattern-regex engine: no multiple negations, no per-step value
-    predicates whose truth depends only on the event itself (pre-filter
-    the input stream for those — equivalent by construction), and no
-    CROSS-STEP value predicates (e.g. purchase.value > view.value),
-    which genuinely need a backtracking matcher.
+    alternation counts events of all its types together), one negated
+    event type, and (r12) CROSS-STEP VALUE PREDICATES
+    (``cross_predicates`` — e.g. purchase.value > click.value) via a
+    window-bounded BACKTRACKING matcher — the funnel, repeated-action,
+    absence-within-window and value-escalation classes of CEP
+    workloads. NOT a general pattern-regex engine: no multiple
+    negations, and no per-step value predicates whose truth depends
+    only on the event itself (pre-filter the input stream for those —
+    equivalent by construction).
+
+    Cross-step predicate semantics (``cross_predicates``, each entry
+    ``(i, op, j)`` with 1-based step indices and op in < <= > >= == !=,
+    read "value of step i's event OP value of step j's event";
+    ``value_col`` names the compared column): the window stays anchored
+    at the EARLIEST ``steps[0]`` event — exactly-once finality is
+    untouched — and the reported chain is the LEXICOGRAPHICALLY
+    EARLIEST (t1, .., tk) among all in-window chains (t1 >= anchor,
+    each t strictly increasing, every predicate satisfied). When the
+    earliest candidate for a step admits no valid continuation, the
+    matcher backtracks to the next candidate — the search the plain
+    min-chain never needs. DFS over the window-bounded buffer with
+    ascending candidates yields the lexicographic minimum directly;
+    worst case O(C(n, k)) for n buffered in-window events, bounded by
+    the window, and the SQL twin is a k-way self-join + lexicographic
+    ROW_NUMBER — exact, so the whole search is oracle-verifiable.
+    Composition limits (validated): requires ``value_col``; per-step
+    quantifiers must stay at the default (min 1, no max) — a
+    quantified step's "value" is ill-defined mid-backtrack; ``absent``
+    composes fine (absence is window-scoped, independent of the chosen
+    chain). Same-timestamp duplicates: the DFS tries every candidate at
+    a tied timestamp, and because the OUTPUT is the timestamp vector,
+    any completing chain at the minimal (t1, .., tk) is
+    output-identical — deterministic without a value tie-break, on
+    both engine and twin.
 
     Upper-bound semantics (``max_counts``, r11 verdict Next #2) — VETO,
     the documented choice: step i's OCCURRENCE COUNT is the number of
@@ -442,6 +471,35 @@ def funnel_match(
         raise ValueError(
             "max_counts needs one entry per step, each None or >= min_counts[i]"
         )
+    _OPS = {
+        "<": lambda a, b: a < b,
+        "<=": lambda a, b: a <= b,
+        ">": lambda a, b: a > b,
+        ">=": lambda a, b: a >= b,
+        "==": lambda a, b: a == b,
+        "!=": lambda a, b: a != b,
+    }
+    if cross_predicates is not None:
+        if value_col is None:
+            raise ValueError("cross_predicates requires value_col")
+        if any(m != 1 for m in min_counts) or any(
+            mx is not None for mx in max_counts
+        ):
+            raise ValueError(
+                "cross_predicates composes with min 1 / no max only — a "
+                "quantified step's value is ill-defined mid-backtrack"
+            )
+        for p in cross_predicates:
+            if (
+                len(p) != 3
+                or p[1] not in _OPS
+                or not (1 <= p[0] <= k and 1 <= p[2] <= k)
+                or p[0] == p[2]
+            ):
+                raise ValueError(
+                    f"bad cross predicate {p!r}: need (i, op, j) with "
+                    f"1-based distinct step indices and op in {sorted(_OPS)}"
+                )
     out_schema = StructType(
         [StructField(key_col, LongType())]
         + [
@@ -453,6 +511,7 @@ def funnel_match(
         [
             StructField("ts_us", ArrayType(LongType())),
             StructField("types", ArrayType(StringType())),
+            StructField("vals", ArrayType(DoubleType())),
         ]
     )
     s0 = step_sets[0]
@@ -460,11 +519,24 @@ def funnel_match(
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        def settle(ts_us: list, types: list) -> None:
+        def store(buf: list, deadline: int | None = None) -> None:
+            # Triple buffer -> the three parallel state arrays; a TTL
+            # tombstone's removal deadline PREFIXES ts_us (out of band:
+            # len(ts_us) == len(types) + 1, unrepresentable by data).
+            head = [deadline] if deadline is not None else []
+            state.update(
+                (
+                    head + [t for t, _, _ in buf],
+                    [ty for _, ty, _ in buf],
+                    [v for _, _, v in buf],
+                )
+            )
+
+        def settle(buf: list) -> None:
             # Shared tail for a LIVE (non-tombstone) buffer: prune past
             # the anchor's window, persist, arm the horizon/GC timer.
             anchor = min(
-                (t for t, ty in zip(ts_us, types) if ty in s0), default=None
+                (t for t, ty, _ in buf if ty in s0), default=None
             )
             if anchor is not None:
                 # Events past the window can never participate in THIS
@@ -480,77 +552,117 @@ def funnel_match(
                     if tombstone_ttl_us is not None
                     else None
                 )
-                keep = [
-                    (t, ty)
-                    for t, ty in zip(ts_us, types)
-                    if t <= hi or (dl is not None and t > dl)
+                buf = [
+                    e
+                    for e in buf
+                    if e[0] <= hi or (dl is not None and e[0] > dl)
                 ]
-                ts_us = [t for t, _ in keep]
-                types = [ty for _, ty in keep]
-            state.update((ts_us, types))
+            store(buf)
             # Horizon: anchor + window (outcome final once the watermark
             # is past it); anchor-less keys re-arm at last-event + window
             # (GC). Timer API is millisecond epoch and must sit above the
             # current watermark (an old anchor's horizon may already have
             # passed).
-            base = anchor if anchor is not None else max(ts_us)
+            base = anchor if anchor is not None else max(t for t, _, _ in buf)
             timer_ms = (base + within_us) // 1000 + 1
             state.setTimeoutTimestamp(
                 max(timer_ms, state.getCurrentWatermarkMs() + 1)
             )
 
-        def evaluate(
-            ts_us: list, types: list, anchor: int
-        ) -> pd.DataFrame | None:
+        def backtrack_chain(
+            buf: list, anchor: int, hi: int
+        ) -> list[int] | None:
+            # Cross-step-predicate matcher: DFS for the lexicographically
+            # earliest in-window chain (t1 >= anchor, strictly
+            # increasing) satisfying every (i, op, j) value predicate.
+            # Ascending candidate order makes the first completion the
+            # lexicographic minimum; when a prefix admits no valid
+            # continuation the loop advances to the next candidate —
+            # the backtracking a plain min-chain never needs. Worst case
+            # O(C(n, k)) over the WINDOW-bounded buffer, n = in-window
+            # events of the pattern's types.
+            cands = [
+                sorted(
+                    (t, v)
+                    for t, ty, v in buf
+                    if ty in s and anchor <= t <= hi
+                )
+                for s in step_sets
+            ]
+            preds_at: list[list] = [[] for _ in range(k)]
+            for i, op, j in cross_predicates:
+                preds_at[max(i, j) - 1].append((i - 1, _OPS[op], j - 1))
+            ct = [0] * k
+            cv = [0.0] * k
+
+            def dfs(d: int, lo: int) -> bool:
+                for t, v in cands[d]:
+                    if d > 0 and t <= lo:
+                        continue
+                    ct[d], cv[d] = t, v
+                    if all(f(cv[a], cv[b]) for a, f, b in preds_at[d]):
+                        if d == k - 1 or dfs(d + 1, t):
+                            return True
+                return False
+
+            return list(ct) if dfs(0, anchor - 1) else None
+
+        def evaluate(buf: list, anchor: int) -> pd.DataFrame | None:
             # Final-horizon match evaluation (the anchor's window can no
-            # longer change): order-statistic chain, A{m,n} count veto,
-            # absence check. Returns the output row, or None.
+            # longer change): order-statistic chain + A{m,n} count veto,
+            # or the backtracking matcher when cross-step predicates are
+            # present; then the absence check. Returns the row, or None.
             hi = anchor + within_us
+            if cross_predicates is not None:
+                chain = backtrack_chain(buf, anchor, hi)
+                matched = chain is not None
+            else:
 
-            def step_stats(
-                s: frozenset, lo: int, m: int, incl: bool
-            ) -> tuple[int | None, int]:
-                # (satisfaction time, occurrence count) over the step's
-                # eligibility interval (lo, hi] (or [lo, hi] for the
-                # anchor step): satisfaction is the m-th order statistic
-                # — m=1 degenerates to the original min-chain — and the
-                # count feeds the max_counts veto.
-                cands = sorted(
-                    t
-                    for t, ty in zip(ts_us, types)
-                    if ty in s and (t >= lo if incl else t > lo) and t <= hi
-                )
-                return (
-                    cands[m - 1] if len(cands) >= m else None,
-                    len(cands),
-                )
+                def step_stats(
+                    s: frozenset, lo: int, m: int, incl: bool
+                ) -> tuple[int | None, int]:
+                    # (satisfaction time, occurrence count) over the
+                    # step's eligibility interval (lo, hi] (or [lo, hi]
+                    # for the anchor step): satisfaction is the m-th
+                    # order statistic — m=1 degenerates to the original
+                    # min-chain — and the count feeds the max veto.
+                    cands = sorted(
+                        t
+                        for t, ty, _ in buf
+                        if ty in s
+                        and (t >= lo if incl else t > lo)
+                        and t <= hi
+                    )
+                    return (
+                        cands[m - 1] if len(cands) >= m else None,
+                        len(cands),
+                    )
 
-            sat0, cnt0 = step_stats(s0, anchor, min_counts[0], incl=True)
-            chain: list[int | None] = [sat0]
-            counts: list[int] = [cnt0]
-            prev: int | None = chain[0]
-            for s, m in zip(step_sets[1:], min_counts[1:]):
-                if prev is None:
-                    chain.append(None)
-                    counts.append(0)
-                    continue
-                nxt, cnt = step_stats(s, prev, m, incl=False)
-                chain.append(nxt)
-                counts.append(cnt)
-                prev = nxt
-            matched = all(c is not None for c in chain)
-            if matched:
-                # Upper-bound veto (the A{m,n} class): too many
-                # occurrences of a step's type inside its eligibility
-                # interval fails the whole match.
-                matched = all(
-                    mx is None or cnt <= mx
-                    for mx, cnt in zip(max_counts, counts)
-                )
+                sat0, cnt0 = step_stats(s0, anchor, min_counts[0], incl=True)
+                chain = [sat0]
+                counts: list[int] = [cnt0]
+                prev: int | None = chain[0]
+                for s, m in zip(step_sets[1:], min_counts[1:]):
+                    if prev is None:
+                        chain.append(None)
+                        counts.append(0)
+                        continue
+                    nxt, cnt = step_stats(s, prev, m, incl=False)
+                    chain.append(nxt)
+                    counts.append(cnt)
+                    prev = nxt
+                matched = all(c is not None for c in chain)
+                if matched:
+                    # Upper-bound veto (the A{m,n} class): too many
+                    # occurrences of a step's type inside its
+                    # eligibility interval fails the whole match.
+                    matched = all(
+                        mx is None or cnt <= mx
+                        for mx, cnt in zip(max_counts, counts)
+                    )
             if matched and absent is not None:
                 matched = not any(
-                    ty == absent and anchor < t <= hi
-                    for t, ty in zip(ts_us, types)
+                    ty == absent and anchor < t <= hi for t, ty, _ in buf
                 )
             if not matched:
                 return None
@@ -566,13 +678,13 @@ def funnel_match(
 
         # ---- load state + arrivals --------------------------------
         if state.hasTimedOut:
-            ts_us, types = tuple(map(list, state.get))
-            arrivals: list[tuple[int, str]] = []
+            ts_us, types, vals = tuple(map(list, state.get))
+            arrivals: list[tuple[int, str, float]] = []
             existed = True
         else:
             existed = state.exists
-            ts_us, types = (
-                ([], []) if not existed else tuple(map(list, state.get))
+            ts_us, types, vals = (
+                ([], [], []) if not existed else tuple(map(list, state.get))
             )
             arrivals = []
             for pdf in pdfs:
@@ -583,6 +695,11 @@ def funnel_match(
                 # handed datetime64[ns], and under a datetime64[us]
                 # pandas/Arrow config every buffered time would silently
                 # be 1000x off.
+                vcol = (
+                    [float(x) for x in pdf[value_col]]
+                    if value_col is not None
+                    else [0.0] * len(pdf)
+                )
                 arrivals.extend(
                     zip(
                         (
@@ -593,11 +710,14 @@ def funnel_match(
                             // 1_000
                         ),
                         (str(t) for t in pdf[type_col]),
+                        vcol,
                     )
                 )
         wm_ms = state.getCurrentWatermarkMs()
         tombstoned = existed and len(ts_us) == len(types) + 1
         permanent = existed and not tombstoned and not ts_us
+        deadline = ts_us[0] if tombstoned else None
+        buf = list(zip(ts_us[1:] if tombstoned else ts_us, types, vals))
 
         # ---- resolve every pending epoch transition ----------------
         # A single watermark advance can carry a key across SEVERAL
@@ -616,17 +736,16 @@ def funnel_match(
             if permanent:
                 break
             if tombstoned:
-                deadline = ts_us[0]
                 if wm_ms * 1000 >= deadline:
                     # TTL deadline passed: shed it — events that
                     # buffered inside the tombstone go live as the next
                     # epoch's seed.
-                    ts_us = ts_us[1:]
+                    deadline = None
                     tombstoned = False
                     continue
                 break
             anchor = min(
-                (t for t, ty in zip(ts_us, types) if ty in s0), default=None
+                (t for t, ty, _ in buf if ty in s0), default=None
             )
             if anchor is not None and wm_ms >= (anchor + within_us) // 1000 + 1:
                 # Anchored horizon is FINAL (the batch twin anchors at
@@ -636,21 +755,15 @@ def funnel_match(
                 # at ts_us[0] — out of band, len(ts_us) == len(types)+1
                 # — and KEEPS any buffered events already past that
                 # deadline (a shed buffer can span several epochs).
-                row = evaluate(ts_us, types, anchor)
+                row = evaluate(buf, anchor)
                 if row is not None:
                     out_rows.append(row)
                 if tombstone_ttl_us is not None:
                     deadline = anchor + within_us + tombstone_ttl_us
-                    keep = [
-                        (t, ty)
-                        for t, ty in zip(ts_us, types)
-                        if t > deadline
-                    ]
-                    ts_us = [deadline] + [t for t, _ in keep]
-                    types = [ty for _, ty in keep]
+                    buf = [e for e in buf if e[0] > deadline]
                     tombstoned = True
                 else:
-                    ts_us, types = [], []
+                    buf = []
                     permanent = True
                 continue
             break
@@ -660,27 +773,22 @@ def funnel_match(
             # Permanent tombstone (no TTL): the earliest anchor's
             # horizon already closed and the outcome was emitted (or
             # ruled out) — exactly-once per key; arrivals drop.
-            state.update(([], []))
+            store([])
         elif tombstoned:
             # Standing TTL tombstone: epoch membership is decided by
             # EVENT TIME, not arrival time — in-epoch stragglers
             # (ts <= deadline) drop, next-epoch events (ts > deadline)
             # buffer inside the tombstone until the deadline passes the
             # watermark. Removal timer re-armed at the deadline.
-            deadline = ts_us[0]
-            for t, ty in arrivals:
-                if t > deadline:
-                    ts_us.append(t)
-                    types.append(ty)
-            state.update((ts_us, types))
+            buf.extend(e for e in arrivals if e[0] > deadline)
+            store(buf, deadline)
             state.setTimeoutTimestamp(max(deadline // 1000 + 1, wm_ms + 1))
         else:
-            ts_us.extend(t for t, _ in arrivals)
-            types.extend(ty for _, ty in arrivals)
-            if not ts_us or (
+            buf.extend(arrivals)
+            if not buf or (
                 state.hasTimedOut
                 and not arrivals
-                and not any(ty in s0 for ty in types)
+                and not any(ty in s0 for _, ty, _ in buf)
             ):
                 # Shed-to-empty tombstone, or a never-anchored key's GC
                 # timer: release the key's residue entirely (pre-anchor
@@ -688,7 +796,7 @@ def funnel_match(
                 # step is at-or-after the anchor).
                 state.remove()
             else:
-                settle(ts_us, types)
+                settle(buf)
         yield from out_rows
 
     return sdf.groupBy(key_col).applyInPandasWithState(

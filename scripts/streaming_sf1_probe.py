@@ -40,6 +40,17 @@ PROBES = [
     # exactly like the plain funnel.
     "stream_cep_quantified_live",
     "stream_cep_alternation_live",
+    # r12: the bounded (A{m,n}) and tombstone-TTL CEP ids — upper
+    # bounds only veto emission (same buffer as the plain funnel), and
+    # the TTL id additionally proves epoch tombstones GC: peak state
+    # must stay window-bounded while keys re-anchor across epochs on
+    # the event-time-ordered replay.
+    "stream_cep_bounded_live",
+    "stream_cep_ttl_live",
+    # r12: cross-step value predicates — the DFS walks the same
+    # window-bounded buffer (plus an 8-byte value per event), so peak
+    # state must match the plain funnel's bound.
+    "stream_cep_valuechain_live",
 ]
 
 PROVIDER_KEY = "spark.sql.streaming.stateStore.providerClass"

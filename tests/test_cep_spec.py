@@ -248,3 +248,73 @@ def test_cep_batch_compiler_matches_reference_fold(spark, data):
     ref_steps = [(frozenset(types), mn, mx) for types, mn, mx in steps]
     want = _reference_fold(events, ref_steps, within_us, absent)
     assert got == want, f"spec={spec} events={events}"
+
+
+def test_cep_spec_predicates_stream_equals_batch(spark, tmp_path):
+    """Predicates as data: the same spec drives funnel_match's DFS
+    (stream) and the k-way-join + lexicographic-rank plan (batch) —
+    including a step-1 backtrack (the earliest A admits no valid B)."""
+    from nyuki_spark.streaming.replay import replay_stream
+
+    mins = timedelta(minutes=1)
+    rows = [
+        # user 1: A(10) @0 has no pricier B; A(2) @1 -> B(5) @2. The
+        # chain must be (t1=@1, t2=@2) on BOTH paths.
+        Row(user_id=1, ts=T0, event_type="A", value=10.0),
+        Row(user_id=1, ts=T0 + 1 * mins, event_type="A", value=2.0),
+        Row(user_id=1, ts=T0 + 2 * mins, event_type="B", value=5.0),
+        # user 2: no B above any A.
+        Row(user_id=2, ts=T0, event_type="A", value=9.0),
+        Row(user_id=2, ts=T0 + 1 * mins, event_type="B", value=1.0),
+    ]
+    spec = {
+        "key": "user_id",
+        "ts": "ts",
+        "type": "event_type",
+        "value": "value",
+        "within_us": 10 * 60 * 1_000_000,
+        "steps": [{"types": "A"}, {"types": "B"}],
+        "predicates": [{"left": 2, "op": ">", "right": 1}],
+    }
+    pat = compile_cep_pattern(spec)
+    schema = "user_id long, ts timestamp, event_type string, value double"
+    df = spark.createDataFrame(rows, schema)
+    scratch = str(tmp_path / f"cep-pred-{uuid.uuid4().hex[:8]}")
+    flush = [
+        spark.createDataFrame(
+            [Row(user_id=-1, ts=T0 + timedelta(days=d), event_type="__flush__", value=0.0)],
+            schema,
+        )
+        for d in (10, 11)
+    ]
+    sdf = replay_stream(
+        spark, df, n_chunks=2, scratch_dir=scratch, flush_df=flush
+    ).withWatermark("ts", "1 day")
+    via_stream = sorted(
+        (r.user_id, r.step1_ts, r.step2_ts)
+        for r in run_to_table(pat.stream(sdf), mode="append").collect()
+        if r.user_id >= 0
+    )
+    via_batch = sorted(
+        (r.user_id, r.step1_ts, r.step2_ts) for r in pat.batch(df).collect()
+    )
+    assert via_stream == via_batch
+    assert [u for u, *_ in via_stream] == [1]
+    assert via_stream[0][1] == T0 + 1 * mins, "step-1 backtrack required"
+
+
+def test_cep_spec_predicate_validation():
+    bad = validate_cep_spec(
+        {
+            "steps": [{"types": "A", "min": 2}, {"types": "B"}],
+            "predicates": [
+                {"left": 1, "op": "~", "right": 1},
+                {"left": 9, "op": ">", "right": 2},
+            ],
+        }
+    )
+    paths = {e["path"] for e in bad}
+    assert "/predicates" in paths  # missing value col + quantified step
+    assert "/predicates/0/op" in paths
+    assert "/predicates/0" in paths  # left == right
+    assert "/predicates/1/left" in paths  # out of range

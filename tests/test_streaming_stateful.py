@@ -732,3 +732,96 @@ def test_funnel_match_ttl_epoch_is_event_time(spark, tmp_path):
     # straggler (its ts is inside epoch 1's tombstone span).
     assert got[0].step1_ts == t0 + timedelta(days=9)
     assert got[0].step3_ts == t0 + timedelta(days=9, hours=2)
+
+
+def test_funnel_match_cross_step_predicates(spark, tmp_path):
+    """Cross-step value predicates (r12 — the one CEP class the r11
+    docstring declared out of scope): click -> purchase with
+    purchase.value > click.value, window anchored at the earliest
+    click. User 1 backtracks over STEP-2 candidates (first purchase
+    fails the predicate, a later one passes); user 2 backtracks over
+    STEP-1 candidates (the earliest click admits NO valid purchase, a
+    later cheaper click does — the search a plain min-chain cannot
+    express); user 3 has no satisfying chain at all."""
+    from datetime import datetime, timedelta
+
+    from nyuki_spark.streaming.replay import replay_stream
+    from nyuki_spark.streaming.stateful import funnel_match
+
+    t0 = datetime(2026, 3, 1, 9, 0, 0)
+    schema = "user_id long, ts timestamp, event_type string, value double"
+    mins = timedelta(minutes=1)
+    rows = [
+        # user 1: click(10) @0; purchase(5) @1 fails; purchase(20) @2 OK.
+        Row(user_id=1, ts=t0, event_type="click", value=10.0),
+        Row(user_id=1, ts=t0 + 1 * mins, event_type="purchase", value=5.0),
+        Row(user_id=1, ts=t0 + 2 * mins, event_type="purchase", value=20.0),
+        # user 2: click(10) @0 has no pricier purchase; click(2) @1 does
+        # (purchase(5) @2) -> chain (t1=@1, t2=@2), NOT anchored-step @0.
+        Row(user_id=2, ts=t0, event_type="click", value=10.0),
+        Row(user_id=2, ts=t0 + 1 * mins, event_type="click", value=2.0),
+        Row(user_id=2, ts=t0 + 2 * mins, event_type="purchase", value=5.0),
+        # user 3: every purchase is cheaper than every prior click.
+        Row(user_id=3, ts=t0, event_type="click", value=10.0),
+        Row(user_id=3, ts=t0 + 1 * mins, event_type="purchase", value=3.0),
+    ]
+    df = spark.createDataFrame(rows, schema)
+    flush = [
+        spark.createDataFrame(
+            [
+                Row(
+                    user_id=-1,
+                    ts=t0 + timedelta(days=d),
+                    event_type="__flush__",
+                    value=0.0,
+                )
+            ],
+            schema,
+        )
+        for d in (80, 81)
+    ]
+    scratch = str(tmp_path / f"cep-xp-{uuid.uuid4().hex[:8]}")
+    sdf = replay_stream(spark, df, n_chunks=3, scratch_dir=scratch, flush_df=flush)
+    out = funnel_match(
+        sdf.withWatermark("ts", "35 days"),
+        steps=("click", "purchase"),
+        value_col="value",
+        cross_predicates=((2, ">", 1),),
+    )
+    res = run_to_table(out, mode="append").collect()
+    got = {r.user_id: r for r in res if r.user_id >= 0}
+    assert set(got) == {1, 2}, f"expected users 1 and 2, got {sorted(got)}"
+    assert got[1].step1_ts == t0 and got[1].step2_ts == t0 + 2 * mins
+    assert got[2].step1_ts == t0 + 1 * mins, (
+        "step-1 must backtrack past the earliest click"
+    )
+    assert got[2].step2_ts == t0 + 2 * mins
+
+
+def test_funnel_match_cross_predicate_validation():
+    from nyuki_spark.streaming.stateful import funnel_match
+
+    with pytest.raises(ValueError, match="value_col"):
+        funnel_match(None, steps=("a", "b"), cross_predicates=((2, ">", 1),))
+    with pytest.raises(ValueError, match="min 1"):
+        funnel_match(
+            None,
+            steps=("a", "b"),
+            value_col="value",
+            min_counts=(2, 1),
+            cross_predicates=((2, ">", 1),),
+        )
+    with pytest.raises(ValueError, match="bad cross predicate"):
+        funnel_match(
+            None,
+            steps=("a", "b"),
+            value_col="value",
+            cross_predicates=((2, "~", 1),),
+        )
+    with pytest.raises(ValueError, match="bad cross predicate"):
+        funnel_match(
+            None,
+            steps=("a", "b"),
+            value_col="value",
+            cross_predicates=((3, ">", 1),),
+        )
