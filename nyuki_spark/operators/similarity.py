@@ -476,13 +476,23 @@ def build_ivf_index(
     scanned. (Round-1 version re-fit KMeans inside every query call — the
     classic IVF anti-pattern this split removes.)
     """
-    from nyuki_spark.operators.kmeans import kmeans_fit
+    from nyuki_spark.operators.kmeans import assign_with_centroids, kmeans_fit
 
-    assigned, cent = kmeans_fit(
+    _assigned, cent = kmeans_fit(
         df, k=n_cells, iters=2, id_col=id_col, vec_col=emb_col
     )
-    data = df.join(assigned, id_col).select(
-        id_col, emb_col, F.col("cluster_id").alias("cell")
+    # r12: the final assignment is a pure-map literal-centroid argmin
+    # (identical math/tie-break — see operators/kmeans.py), so the write
+    # computes its cell inline instead of equi-joining the data back onto
+    # a separately materialised assignment: one scan, zero joins, and the
+    # only exchange left in the build is the partitioned write itself.
+    cent_rows = [(int(r["cid"]), list(r["c"])) for r in cent.collect()]
+    data = df.select(
+        id_col,
+        emb_col,
+        assign_with_centroids(
+            F.col(emb_col).cast("array<double>"), cent_rows
+        ).alias("cell"),
     )
     data.write.mode("overwrite").partitionBy("cell").parquet(
         f"{index_dir}/vectors"
@@ -502,36 +512,30 @@ def assign_to_frozen_cells(
     assignment step of daily index maintenance, with the quantizer held
     fixed (the FAISS ``train()``-then-``add()`` contract: appends never
     retrain). Identical math to the fit's assignment (operators/
-    kmeans.py): broadcast k-row centroids, crossJoin (map-side, the
-    N-row side never shuffles), left-to-right squared-distance fold,
-    ``min(struct(dist, cell))`` argmin with the cell-id tie-break — so
-    an appended vector lands in exactly the cell a bulk build with the
+    kmeans.py, r12 literal form): the bounded centroid table collects to
+    k rows and the argmin runs as a pure-map
+    ``array_min(array(struct(dist, cell)..))`` — the same left-to-right
+    squared-distance fold and the same ``min(struct(dist, cell))``
+    cell-id tie-break the pre-r12 crossJoin+groupBy computed, WITHOUT
+    re-shuffling the N-row side keyed on (id, embedding) — so an
+    appended vector lands in exactly the cell a bulk build with the
     same quantizer would put it in, and the DuckDB oracle twin
     re-derives it with a ROW_NUMBER-over-distance CTE.
 
     ``centroids`` is the persisted ``{index_dir}/centroids`` table:
     (cell int, centroid array<double>).
     """
-    from nyuki_spark.operators.kmeans import _sq_dist
+    from nyuki_spark.operators.kmeans import assign_with_centroids
 
-    e = df.select(
+    cent_rows = [
+        (int(r["cell"]), list(r["centroid"])) for r in centroids.collect()
+    ]
+    return df.select(
         F.col(id_col),
         F.col(emb_col),
-        F.col(emb_col).cast("array<double>").alias("_e"),
-    )
-    cent = centroids.select(
-        F.col("cell").alias("_cell"), F.col("centroid").alias("_c")
-    )
-    scored = e.crossJoin(F.broadcast(cent)).select(
-        id_col,
-        emb_col,
-        F.struct(
-            _sq_dist(F.col("_e"), F.col("_c")).alias("dist"),
-            F.col("_cell").alias("cid"),
-        ).alias("_dc"),
-    )
-    return scored.groupBy(id_col, emb_col).agg(
-        F.min("_dc").getField("cid").alias("cell")
+        assign_with_centroids(
+            F.col(emb_col).cast("array<double>"), cent_rows
+        ).alias("cell"),
     )
 
 

@@ -1993,6 +1993,79 @@ register(
 # -- product quantization codes (round 4b) -----------------------------------
 
 
+def _pq_fit4(emb: DataFrame) -> list:
+    """Fit the four 16-dim k=4 PQ codebooks in TWO jobs total instead of
+    four independent kmeans runs (r12, guide §1.2/§2.4: fewer passes).
+
+    The math is the deterministic Lloyd core of operators/kmeans.py,
+    operation for operation — id-ordered seeds, literal-centroid argmin
+    with the (dist, cid) tie-break, per-(cluster, dim) ``round(avg, 6)``
+    update — but the four independent subspace runs share each pass over
+    the data:
+
+    - ONE bounded k-row collect seeds all four subspaces (the 4 smallest
+      vec_ids' full 64-dim vectors, sliced driver-side);
+    - ONE update job computes all four subspaces' centroid means: the
+      iter-0 assignments are four pure-map argmin columns (zero
+      shuffles — see operators/kmeans.py r12 note), the 64 dims explode
+      with ``subspace = dim div 16``, and a single (subspace, cluster,
+      dim) hash aggregate of ``round(avg, 6)`` yields all 4*k*16
+      codebook components in one shuffle of narrow rows.
+
+    Returns ``cents[s]`` = the subspace-s codebook as a (cid,
+    components) list — the literal form every consumer feeds to
+    ``assign_with_centroids``, making the final code assignment map-only
+    (no joins on vec_id, no per-subspace jobs). Verified bit-identical
+    to the pre-r12 four-run form against the unchanged DuckDB twins.
+    """
+    from nyuki_spark.operators.kmeans import assign_with_centroids
+
+    e = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    seed = e.orderBy("vec_id").limit(4).collect()
+    cents = [
+        [(i, list(r["e"])[s * 16 : s * 16 + 16]) for i, r in enumerate(seed)]
+        for s in range(4)
+    ]
+    asg_cols = [
+        assign_with_centroids(
+            F.slice(F.col("e"), s * 16 + 1, 16), cents[s]
+        ).alias(f"a{s}")
+        for s in range(4)
+    ]
+    # Two selects, not one: a generator (posexplode) in the same select
+    # makes the analyzer's generator rewrite strip the struct field
+    # aliases inside the argmin expression (FIELD_NOT_FOUND col1/col2 —
+    # observed on 4.1.2), so the argmin columns are projected first.
+    upd = (
+        e.select("e", *asg_cols)
+        .select("a0", "a1", "a2", "a3", F.posexplode("e").alias("dim", "val"))
+        .select(
+            F.expr("dim div 16").alias("s"),
+            F.element_at(
+                F.array("a0", "a1", "a2", "a3"),
+                (F.expr("dim div 16") + 1).cast("int"),
+            ).alias("cluster_id"),
+            (F.col("dim") % 16).alias("ldim"),
+            "val",
+        )
+        .groupBy("s", "cluster_id", "ldim")
+        .agg(F.round(F.avg("val"), 6).alias("v"))
+        .collect()
+    )
+    out: list = [dict() for _ in range(4)]
+    for r in upd:
+        out[r["s"]].setdefault(int(r["cluster_id"]), {})[int(r["ldim"])] = r["v"]
+    return [
+        [
+            (cid, [comp[d] for d in sorted(comp)])
+            for cid, comp in sorted(by_cid.items())
+        ]
+        for by_cid in out
+    ]
+
+
 def _pq_codes_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product quantization (Jegou et al. 2011): split the 64-dim
     embedding into 4 subspaces of 16 dims, learn a k=4 codebook per
@@ -2000,26 +2073,31 @@ def _pq_codes_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     4-byte code word — the compression that lets an ANN index hold
     100 TB of embeddings in RAM-sized shards.
 
-    Each subspace run is independent (same scale shape as
-    ``llm_kmeans_assign``: broadcast k-row centroids, k-row driver
-    collects only); the final assembly is 4 equi-joins on vec_id of
-    (id, small-int) tables. Determinism (id-ordered seeds, order-pinned
+    r12 plan (guide §2.4): the four codebooks fit in two shared jobs
+    (:func:`_pq_fit4`) and the final code word is FOUR PURE-MAP argmin
+    columns over literal codebooks in one scan — the pre-r12 form ran
+    four independent kmeans (a crossJoin + (id, vector)-keyed shuffle
+    each) and re-assembled with 4 equi-joins on vec_id; all of that is
+    gone from the plan. Determinism (id-ordered seeds, order-pinned
     folds, rounded centroid handoff) makes the full 4-subspace codebook
-    bit-identical across engines.
+    bit-identical across engines — unchanged, same oracle.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    out = emb.select("vec_id")
-    for s in range(4):
-        sub = emb.select(
-            "vec_id",
-            F.slice(F.col("embedding").cast("array<double>"), s * 16 + 1, 16)
-            .alias("embedding"),
-        )
-        asg = kmeans_assign(sub, k=4, iters=2).withColumnRenamed(
-            "cluster_id", f"code{s}"
-        )
-        out = out.join(asg, "vec_id")
-    return out.orderBy("vec_id")
+    from nyuki_spark.operators.kmeans import assign_with_centroids
+
+    cents = _pq_fit4(emb)
+    e = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    return e.select(
+        "vec_id",
+        *[
+            assign_with_centroids(
+                F.slice(F.col("e"), s * 16 + 1, 16), cents[s]
+            ).alias(f"code{s}")
+            for s in range(4)
+        ],
+    ).orderBy("vec_id")
 
 
 register(
@@ -2068,40 +2146,47 @@ def _pq_adc_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     6-dp handoff values, the query slice literals are the raw parquet
     doubles, and both engines fold (0 + t1) + t2 + ... left-to-right.
     """
-    from nyuki_spark.operators.kmeans import kmeans_fit
-
     emb = load_table(spark, sf_dir, "embeddings")
     q = list(
         emb.where(F.col("vec_id") == 0)
         .select(F.col("embedding").cast("array<double>").alias("e"))
         .head()["e"]
     )  # bounded 1-row collect: the probe vector
-    out = emb.select("vec_id")
-    dcols = []
-    for s in range(4):
-        sub = emb.select(
-            "vec_id",
-            F.slice(F.col("embedding").cast("array<double>"), s * 16 + 1, 16)
-            .alias("embedding"),
-        )
-        asg, cent = kmeans_fit(sub, k=4, iters=2)
-        qs = F.array(*[F.lit(x) for x in q[s * 16 : s * 16 + 16]])
-        d = F.aggregate(
-            F.zip_with(qs, F.col("c"), lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        dist = cent.select("cid", d.alias(f"d{s}"))
-        looked = (
-            asg.withColumnRenamed("cluster_id", "cid")
-            .join(F.broadcast(dist), "cid")
-            .select("vec_id", f"d{s}")
-        )
-        out = out.join(looked, "vec_id")
-        dcols.append(F.col(f"d{s}"))
+    # r12 plan: codebooks fit in the two shared _pq_fit4 jobs; the
+    # query-to-codebook distance tables are 4 x k driver-side float64
+    # sums with the SAME left-to-right (x-y)^2 operand order the old
+    # Spark fold (and the oracle's LIST_REDUCE) executes, so every d
+    # value is bit-identical; each vector's ADC is then a pure map —
+    # argmin code per subspace (literal codebooks) -> map-literal
+    # distance lookup -> the same left-to-right d0+d1+d2+d3 sum.
+    # The pre-r12 shape (4 kmeans runs + 4 broadcast lookups + 4 vec_id
+    # equi-joins) is gone; the only non-map work left is the top-10
+    # TakeOrderedAndProject.
+    from nyuki_spark.operators.kmeans import assign_with_centroids
+
+    cents = _pq_fit4(emb)
+
+    def dtab(s: int) -> F.Column:
+        pairs = []
+        for cid, comps in cents[s]:
+            d = 0.0
+            for x, y in zip(q[s * 16 : s * 16 + 16], comps):
+                d += (x - y) * (x - y)
+            pairs.extend([F.lit(cid), F.lit(d)])
+        return F.create_map(*pairs)
+
+    e = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    dcols = [
+        dtab(s)[
+            assign_with_centroids(F.slice(F.col("e"), s * 16 + 1, 16), cents[s])
+        ]
+        for s in range(4)
+    ]
     adc = dcols[0] + dcols[1] + dcols[2] + dcols[3]
     return (
-        out.select("vec_id", adc.alias("adc_dist"))
+        e.select("vec_id", adc.alias("adc_dist"))
         .orderBy("adc_dist", "vec_id")
         .limit(10)
     )
@@ -3438,7 +3523,6 @@ def _ivfpq_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     from nyuki_spark.functions.fsutil import fs_exists
-    from nyuki_spark.operators.kmeans import kmeans_fit
     from nyuki_spark.operators.similarity import build_ivf_index
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -3481,32 +3565,38 @@ def _ivfpq_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("cell").isin(cells))
         .select("vec_id")
     )
-    out = cand
-    dcols = []
-    for s in range(4):
-        sub = emb.select(
-            "vec_id",
-            F.slice(F.col("embedding").cast("array<double>"), s * 16 + 1, 16)
-            .alias("embedding"),
-        )
-        asg, cent = kmeans_fit(sub, k=4, iters=2)
-        qs = F.array(*[F.lit(x) for x in q[s * 16 : s * 16 + 16]])
-        d = F.aggregate(
-            F.zip_with(qs, F.col("c"), lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        dist = cent.select("cid", d.alias(f"d{s}"))
-        looked = (
-            asg.withColumnRenamed("cluster_id", "cid")
-            .join(F.broadcast(dist), "cid")
-            .select("vec_id", f"d{s}")
-        )
-        out = out.join(looked, "vec_id")
-        dcols.append(F.col(f"d{s}"))
+    # r12 plan: the PQ fine stage is the same two-shared-job fit +
+    # pure-map ADC as llm_pq_adc (see _pq_adc_fn — bit-identical
+    # distance arithmetic), so the ONLY join left is attaching the
+    # coarse stage's candidate list (4-of-16 partition-pruned, small by
+    # construction -> broadcast) to the mapped distances; the pre-r12
+    # form carried 4 kmeans runs plus 5 vec_id equi-joins.
+    from nyuki_spark.operators.kmeans import assign_with_centroids
+
+    cents = _pq_fit4(emb)
+
+    def dtab(s: int) -> F.Column:
+        pairs = []
+        for cid, comps in cents[s]:
+            d = 0.0
+            for x, y in zip(q[s * 16 : s * 16 + 16], comps):
+                d += (x - y) * (x - y)
+            pairs.extend([F.lit(cid), F.lit(d)])
+        return F.create_map(*pairs)
+
+    e = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    dcols = [
+        dtab(s)[
+            assign_with_centroids(F.slice(F.col("e"), s * 16 + 1, 16), cents[s])
+        ]
+        for s in range(4)
+    ]
     adc = dcols[0] + dcols[1] + dcols[2] + dcols[3]
     return (
-        out.select("vec_id", adc.alias("adc_dist"))
+        e.select("vec_id", adc.alias("adc_dist"))
+        .join(F.broadcast(cand), "vec_id")
         .orderBy("adc_dist", "vec_id")
         .limit(10)
     )

@@ -101,8 +101,18 @@ def _grouped_map_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out
 
     events = load_table(spark, sf_dir, "events")
+    # r12 (guide §2.6/§4): the per-group z-score is PYTHON-side work —
+    # ~1.5k pandas group calls — but the grouping shuffle is only a few
+    # MB, so AQE's partition coalescing folds it to ~1 post-shuffle
+    # partition and every group runs through ONE Python worker serially.
+    # An explicit keyed repartition at the cluster's parallelism (AQE
+    # honours user-specified partition counts) keeps the JVM shuffle
+    # identical in bytes while fanning the Python stage across all
+    # cores; scale-adaptive (defaultParallelism), not a local constant.
+    n = events.sparkSession.sparkContext.defaultParallelism
     return (
-        events.groupBy("user_id")
+        events.repartition(n, "user_id")
+        .groupBy("user_id")
         .applyInPandas(zscore, schema="event_id long, z double")
         .orderBy("event_id")
     )

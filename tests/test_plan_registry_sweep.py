@@ -224,30 +224,6 @@ ALLOWLIST: dict[str, tuple[tuple[str, ...], str]] = {
         "10-row vs 1-row broadcast cross join joining the top-k table to "
         "the scalar total (partial-aggregated, auto-allowed)",
     ),
-    "llm_pq_adc": (
-        ("BroadcastNestedLoopJoin",),
-        "four kmeans_fit subspace runs (k=4 broadcast centroid crossJoin) "
-        "feeding k-row distance-table broadcasts; lookups are code-id "
-        "equi-joins",
-    ),
-    "llm_knn_ivfpq": (
-        ("BroadcastNestedLoopJoin",),
-        "five kmeans_fit runs (16-cell coarse + four k=4 subspace "
-        "codebooks — k-row broadcast centroid crossJoins, the "
-        "llm_pq_adc shape); probe/candidate gating and ADC lookups are "
-        "broadcast semi-joins / code-id equi-joins",
-    ),
-    "llm_pq_codes": (
-        ("BroadcastNestedLoopJoin",),
-        "four kmeans_assign subspace runs, each crossJoining vectors with "
-        "its broadcast k-row centroid table (k=4, compile-time constant)",
-    ),
-    "llm_semantic_prune": (
-        ("BroadcastNestedLoopJoin",),
-        "inherits kmeans_assign's assignment crossJoin with the broadcast "
-        "k-row centroid table (k=8, compile-time constant); the pair "
-        "stage itself is an equi-join on cluster_id",
-    ),
     "llm_sq8_error": (
         ("BroadcastNestedLoopJoin",),
         "1-row broadcast of the per-dim min/max bounds (partial-"
@@ -332,45 +308,12 @@ ALLOWLIST: dict[str, tuple[tuple[str, ...], str]] = {
         "aggregated) onto the tf/df join — the scalar-subquery shape as "
         "an explicit broadcast",
     ),
-    "llm_semdedup": (
-        ("BroadcastNestedLoopJoin",),
-        "inherits llm_kmeans_assign's assignment step: crossJoin of each "
-        "vector with the broadcast k-row centroid table (k=8, "
-        "compile-time constant); the dedup pair stage itself is an "
-        "equi-join on cluster_id",
-    ),
-    "llm_kmeans_purity": (
-        ("BroadcastNestedLoopJoin",),
-        "inherits llm_kmeans_assign's assignment step: crossJoin of each "
-        "vector with the broadcast k-row centroid table (k=8, "
-        "compile-time constant) — the only BNLJ build side is k rows",
-    ),
-    "llm_knn_ivf_append": (
-        ("BroadcastNestedLoopJoin",),
-        "the registered SWEEP intermediate (frozen-centroid assignment of "
-        "appended vectors) crossJoins each new vector with the broadcast "
-        "16-row centroid table — the kmeans_assign shape; the query's own "
-        "search plan is a pruned scan + TakeOrdered and is clean",
-    ),
-    "llm_embedding_outliers": (
-        ("BroadcastNestedLoopJoin",),
-        "inherits kmeans_fit's assignment crossJoin with the broadcast "
-        "k-row centroid table (k=8, compile-time constant); the distance "
-        "pass itself is a broadcast hash equi-join on cluster_id",
-    ),
     "stat_quantile_sketch": (
         ("BroadcastNestedLoopJoin",),
         "two 1-row broadcasts of the global value bounds (partial-"
         "aggregated MIN/MAX scalars) — the scalar-bounds shape "
         "(profile_histogram precedent); the sketch itself is one "
         "(type, 128)-cell aggregate",
-    ),
-    "llm_kmeans_assign": (
-        ("BroadcastNestedLoopJoin",),
-        "assignment step crossJoins each vector with the broadcast k-row "
-        "centroid table (k=8, compile-time constant); BNLJ with a "
-        "constant-size build IS the right plan — the N-row side never "
-        "shuffles",
     ),
     "stat_k_anonymity": (
         ("BroadcastNestedLoopJoin",),
