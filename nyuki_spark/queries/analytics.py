@@ -1905,24 +1905,77 @@ register(
 # difference identical operands; the median interpolates identical
 # sorted multisets.
 
+def _theilsen_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r12 rewrite of the declared SQL form (results identical, oracle-
+    verified): the old plan materialized every pairwise slope as a ROW —
+    a self-join expanding the hourly rollup to ~2.3M pair rows PER GROUP,
+    shuffled into a 5-partition exact PERCENTILE (one task per
+    event_type holding millions of doubles). Here only the HOURLY rollup
+    shuffles (time-range-bounded, ~11k rows at sf0.1) and the n^2 slope
+    enumeration + exact median run vectorized in numpy inside one
+    grouped-map task per event_type — same group-level parallelism, 3
+    orders of magnitude fewer shuffled rows (guide §2.3/§4.2).
+
+    FP identity with the SQL form is preserved operation-for-operation:
+    hourly means are ROUND(.,6)-pinned in Spark before crossing to
+    Python; slope = double(v_b - v_a) / (double(bigint epoch_b -
+    epoch_a) / 3600.0) in that exact order; the median interpolates
+    lower + (upper-lower)*0.5 like Spark PERCENTILE / DuckDB
+    QUANTILE_CONT (np.median's (a+b)/2 can differ by one ulp)."""
+    import numpy as np
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events")
+    h = (
+        ev.where(F.col("value").isNotNull())
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("hr"))
+        .agg(F.round(F.avg("value"), 6).cast("double").alias("v"))
+        .select("event_type", F.col("hr").cast("bigint").alias("s"), "v")
+    )
+
+    def _median_slopes(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame(
+                {
+                    "event_type": pd.Series([], dtype=object),
+                    "n_pairs": pd.Series([], dtype="int64"),
+                    "med": pd.Series([], dtype="float64"),
+                }
+            )
+        order = np.argsort(pdf["s"].to_numpy())
+        s = pdf["s"].to_numpy()[order]  # int64 epoch seconds, hr-unique
+        v = pdf["v"].to_numpy()[order]
+        iu, ju = np.triu_indices(n, k=1)
+        slope = (v[ju] - v[iu]) / ((s[ju] - s[iu]).astype(np.float64) / 3600.0)
+        sl = np.sort(slope)
+        m = len(sl)
+        if m % 2 == 1:
+            med = float(sl[m // 2])
+        else:
+            lo, hi = float(sl[m // 2 - 1]), float(sl[m // 2])
+            med = lo + (hi - lo) * 0.5
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "n_pairs": [m],
+                "med": [med],
+            }
+        )
+
+    out = h.groupBy("event_type").applyInPandas(
+        _median_slopes, "event_type string, n_pairs long, med double"
+    )
+    return out.select(
+        "event_type",
+        "n_pairs",
+        F.round("med", 6).cast("double").alias("theil_sen_slope"),
+    ).orderBy("event_type")
+
+
 register(
     "ts_theilsen_trend",
-    engine=(
-        "WITH h AS (\n"
-        "  SELECT event_type, DATE_TRUNC('hour', ts) AS hr,\n"
-        "    CAST(ROUND(AVG(value), 6) AS DOUBLE) AS v\n"
-        "  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),\n"
-        "p AS (\n"
-        "  SELECT a.event_type,\n"
-        "    (b.v - a.v) / (CAST(CAST(b.hr AS BIGINT)"
-        " - CAST(a.hr AS BIGINT) AS DOUBLE) / 3600.0) AS slope\n"
-        "  FROM h a JOIN h b\n"
-        "    ON a.event_type = b.event_type AND a.hr < b.hr)\n"
-        "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_pairs,\n"
-        "  CAST(ROUND(PERCENTILE(slope, 0.5), 6) AS DOUBLE)"
-        " AS theil_sen_slope\n"
-        "FROM p GROUP BY event_type ORDER BY event_type"
-    ),
+    engine_fn=_theilsen_fn,
     oracle=(
         "WITH h AS (\n"
         "  SELECT event_type, DATE_TRUNC('hour', ts) AS hr,\n"
