@@ -1968,28 +1968,56 @@ register(
 
 # -- single-scan column profiling (round 4b) ---------------------------------
 
+
+def _profile_columns_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r12 rewrite of the stack()+multi-DISTINCT SQL form (results
+    identical, oracle-verified): Spark plans N COUNT(DISTINCT)s as an
+    Expand x(N+1) of the whole scan — 3M intermediate rows at sf0.1 —
+    and because the profile also takes MIN/MAX of a STRING column the
+    aggregate buffer is not mutable, so the whole thing degrades to
+    SortAggregate: a full sort of the expanded 3M rows (plan excerpt in
+    plans/r12/profile_columns_before.txt). Here each column is profiled
+    off its own groupBy(col) rollup: the map side pre-deduplicates, the
+    shuffle carries only (distinct value, partial count) pairs, and
+    non_null / n_distinct / min / max all reduce over the DISTINCT
+    VALUES (counts ignore the null group via FILTER; min/max ignore it
+    natively) — HashAggregate end to end, no Expand, no wide sort
+    (guide §2.3 aggregate-before-shuffle, §2.4). The string min/max now
+    runs over l_returnflag's 3 distinct values instead of 3M expanded
+    rows. Output formatting reproduces the SQL form cast-for-cast."""
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def prof(col: str, fmt) -> DataFrame:
+        g = li.groupBy(F.col(col).alias("v")).agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        nn = F.sum(F.when(F.col("v").isNotNull(), F.col("cnt"))).cast("long")
+        return g.agg(
+            F.lit(col).alias("col_name"),
+            F.coalesce(nn, F.lit(0)).alias("non_null"),
+            F.count("v").alias("n_distinct"),
+            fmt(F.min("v")).alias("min_val"),
+            fmt(F.max("v")).alias("max_val"),
+        )
+
+    def dec2(c):  # CAST(CAST(x AS DECIMAL(18,2)) AS STRING), as in the SQL form
+        return c.cast("decimal(18,2)").cast("string")
+
+    def s(c):  # plain CAST(x AS STRING)
+        return c.cast("string")
+
+    out = (
+        prof("l_extendedprice", dec2)
+        .unionByName(prof("l_quantity", dec2))
+        .unionByName(prof("l_returnflag", lambda c: c))
+        .unionByName(prof("l_shipdate", s))
+    )
+    return out.orderBy("col_name")
+
+
 register(
     "profile_columns",
-    engine=(
-        "SELECT col_name, non_null, n_distinct, min_val, max_val FROM (\n"
-        "  SELECT stack(4,\n"
-        "    'l_extendedprice', COUNT(l_extendedprice),"
-        " COUNT(DISTINCT l_extendedprice),\n"
-        "      CAST(CAST(MIN(l_extendedprice) AS DECIMAL(18,2)) AS STRING),\n"
-        "      CAST(CAST(MAX(l_extendedprice) AS DECIMAL(18,2)) AS STRING),\n"
-        "    'l_quantity', COUNT(l_quantity), COUNT(DISTINCT l_quantity),\n"
-        "      CAST(CAST(MIN(l_quantity) AS DECIMAL(18,2)) AS STRING),\n"
-        "      CAST(CAST(MAX(l_quantity) AS DECIMAL(18,2)) AS STRING),\n"
-        "    'l_returnflag', COUNT(l_returnflag),"
-        " COUNT(DISTINCT l_returnflag),\n"
-        "      MIN(l_returnflag), MAX(l_returnflag),\n"
-        "    'l_shipdate', COUNT(l_shipdate), COUNT(DISTINCT l_shipdate),\n"
-        "      CAST(MIN(l_shipdate) AS STRING),"
-        " CAST(MAX(l_shipdate) AS STRING)\n"
-        "  ) AS (col_name, non_null, n_distinct, min_val, max_val)\n"
-        "  FROM lineitem)\n"
-        "ORDER BY col_name"
-    ),
+    engine_fn=_profile_columns_fn,
     oracle=(
         "WITH a AS (SELECT\n"
         "    COUNT(l_extendedprice) c1, COUNT(DISTINCT l_extendedprice) d1,\n"
@@ -2014,13 +2042,13 @@ register(
     category="profiling",
     suite="extension",
     doc=(
-        "single-scan column profiler (null counts, exact distinct "
-        "cardinality, min/max) pivoted to long form with stack(): the "
-        "data-quality report a pipeline runs before training ingestion; "
-        "one table scan feeds every statistic (Spark expands the "
-        "multi-DISTINCT into grouping-id partial aggregates, still one "
-        "pass over the parquet), where the oracle's UNION form scans "
-        "four times"
+        "column profiler (null counts, exact distinct cardinality, "
+        "min/max) in long form: the data-quality report a pipeline runs "
+        "before training ingestion; per-column groupBy rollups (map-side "
+        "pre-dedup, HashAggregate end to end) replace the r4b "
+        "stack()+multi-DISTINCT form whose Expand x5 degraded to a full "
+        "SortAggregate over 3M expanded rows because of the string "
+        "min/max (r12; every statistic reduces over the distinct values)"
     ),
 )
 
