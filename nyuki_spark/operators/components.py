@@ -41,10 +41,62 @@ Scale notes (100 TB corpus):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["connected_components", "dedup_by_components"]
+
+# Edge-count ceiling for the driver-local labeling path (r12, guide §5: the
+# driver hop is BOUNDED — two int64 columns × this many rows ≈ 16 MB via
+# Arrow, the same order as a broadcast-join build side under the session's
+# 64 MB autoBroadcastJoinThreshold). Above it the distributed loop runs.
+_DRIVER_MAX_EDGES = int(os.environ.get("NYUKI_CC_DRIVER_MAX_EDGES", "1000000"))
+
+
+def _driver_components(bidir: DataFrame):
+    """Label a SMALL edge set on the driver: one Arrow collect + vectorized
+    numpy min-label propagation with pointer jumping — the identical
+    fixpoint the distributed loop reaches (labels start at own id, only
+    decrease, converge to the component min), computed in-memory instead
+    of through ~2·log(diameter) shuffle-join jobs of sub-second fixed cost
+    each. Returns a pandas DataFrame (id, comp) or None when the edge ids
+    are not integers (the generic fallback stays distributed).
+
+    np.unique returns SORTED ids, so index order == id order and the min
+    INDEX fixpoint maps back to the min ID — the exact distributed label.
+    """
+    import numpy as np
+
+    import pyspark.sql.types as T
+
+    if not all(
+        isinstance(f.dataType, (T.LongType, T.IntegerType, T.ShortType))
+        for f in bidir.schema.fields
+    ):
+        return None
+    tbl = bidir.toArrow()
+    s = tbl.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
+    d = tbl.column(1).to_numpy(zero_copy_only=False).astype(np.int64)
+    ids = np.unique(np.concatenate([s, d]))
+    u = np.searchsorted(ids, s)
+    v = np.searchsorted(ids, d)
+    lab = np.arange(len(ids), dtype=np.int64)
+    while True:
+        new = lab.copy()
+        # bidir already holds both directions, so one scatter-min per
+        # round sees every neighbor; pointer jump (lab[x] <= x invariant)
+        # doubles propagation distance per round exactly like the
+        # distributed path-halving loop.
+        np.minimum.at(new, v, lab[u])
+        new = new[new]
+        if np.array_equal(new, lab):
+            break
+        lab = new
+    import pandas as pd
+
+    return pd.DataFrame({"id": ids, "comp": ids[lab]})
 
 
 def connected_components(
@@ -70,6 +122,23 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
+    # Size-adaptive two-phase (r12, same pattern as operators/rank.py): the
+    # near-dup graphs this labels are DUPLICATE-sized, not corpus-sized —
+    # 1,012 edges at sf0.1 — yet the distributed loop pays ~2 shuffle joins
+    # + 1 action per round for ~10 rounds of fixed job overhead. Below the
+    # bounded threshold, collect the edge list like a broadcast build side
+    # and label in vectorized numpy; above it (web-scale dup graphs), the
+    # distributed O(log d) loop below is unchanged.
+    if bidir.count() <= _DRIVER_MAX_EDGES:
+        pdf = _driver_components(bidir)
+        if pdf is not None:
+            out = bidir.sparkSession.createDataFrame(
+                pdf, schema=f"id {bidir.schema.fields[0].dataType.simpleString()}, "
+                            f"comp {bidir.schema.fields[0].dataType.simpleString()}"
+            )
+            return out.select(
+                F.col("id").alias(id_out), F.col("comp").alias(comp_out)
+            )
     labels = (
         bidir.select(F.col("s").alias("id"))
         .distinct()

@@ -139,7 +139,16 @@ def simhash_pairs(
     bands > max_hamming chunks is identical).
     """
     assert bands > max_hamming, "need bands > max_hamming for exact recall"
-    chunks = simhash_chunks(df, id_col=id_col, text_col=text_col, bands=bands)
+    # Materialize the (id, sketch) table ONCE before the band self-join
+    # (r12, guide §2.4): the join broadcasts one side, so without this both
+    # sides re-run the full tokenize -> md5 -> Arrow-vote pipeline (the
+    # plan showed the ArrowEvalPython chain twice). The sketch table is two
+    # longs per unique doc — localCheckpoint is block-manager-sized at any
+    # corpus scale and also truncates lineage for downstream CC loops.
+    sh_tbl = df.select(
+        F.col(id_col).alias("id"), simhash60(text_col).alias("sh")
+    ).localCheckpoint()
+    chunks = simhash_chunks(sh_tbl, id_col="id", bands=bands, sketch_col="sh")
     a, b = chunks.alias("a"), chunks.alias("b")
     cand = (
         a.join(
@@ -417,6 +426,13 @@ def ngram_jaccard_pairs(
         does not want. Uncapped (default) behavior is byte-identical to
         the exact oracle.
     """
+    # NOT materialized (r12 A/B): a localCheckpoint of the shingle table
+    # here REGRESSED the family (llm_ngram_jaccard 2.12 -> 2.37 s,
+    # llm_subset_containment 1.64 -> 2.53 s, llm_dedup_eval 3.53 -> 4.97 s
+    # isolated medians at sf0.1) — ReusedExchange already dedupes the
+    # repeated identical shingle subtrees inside the final job, so the
+    # checkpoint only added a serial block-manager write of the widest
+    # (string-heavy) table in the funnel.
     sh = word_ngrams(df, n=n, id_col=id_col, text_col=text_col)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("ns"))
     if candidates is not None:
@@ -481,6 +497,7 @@ def containment_pairs(
     shared, so the prefilter loses nothing); uncapped default is the exact
     all-shared-shingle self-join for oracle verification only.
     """
+    # Not materialized — same ReusedExchange A/B as ngram_jaccard_pairs (r12).
     sh = word_ngrams(df, n=n, id_col=id_col, text_col=text_col)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("ns"))
     if candidates is not None:

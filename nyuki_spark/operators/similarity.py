@@ -453,6 +453,58 @@ def embedding_candidates_lsh(
     )
 
 
+def cell_cosine_pairs(
+    df: DataFrame,
+    cell_col: str,
+    threshold: float,
+    id_col: str = "vec_id",
+    emb_col: str = "e",
+) -> DataFrame:
+    """(id_a, id_b) pairs within each ``cell_col`` group whose cosine,
+    HALF_UP-rounded to 4 dp, is >= ``threshold`` — id_a < id_b.
+
+    The SemDeDup pair stage (guide §4.2): the former shape joined the cell
+    table to itself and ran an interpreted zip_with/aggregate fold PER
+    PAIR (Spark never codegens HOF lambdas; an element_at chain A/B'd even
+    worse — BASELINE.md r8). Here each cell's members arrive as ONE Arrow
+    batch and the full pairwise cosine block is a single float64 BLAS Gram
+    pass, exactly the per-bucket filter embedding_candidates_lsh ships.
+    Rounding uses the HALF_UP formula of Spark's ROUND (floor(x*1e4+0.5)
+    for the non-negative cosines a >=0.42-style threshold can admit), so
+    the keep/drop decision matches the JVM fold away from sub-ulp
+    boundaries — the same 4-dp contract the oracles verify.
+
+    Scale: cell sizes are bounded by the quantizer's rows-per-cell target,
+    so each Gram block is k_cell^2 doubles, never corpus^2; the only
+    shuffle is the groupBy on the cell key.
+    """
+    from pyspark.sql.types import StructField, StructType
+
+    id_type = df.schema[id_col].dataType
+
+    def _pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = np.vstack(pdf["_e"].to_numpy()).astype(np.float64)
+        ids = pdf["_id"].to_numpy()
+        nrm = np.sqrt(np.einsum("ij,ij->i", m, m))
+        sim = (m @ m.T) / np.outer(nrm, nrm)
+        simr = np.floor(sim * 1e4 + 0.5) / 1e4
+        ia, ib = np.where(np.triu(simr >= threshold, k=1))
+        id_a, id_b = ids[ia], ids[ib]
+        lo = np.minimum(id_a, id_b)
+        hi = np.maximum(id_a, id_b)
+        return pd.DataFrame({"id_a": lo, "id_b": hi})
+
+    out_schema = StructType(
+        [StructField("id_a", id_type), StructField("id_b", id_type)]
+    )
+    src = df.select(
+        F.col(cell_col).alias("_c"),
+        F.col(id_col).alias("_id"),
+        F.col(emb_col).alias("_e"),
+    )
+    return src.groupBy("_c").applyInPandas(_pairs, out_schema)
+
+
 def knn_cosine_ivf(
     df: DataFrame,
     query_vec: list[float],

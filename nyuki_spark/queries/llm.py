@@ -1729,11 +1729,22 @@ def _semantic_prune_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = load_table(spark, sf_dir, "embeddings")
     asg = kmeans_assign(emb, k=8, iters=2)
-    ca = asg.select(F.col("vec_id").alias("id_a"), F.col("cluster_id").alias("c"))
-    cb = asg.select(F.col("vec_id").alias("id_b"), F.col("cluster_id").alias("c"))
-    cand = ca.join(cb, "c").where(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
+    # Within-cluster pair stage as one Gram pass per cell (r12, guide
+    # §4.2): the former shape materialized every within-cluster (id_a,
+    # id_b) candidate row and paid an interpreted per-pair cosine fold
+    # through two equi-joins; cell_cosine_pairs batches each cluster
+    # through BLAS with the identical ROUND(cos, 4) >= 0.42 decision.
+    from nyuki_spark.operators.similarity import cell_cosine_pairs
+
+    reps = asg.join(
+        emb.select(
+            "vec_id",
+            F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("e"),
+        ),
+        "vec_id",
+    ).select("vec_id", "cluster_id", "e")
     pruned = (
-        embedding_neardup_pairs(emb, threshold=0.42, candidates=cand)
+        cell_cosine_pairs(reps, "cluster_id", 0.42, id_col="vec_id", emb_col="e")
         .select(F.col("id_b").alias("vec_id"))
         .distinct()
         .withColumn("hit", F.lit(True))
@@ -3281,37 +3292,19 @@ def _semdedup_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     reps = (
         reps_src
         .join(asg, "vec_id")
-        .select(
-            "vec_id",
-            "cluster_id",
-            emb_d.alias("e"),
-            F.sqrt(
-                F.aggregate(emb_d, F.lit(0.0), lambda a, x: a + x * x)
-            ).alias("nrm"),
-        )
+        .select("vec_id", "cluster_id", emb_d.alias("e"))
     )
-    a, b = reps.alias("a"), reps.alias("b")
-    # Keep the zip_with/aggregate fold: an A/B against a static 64-term
-    # element_at chain measured 14.1 s vs the fold's 7.3 s at sf0.1 —
-    # the 128 null-checked array accesses inside the fused join consume
-    # deopt the whole stage, worse than the interpreted-lambda cost they
-    # were meant to remove (BASELINE.md r8; inverse of the llm_winnowing
-    # case, where the HOF was per-CHARACTER over computed arrays).
-    dot = F.aggregate(
-        F.zip_with(F.col("a.e"), F.col("b.e"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    # Within-cell pair stage as ONE float64 Gram pass per cell (r12, guide
+    # §4.2 — operators/similarity.py cell_cosine_pairs). Replaces the
+    # per-pair interpreted zip_with/aggregate fold (7.3 s at sf0.1; the
+    # element_at-chain alternative A/B'd worse at 14.1 s — BASELINE.md r8)
+    # with batched BLAS over each cell's Arrow group; the 4-dp HALF_UP
+    # keep/drop contract is unchanged and oracle-verified.
+    from nyuki_spark.operators.similarity import cell_cosine_pairs
+
     sem = (
-        a.join(
-            b,
-            (F.col("a.cluster_id") == F.col("b.cluster_id"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .where(
-            F.round(dot / (F.col("a.nrm") * F.col("b.nrm")), 4) >= 0.42
-        )
-        .select(F.col("b.vec_id").alias("vec_id"))
+        cell_cosine_pairs(reps, "cluster_id", 0.42, id_col="vec_id", emb_col="e")
+        .select(F.col("id_b").alias("vec_id"))
         .distinct()
         .select("vec_id", F.lit("semantic").alias("reason"))
     )

@@ -75,3 +75,23 @@ def test_empty_edge_list_converges_immediately(spark):
     # (None == None) and must break on round 0 — no nodes, no labels,
     # and no infinite loop up to max_iter.
     assert _run(spark, []) == {}
+
+
+def test_driver_and_distributed_paths_agree(spark, monkeypatch):
+    # r12 size-adaptive split: below the edge threshold the labels come
+    # from the driver-local numpy propagation, above it from the
+    # distributed loop. Both must yield the identical min-id labeling on
+    # a graph exercising chains, cycles, and out-of-order min arrival.
+    import nyuki_spark.operators.components as C
+
+    edges = [
+        (1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (6, 7),  # long chain
+        (10, 11), (11, 12), (12, 10),                     # cycle
+        (9, 5),                                           # merges into chain
+        (40, 41),                                         # isolated pair
+    ]
+    monkeypatch.setattr(C, "_DRIVER_MAX_EDGES", 1_000_000)
+    via_driver = _run(spark, edges)
+    monkeypatch.setattr(C, "_DRIVER_MAX_EDGES", 0)
+    via_distributed = _run(spark, edges)
+    assert via_driver == via_distributed == _brute_components(edges)
