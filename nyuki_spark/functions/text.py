@@ -113,29 +113,52 @@ def lang_id(text_col: Column | str, langs: dict[str, tuple[str, ...]] | None = N
     """
     langs = langs or LANG_STOPWORDS
     lang_codes = sorted(langs)
-    word2lang: dict[str, tuple[int, ...]] = {}
-    for i, code in enumerate(lang_codes):
-        for w in langs[code]:
-            word2lang[w] = word2lang.get(w, ()) + (i,)
     n_langs = len(lang_codes)
+    # Factorized lookup (r13, VERDICT #8): one vocab row per distinct
+    # stopword, a 0/1 (vocab x lang) vote matrix — the whole batch's vote
+    # is then two numpy gathers + n_langs bincounts instead of a Python
+    # loop per token (the pattern every Arrow vote should copy).
+    vocab = sorted({w for ws in langs.values() for w in ws})
+    vocab_pos = {w: i for i, w in enumerate(vocab)}
+    vote_rows = [[0] * n_langs for _ in vocab]
+    for j, code in enumerate(lang_codes):
+        for w in langs[code]:
+            vote_rows[vocab_pos[w]][j] = 1
 
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("string")
     def _vote(toks):  # pd.Series of list<string> -> pd.Series of string
+        import numpy as np
         import pandas as pd
 
-        out = []
-        for arr in toks:
-            if arr is None:
-                out.append("und")
-                continue
-            counts = [0] * n_langs
-            for tok in arr:
-                for i in word2lang.get(tok, ()):
-                    counts[i] += 1
-            m = max(counts) if counts else 0
-            out.append("und" if m == 0 else lang_codes[counts.index(m)])
+        n = len(toks)
+        out = np.full(n, "und", dtype=object)
+        idx = [i for i in range(n) if toks.iloc[i] is not None]
+        if not idx:
+            return pd.Series(out)
+        arrs = [np.asarray(toks.iloc[i], dtype=object) for i in idx]
+        lens = np.fromiter((a.size for a in arrs), dtype=np.int64, count=len(arrs))
+        if int(lens.sum()) == 0:
+            return pd.Series(out)
+        flat = np.concatenate(arrs)
+        votes = np.asarray(vote_rows, dtype=np.int64)
+        codes = pd.Index(vocab).get_indexer(flat)  # -1 for non-stopwords
+        doc_of = np.repeat(np.arange(len(idx)), lens)
+        hit = codes >= 0
+        counts = np.zeros((len(idx), n_langs), dtype=np.int64)
+        if hit.any():
+            d, c = doc_of[hit], codes[hit]
+            for j in range(n_langs):
+                counts[:, j] = np.bincount(
+                    d, weights=votes[c, j], minlength=len(idx)
+                ).astype(np.int64)
+        m = counts.max(axis=1)
+        # argmax takes the FIRST maximum == lexicographically smallest
+        # code (lang_codes is sorted) — the old loop's counts.index(m).
+        best = np.take(np.asarray(lang_codes, dtype=object), counts.argmax(axis=1))
+        decided = m > 0
+        out[np.asarray(idx)[decided]] = best[decided]
         return pd.Series(out)
 
     return _vote(tokens(text_col))

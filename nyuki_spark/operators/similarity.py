@@ -17,6 +17,8 @@ against brute force in tests/test_similarity.py).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -426,13 +428,45 @@ def embedding_candidates_lsh(
         h = np.floor(m @ proj_t / blen).astype(np.int64)
         return pd.Series(list(h))
 
+    # Tile size for the per-bucket pairwise pass (r13, VERDICT #2): a
+    # degenerate bucketLength on unit vectors can put ~the whole corpus in
+    # one (table, bucket) group, and the former single `m @ m.T` Gram pass
+    # allocated O(n^2) doubles (plus an O(n^2) bool triu) in one Python
+    # worker — an OOM at scale even though the group's O(n*d) embeddings
+    # fit. Tiling bounds the pairwise intermediates to O(block^2) per tile
+    # (32 MB of float64 at the 2048 default) regardless of bucket size;
+    # the emitted pair set is bit-identical (same strict d2 < r2 on the
+    # same float64 operands, same upper-triangle enumeration).
+    gram_block = int(os.environ.get("NYUKI_LSH_GRAM_BLOCK", "2048"))
+
     def _bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         m = np.vstack(pdf["_e"].to_numpy()).astype(np.float64)
         ids = pdf["_id"].to_numpy()
         sq = np.einsum("ij,ij->i", m, m)
-        d2 = sq[:, None] + sq[None, :] - 2.0 * (m @ m.T)
-        ia, ib = np.where(np.triu(d2 < r2, k=1))
-        id_a, id_b = ids[ia], ids[ib]
+        n = m.shape[0]
+        bs = max(gram_block, 1)
+        out_a, out_b = [], []
+        for s in range(0, n, bs):
+            mb, sqb = m[s : s + bs], sq[s : s + bs]
+            for t in range(s, n, bs):
+                d2 = (
+                    sqb[:, None]
+                    + sq[None, t : t + bs]
+                    - 2.0 * (mb @ m[t : t + bs].T)
+                )
+                ii, jj = np.where(d2 < r2)
+                gi, gj = ii + s, jj + t
+                close = gj > gi  # upper triangle, == the old triu(k=1)
+                if not close.any():
+                    continue
+                out_a.append(ids[gi[close]])
+                out_b.append(ids[gj[close]])
+        if not out_a:
+            return pd.DataFrame(
+                {"id_a": ids[:0], "id_b": ids[:0]}
+            )
+        id_a = np.concatenate(out_a)
+        id_b = np.concatenate(out_b)
         lo = np.minimum(id_a, id_b)
         hi = np.maximum(id_a, id_b)
         keep = lo < hi  # mirror approxSimilarityJoin's strict id_a < id_b

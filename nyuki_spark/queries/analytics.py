@@ -91,26 +91,63 @@ def _supplier_backbone(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_suppkey"
     )
     # Pair generation: ONE shuffle (per-order supplier set, collect_set
-    # dedups lines for free) + a map-side nested-transform explode of the
-    # C(s, 2) pairs. Equivalent to distinct + self-join-on-order but
-    # without the second exchange and the merge-join sort; the per-order
-    # HOF is bounded by suppliers-per-order (<= 7 in TPC-H-shaped data),
-    # so the interpreted-lambda cost is constant per order and the output
-    # is identical (sort_array gives u < v directly).
+    # dedups lines for free) + a map-side explode of the C(s, 2) pairs.
+    # r13 (VERDICT #3, guide §4.2): the explode was a nested-transform
+    # HOF — Spark never codegens HOF lambdas, so it ran interpreted with
+    # an array slice + struct boxing per pair, the dominant stage of all
+    # 9 net_* ids. The Arrow stage enumerates the same pairs vectorized:
+    # rows are grouped by set size, each size's upper-triangle index
+    # template gathers the whole batch's pairs in two numpy takes. The
+    # sorted set gives u < v directly, so the emitted (u, v) multiset —
+    # and every downstream count — is identical.
     per_order = lineitem.groupBy("l_orderkey").agg(
         F.sort_array(F.collect_set("l_suppkey")).alias("ss")
     )
-    pair_cnt = (
-        per_order.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ss, (x, i) ->"
-                    " transform(slice(ss, i + 2, size(ss)),"
-                    " y -> struct(x AS u, y AS v))))"
+    supp_type = lineitem.schema["l_suppkey"].dataType
+
+    from pyspark.sql.types import StructField, StructType
+
+    pair_schema = StructType(
+        [StructField("u", supp_type), StructField("v", supp_type)]
+    )
+
+    def _pair_rows(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            col = pdf["ss"]
+            n_rows = len(col)
+            if n_rows == 0:
+                yield pd.DataFrame({"u": [], "v": []})
+                continue
+            arrs = [np.asarray(a, dtype=np.int64) for a in col]
+            lens = np.fromiter(
+                (a.size for a in arrs), dtype=np.int64, count=n_rows
+            )
+            flat = (
+                np.concatenate(arrs) if lens.sum() else np.empty(0, np.int64)
+            )
+            off = np.zeros(n_rows, dtype=np.int64)
+            np.cumsum(lens[:-1], out=off[1:])
+            us, vs = [], []
+            for s in np.unique(lens):
+                if s < 2:
+                    continue
+                ii, jj = np.triu_indices(int(s), k=1)
+                base = off[lens == s]
+                us.append(flat[(base[:, None] + ii[None, :]).ravel()])
+                vs.append(flat[(base[:, None] + jj[None, :]).ravel()])
+            if us:
+                yield pd.DataFrame(
+                    {"u": np.concatenate(us), "v": np.concatenate(vs)}
                 )
-            ).alias("p")
-        )
-        .select("p.u", "p.v")
+            else:
+                yield pd.DataFrame({"u": [], "v": []})
+
+    pair_cnt = (
+        per_order.select("ss")
+        .mapInPandas(_pair_rows, pair_schema)
         .groupBy("u", "v")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -395,37 +432,58 @@ def _winnowing_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").where(
         F.length("text") >= k + w - 1
     )
-    chars = docs.select(
-        "doc_id",
-        (F.length("text") - k + 1).alias("n_h"),
-        F.explode(F.sequence(F.lit(1), F.length("text"))).alias("pos"),
-        F.col("text"),
-    ).select(
-        "doc_id",
-        "n_h",
-        "pos",
-        F.ascii(F.col("text").substr(F.col("pos"), F.lit(1)))
-        .cast("long")
-        .alias("c"),
+
+    from pyspark.sql.functions import pandas_udf
+
+    # r13 (VERDICT #4, guide §4.2 — the simhash playbook): the former
+    # plan exploded one row PER CHARACTER (~1.5M rows at sf0.1) into a
+    # doc-partitioned sort feeding two window passes (k-gram LEAD dot
+    # product + w-frame min) and a distinct aggregate. The whole
+    # fingerprint is per-document and integer-exact, so it now runs as
+    # one Arrow batch stage: text crosses the boundary once per doc and
+    # numpy does the same ops vectorized — ord() == Spark ascii() (both
+    # the first code point), the un-modded polynomial peaks at
+    # 255 * sum(131^t) ~ 7.6e10 (inside int64; mod-at-end == DuckDB's
+    # stepwise-mod fold because mod distributes), sliding-window min over
+    # the same w hashes, np.unique == the distinct aggregate, and the
+    # digest sum peaks well inside int64 (< 600 minima * 2^31). No
+    # explode, no Exchange, no Sort: scan -> ArrowEvalPython -> orderBy.
+    @pandas_udf(
+        "struct<n_fp:int,fp_digest:bigint,min_fp:bigint,max_fp:bigint>"
     )
-    wo = Window.partitionBy("doc_id").orderBy("pos")
-    poly = sum(
-        F.lead("c", t).over(wo) * (big_b ** (k - 1 - t)) for t in range(1, k)
-    ) + F.col("c") * (big_b ** (k - 1))
-    hashed = chars.withColumn("h", poly % big_m).where(
-        F.col("pos") <= F.col("n_h")
-    )
-    wmin = wo.rowsBetween(Window.currentRow, w - 1)
-    selected = hashed.withColumn("m", F.min("h").over(wmin)).where(
-        F.col("pos") <= F.col("n_h") - w + 1  # pos is 1-based here
-    )
+    def _winnow(texts):  # pd.Series of string -> pd.Series of struct
+        import numpy as np
+        import pandas as pd
+
+        weights = big_b ** np.arange(k - 1, -1, -1, dtype=np.int64)
+        swv = np.lib.stride_tricks.sliding_window_view
+        n_fp, digest, mn, mx = [], [], [], []
+        for text in texts:
+            codes = np.fromiter(map(ord, text), dtype=np.int64, count=len(text))
+            h = (swv(codes, k) @ weights) % big_m
+            m = swv(h, w).min(axis=1)
+            fp = np.unique(m)
+            n_fp.append(len(fp))
+            digest.append(int(fp.sum()) % big_m)
+            mn.append(int(fp[0]))
+            mx.append(int(fp[-1]))
+        return pd.DataFrame(
+            {
+                "n_fp": np.asarray(n_fp, dtype=np.int32),
+                "fp_digest": np.asarray(digest, dtype=np.int64),
+                "min_fp": np.asarray(mn, dtype=np.int64),
+                "max_fp": np.asarray(mx, dtype=np.int64),
+            }
+        )
+
     return (
-        selected.groupBy("doc_id")
-        .agg(
-            F.countDistinct("m").cast("int").alias("n_fp"),
-            (F.sum_distinct("m") % big_m).alias("fp_digest"),
-            F.min("m").alias("min_fp"),
-            F.max("m").alias("max_fp"),
+        docs.select("doc_id", _winnow(F.col("text")).alias("s"))
+        .select(
+            "doc_id",
+            F.col("s.n_fp").alias("n_fp"),
+            F.col("s.fp_digest").alias("fp_digest"),
+            F.col("s.min_fp").alias("min_fp"),
+            F.col("s.max_fp").alias("max_fp"),
         )
         .orderBy("doc_id")
     )

@@ -883,10 +883,19 @@ register(
 
 register(
     "try_cast_safe",
-    sql=(
+    # r13 (guide §1.2 — don't compute things you throw away): the former
+    # engine text parsed props JSON for EVERY event row and then kept the
+    # top 50 by event_id; the subquery takes the top 50 FIRST (event_id is
+    # the unique order key, so the row set is identical) and parses 50
+    # props instead of the whole table. TakeOrderedAndProject evaluates
+    # the projection after selecting rows either way — the JSON parse and
+    # TRY_CASTs now run 50 times, not |events| times.
+    engine=(
         "SELECT event_id, TRY_CAST(GET_JSON_OBJECT(props, '$.k') AS INT) AS k_ok,\n"
         "TRY_CAST(event_type AS INT) AS never_int\n"
-        "FROM events ORDER BY event_id LIMIT 50"
+        "FROM (SELECT event_id, props, event_type FROM events\n"
+        "      ORDER BY event_id LIMIT 50)\n"
+        "ORDER BY event_id"
     ),
     oracle=(
         "SELECT event_id, TRY_CAST(props->>'$.k' AS INT) AS k_ok,\n"

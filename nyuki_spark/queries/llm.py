@@ -2406,19 +2406,54 @@ def _perplexity_proxy_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum is the one FP-order-dependent step, absorbed by the 4-dp round.
     """
     docs = load_table(spark, sf_dir, "documents")
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    id_type = docs.schema["doc_id"].dataType
+    dc_schema = StructType(
+        [
+            StructField("doc_id", id_type),
+            StructField("bg", StringType()),
+            StructField("cnt", LongType()),
+        ]
+    )
+
+    # r13 (guide §4.2 — the winnowing playbook): the bigram stage was an
+    # interpreted HOF (`transform(sequence, i -> substr(text, i, 2))`)
+    # exploded to one row per character (~1.5M rows at sf0.1) and
+    # re-collapsed by a (doc_id, bg) exchange; the r12 explode-only A/B
+    # regressed because the Generate carried the full text per index row.
+    # The Arrow stage counts each doc's bigrams in one pass (a doc never
+    # splits across batches, so the per-(doc, bg) counts are exact — the
+    # former groupBy and its exchange are gone) and emits the identical
+    # (doc_id, bg, cnt) rows; character slicing matches substr's
+    # character (not byte) positions. The FP-order-sensitive weighted
+    # log-sum stays in the JVM aggregate unchanged.
+    def _bigram_counts(batches):
+        from collections import Counter
+
+        import pandas as pd
+
+        for pdf in batches:
+            out_id, out_bg, out_cnt = [], [], []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                c = Counter(text[i : i + 2] for i in range(len(text) - 1))
+                out_id.extend([did] * len(c))
+                out_bg.extend(c.keys())
+                out_cnt.extend(c.values())
+            yield pd.DataFrame(
+                {"doc_id": out_id, "bg": out_bg, "cnt": out_cnt}
+            )
+
     dc = (
         docs.where(F.length("text") >= 2)
-        .select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.length("text") - 1),
-                    lambda i: F.col("text").substr(i, F.lit(2)),
-                )
-            ).alias("bg"),
-        )
-        .groupBy("doc_id", "bg")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select("doc_id", "text")
+        .mapInPandas(_bigram_counts, dc_schema)
         .withColumn("c1", F.substring(F.col("bg"), 1, 1))
     )
     bn = dc.groupBy("bg").agg(F.sum("cnt").alias("nb"))

@@ -96,6 +96,19 @@ def get_session(
     if master is not None:
         builder = builder.master(master)
     conf = dict(ENGINE_CONF)
+    # r13 (VERDICT #5): state-store provider knob for the streaming
+    # family. Default leaves Spark's HDFS-backed provider alone; set
+    # NYUKI_STREAM_STATE_PROVIDER=rocksdb (or a full provider class name)
+    # to A/B RocksDB at identical chunk fidelity. Read at call time so
+    # separate bench processes can flip it without code edits.
+    provider = os.environ.get("NYUKI_STREAM_STATE_PROVIDER")
+    if provider:
+        if provider.lower() == "rocksdb":
+            provider = (
+                "org.apache.spark.sql.execution.streaming.state."
+                "RocksDBStateStoreProvider"
+            )
+        conf["spark.sql.streaming.stateStore.providerClass"] = provider
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():

@@ -61,6 +61,7 @@ def test_validate_cep_spec_full_listing():
     assert ei.value.errors
 
 
+@pytest.mark.slow  # full streaming replay drain (~16 s)
 def test_cep_spec_stream_equals_direct_and_batch(spark, tmp_path):
     """One spec -> .stream() == direct funnel_match == .batch() on an
     out-of-order replay of a small fixture covering every feature:
@@ -221,6 +222,7 @@ def _pattern_and_events(draw):
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(data=_pattern_and_events())
+@pytest.mark.slow  # hypothesis sweep of Spark jobs (~15 s)
 def test_cep_batch_compiler_matches_reference_fold(spark, data):
     steps, absent, within_us, events = data
     spec = {

@@ -84,6 +84,7 @@ def test_jaccard_df_cap_lossless_below_cap(planted):
     assert capped == uncapped
 
 
+@pytest.mark.slow  # builds a hot-shingle corpus and runs the capped funnel twice (~15 s)
 def test_jaccard_df_cap_bounds_hot_shingle(spark):
     """A boilerplate phrase duplicated across k docs with unique tails:
     uncapped must nominate all C(k,2) boilerplate pairs; the capped tier

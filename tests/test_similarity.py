@@ -6,6 +6,7 @@ LIST_COSINE_SIMILARITY); here we measure the approximate tier against it.
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from nyuki_spark.catalog import load_table
@@ -81,6 +82,52 @@ def test_lsh_candidate_pairs_total_recall_on_fixture(spark, sf_dir):
     assert sorted(map(tuple, exact)) == sorted(map(tuple, pruned))
 
 
+def test_lsh_giant_bucket_tiled_pairs_identical(spark, sf_dir, monkeypatch):
+    """r13 (VERDICT #2): a degenerate bucketLength puts EVERY vector in one
+    (table, bucket) group; the per-group pairwise pass must tile, not
+    allocate O(n^2) at once, and tiling must not change the emitted set.
+
+    Forces giant buckets with a huge bucket_length — projections floor to
+    the two sign buckets (0 / -1), each holding ~half the corpus — and a
+    tile far smaller than any group (block=7), and asserts: (a) the tiled
+    pair set equals the effectively-untiled run (block >> group) — the
+    invariant the tiling must preserve; (b) candidates never invent a
+    pair outside the true radius (tiled is a subset of brute force on the
+    same float64 operands); (c) the degenerate buckets really did exceed
+    the tile, so the tiled path was exercised.
+    """
+    from nyuki_spark.operators.similarity import embedding_candidates_lsh
+
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def pairs(block: str) -> set:
+        monkeypatch.setenv("NYUKI_LSH_GRAM_BLOCK", block)
+        got = embedding_candidates_lsh(
+            emb, sim_floor=0.35, bucket_length=1e9, num_hash_tables=2
+        ).collect()
+        return {(r.id_a, r.id_b) for r in got}
+
+    tiled = pairs("7")
+    assert tiled == pairs("1000000")
+
+    import numpy as np
+
+    rows = emb.select("vec_id", "embedding").collect()
+    n_vecs = len(rows)
+    assert n_vecs > 4 * 7  # sign buckets (~n/2 each) far exceed the tile
+    ids = np.array([r.vec_id for r in rows])
+    m = np.array([r.embedding for r in rows], dtype=np.float64)
+    sq = np.einsum("ij,ij->i", m, m)
+    d2 = sq[:, None] + sq[None, :] - 2.0 * (m @ m.T)
+    ia, ib = np.where(np.triu(d2 < (2.0 - 2.0 * 0.35), k=1))
+    brute = {
+        (min(a, b), max(a, b))
+        for a, b in zip(ids[ia].tolist(), ids[ib].tolist())
+        if a != b
+    }
+    assert tiled and tiled <= brute
+
+
 def test_ts_profile_lsh_recall_at_floor(spark, sf_dir):
     """ADVICE r3: assert LSH recall vs brute force for the 24-dim COUNT-
     profile shape ts_similar_users feeds through embedding_candidates_lsh
@@ -145,6 +192,7 @@ def test_ts_profile_lsh_recall_at_floor(spark, sf_dir):
     assert recall >= 0.9, f"count-profile LSH recall {recall:.3f}; missed {sorted(missed)[:5]}"
 
 
+@pytest.mark.slow  # two full index builds + append compaction (~11 s)
 def test_ivf_append_equals_bulk_same_quantizer(spark, sf_dir, tmp_path):
     """Daily maintenance invariant: appending new vectors to a prebuilt
     index (frozen centroids, incremental files) yields BYTE-IDENTICAL

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from datetime import datetime, timedelta
 
+import pytest
 from pyspark.sql import Row
 from pyspark.sql import functions as F
 
@@ -16,6 +17,10 @@ from nyuki_spark.catalog import load_table
 from nyuki_spark.plans.spec import compile_pipeline
 from nyuki_spark.streaming.router import TriggerRouter
 from nyuki_spark.streaming.windows import tumbling_agg
+
+# Every test here drains a real Structured Streaming query (seconds each);
+# the default run skips them (see conftest) — NYUKI_RUN_SLOW=1 runs all.
+pytestmark = pytest.mark.slow
 
 T0 = datetime(2026, 1, 1, 12, 0, 0)
 

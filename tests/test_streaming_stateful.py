@@ -19,6 +19,10 @@ from nyuki_spark.streaming.listener import MetricsListener
 from nyuki_spark.streaming.runner import run_to_table
 from nyuki_spark.streaming.stateful import join_branches_with_timeout, sleep_release
 
+# Every test here drains a real Structured Streaming query (seconds each);
+# the default run skips them (see conftest) — NYUKI_RUN_SLOW=1 runs all.
+pytestmark = pytest.mark.slow
+
 
 def _stream_from_rows(spark, tmp_path, rows, schema):
     path = str(tmp_path / f"in-{uuid.uuid4().hex[:8]}")
