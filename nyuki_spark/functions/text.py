@@ -265,30 +265,64 @@ def simhash60(text_col: Column | str, sep: str = " ") -> Column:
 def word_ngrams(df: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Distinct word n-gram shingles per document: (id, shingle) rows.
 
-    The shingle set is the input to Jaccard / MinHash dedup. Built with a
-    sequence+transform (no explode of the raw token array first), then one
-    explode — a single narrow pipeline stage before the dedup shuffle.
+    The shingle set is the input to Jaccard / MinHash dedup — the most
+    widely shared stage of the dedup family (jaccard/containment funnels,
+    decontamination, source overlap, shingle novelty, bigram counts).
 
-    The token array is BOUND to a column in its own projection before the
-    transform: HOF lambdas are interpreted, and a lambda referencing the
-    raw ``split()`` EXPRESSION re-evaluates the split once per
-    element_at — O(tokens^2) per document, 3x over for an n=3 gram (the
-    same trap the winnowing rewrite removed; r6: this halved
-    llm_ngram_jaccard's wall time). A bound column reference is a plain
-    array lookup.
+    r13 (guide §4.2 — the substring_spans playbook): the former shape was
+    a sequence+transform HOF (interpreted per gram, with O(n) element_at
+    concats each) exploded and then GLOBALLY de-duplicated by a
+    (id, shingle) exchange. Now a `mapInPandas` stage emits the identical
+    shingle set with zero string joins: tokens joined by the single-space
+    separator reconstruct the exact original character span, so each
+    shingle is a slice of the original text between separator positions
+    (found with one numpy pass over the UTF-8 bytes — the space byte
+    never occurs inside a multibyte sequence); per-doc set-dedup makes
+    the (id, shingle) rows distinct BY CONSTRUCTION, so the downstream
+    distinct exchange is gone from every consumer. Order of rows within a
+    doc is unspecified, as before (every consumer aggregates or joins).
     """
-    base = df.select(F.col(id_col), tokens(text_col).alias("_t"))
-    t = F.col("_t")
-    # Guard short docs: Spark's sequence(0, negative) counts DOWN, so gate
-    # the gram build on size >= n instead of relying on an empty sequence.
-    grams = F.when(
-        F.size(t) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(t) - n),
-            lambda i: F.concat_ws(" ", *[F.element_at(t, i + j + 1) for j in range(n)]),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return base.select(F.col(id_col), F.explode(grams).alias("shingle")).distinct()
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    id_type = df.schema[id_col].dataType
+    out_schema = StructType(
+        [StructField(id_col, id_type), StructField("shingle", StringType())]
+    )
+
+    def _shingle_rows(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out_id, out_sh = [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None:
+                    continue
+                tb = text.encode("utf-8")
+                seps = np.where(np.frombuffer(tb, dtype=np.uint8) == 32)[0]
+                n_tok = seps.size + 1
+                if n_tok < n:
+                    continue
+                starts = np.empty(n_tok, dtype=np.int64)
+                ends = np.empty(n_tok, dtype=np.int64)
+                starts[0] = 0
+                starts[1:] = seps + 1
+                ends[:-1] = seps
+                ends[-1] = len(tb)
+                uniq = {
+                    tb[starts[i] : ends[i + n - 1]]
+                    for i in range(n_tok - n + 1)
+                }
+                out_sh.extend(s.decode("utf-8") for s in uniq)
+                out_id.extend([did] * len(uniq))
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(out_id),
+                    "shingle": pd.Series(out_sh, dtype=object),
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(_shingle_rows, out_schema)
 
 
 # PII redaction rules: (tag, pattern, replacement), applied IN ORDER.
